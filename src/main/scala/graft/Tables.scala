@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared table loaders + cross-engine determinism helpers (SURVEY.md §1, §2.9).
+  *
+  * Design notes for scale (SURVEY.md §4): every loader returns a plain
+  * parquet-backed DataFrame so Catalyst can push filters/projections into the
+  * scan; nothing here collects to the driver. The ns-timestamp recipe for
+  * `events` (SURVEY.md §1.3) is applied inside the loader so every query that
+  * touches events is safe regardless of session configs.
+  */
+object Tables {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** events.parquet carries timestamp[ns] which Spark 4 rejects by default
+    * (PARQUET_TYPE_ILLEGAL). Recipe per SURVEY.md §1.3: read ns as long, then
+    * truncate to micros. `tsc` is cast to TIMESTAMP_NTZ so it compares and
+    * round-trips identically to DuckDB's naive TIMESTAMP (session TZ is UTC;
+    * zero rows carry sub-microsecond precision, so truncation is lossless).
+    * The raw `ts` long (ns since epoch) is kept for exact integer arithmetic
+    * in gap/session queries.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("tsc", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+  }
+
+  /** The user–item interaction matrix (SURVEY.md §2.8 q60): item id comes from
+    * the JSON `props.$k`, rating is the mean event value per (user, item).
+    * Kept UNROUNDED here — each consumer rounds at its output edge (§2.9.2).
+    */
+  def ratings(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .select(
+        col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"),
+        col("value"))
+      .groupBy("user_id", "item")
+      .agg(avg("value").as("rating"))
+
+  /** DuckDB-side CTE mirroring `ratings` — splice into oracle SQL. */
+  val ratingsSql: String =
+    "SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item, avg(value) AS rating FROM events GROUP BY 1, 2"
+
+  /** Cross-engine deterministic rounding (§2.9.2). Spark's builtin `round` is
+    * BigDecimal(shortest-decimal-string)-based while DuckDB's is binary-double
+    * based; they disagree on values whose shortest repr is a half-way point
+    * (e.g. 19570.815 → .82 vs .81 — hit in round-1 local diffing). So BOTH
+    * engines get the same explicit formula floor(x*p + 0.5)/p computed in
+    * IEEE doubles: multiply, add, floor, divide are bit-deterministic and
+    * neither engine fuses them, so results are identical by construction.
+    */
+  private def pw(n: Int): Double = math.pow(10, n.toDouble)
+  def rnd(c: Column, n: Int): Column = floor(c * lit(pw(n)) + lit(0.5)) / lit(pw(n))
+  def r2(c: Column): Column = rnd(c, 2)
+  def r4(c: Column): Column = rnd(c, 4)
+  def r5(c: Column): Column = rnd(c, 5)
+
+  /** The same rounding formula as a DuckDB SQL snippet. */
+  def sqlRnd(e: String, n: Int): String = {
+    val p = pw(n).toLong
+    s"floor(($e) * $p.0 + 0.5) / $p.0"
+  }
+  def sr2(e: String): String = sqlRnd(e, 2)
+  def sr4(e: String): String = sqlRnd(e, 4)
+  def sr5(e: String): String = sqlRnd(e, 5)
+}

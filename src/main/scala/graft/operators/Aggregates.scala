@@ -1,0 +1,197 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.4 aggregations: hash agg, distinct (exact + HLL), rollup/cube/grouping
+  * sets, stats, collect, pivot.
+  *
+  * Scale notes: all aggs are partial+final (map-side combine) out of the box.
+  * `countDistinct` expands to a two-phase distinct agg; `approx_count_distinct`
+  * (q22) is the 100 TB path where exactness isn't needed. Rollup/cube expand
+  * rows before the shuffle — acceptable because grouping-key cardinality stays
+  * tiny. Pivot uses an EXPLICIT value list (determinism §2.9.4) and also avoids
+  * the extra job Spark runs to discover values at scale.
+  */
+object Aggregates {
+
+  def q20(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        r2(sum("l_quantity")).as("sum_qty"),
+        r2(sum("l_extendedprice")).as("sum_base_price"),
+        r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+        r4(avg("l_quantity")).as("avg_qty"),
+        r4(avg("l_extendedprice")).as("avg_price"),
+        r4(avg("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def q21(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("item", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("item")).as("n_items"))
+      .orderBy("event_type")
+
+  def q22(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .orderBy("event_type")
+
+  /** Rollup via the SQL entry point: the DataFrame `.rollup` path trips the
+    * ambiguous-self-join check when ordering by grouped columns that also
+    * appear under `grouping()`; SQL resolves both against the same scope.
+    */
+  def q23(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders_v")
+    customer(s, d).createOrReplaceTempView("customer_v")
+    nation(s, d).createOrReplaceTempView("nation_v")
+    region(s, d).createOrReplaceTempView("region_v")
+    s.sql(
+      s"""SELECT r_name, n_name, ${sr2("sum(o_totalprice)")} AS revenue,
+         |  CAST(grouping(r_name) AS BIGINT) AS g_r,
+         |  CAST(grouping(n_name) AS BIGINT) AS g_n
+         |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+         |JOIN nation_v ON c_nationkey = n_nationkey
+         |JOIN region_v ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)
+         |ORDER BY g_r, g_n, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+
+  def q24(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sr2("sum(l_quantity)")} AS sum_qty,
+         |  ${sr4("avg(l_quantity)")} AS avg_qty,
+         |  count(1) AS n_rows,
+         |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+         |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+         |FROM lineitem_v GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  def q25(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("customer_v")
+    nation(s, d).createOrReplaceTempView("nation_v")
+    s.sql(
+      s"""SELECT c_mktsegment, n_name,
+         |  ${sr2("sum(c_acctbal)")} AS sum_bal, count(1) AS n_cust,
+         |  CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+         |  CAST(grouping(n_name) AS BIGINT) AS g_nat
+         |FROM customer_v JOIN nation_v ON c_nationkey = n_nationkey
+         |GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+         |ORDER BY g_seg, g_nat, c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+
+  def q26(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+        r4(var_samp(col("l_quantity"))).as("var_qty"),
+        r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+        r4(median(col("l_quantity"))).as("med_qty"))
+      .orderBy("l_returnflag")
+
+  def q27(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("user_id")
+      .agg(sort_array(collect_set(col("event_type"))).as("types"))
+      .orderBy("user_id")
+
+  def q28(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .count()
+      .select(col("user_id"),
+        coalesce(col("click"), lit(0L)).as("click"),
+        coalesce(col("view"), lit(0L)).as("view"),
+        coalesce(col("purchase"), lit(0L)).as("purchase"),
+        coalesce(col("signup"), lit(0L)).as("signup"),
+        coalesce(col("error"), lit(0L)).as("error"))
+      .orderBy("user_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_agg_pricing_summary" -> q20,
+    "q21_agg_count_distinct" -> q21,
+    "q22_agg_approx_distinct" -> q22,
+    "q23_agg_rollup" -> q23,
+    "q24_agg_cube" -> q24,
+    "q25_agg_grouping_sets" -> q25,
+    "q26_agg_stats" -> q26,
+    "q27_agg_collect" -> q27,
+    "q28_agg_pivot" -> q28)
+
+  val oracle: Map[String, String] = Map(
+    "q20_agg_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sr2("sum(l_quantity)")} AS sum_qty,
+         |  ${sr2("sum(l_extendedprice)")} AS sum_base_price,
+         |  ${sr2("sum(l_extendedprice * (1.0 - l_discount))")} AS sum_disc_price,
+         |  ${sr2("sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax))")} AS sum_charge,
+         |  ${sr4("avg(l_quantity)")} AS avg_qty,
+         |  ${sr4("avg(l_extendedprice)")} AS avg_price,
+         |  ${sr4("avg(l_discount)")} AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q21_agg_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS n_items
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q23_agg_rollup" ->
+      s"""SELECT r_name, n_name, ${sr2("sum(o_totalprice)")} AS revenue,
+         |  CAST(grouping(r_name) AS BIGINT) AS g_r,
+         |  CAST(grouping(n_name) AS BIGINT) AS g_n
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)
+         |ORDER BY g_r, g_n, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q24_agg_cube" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sr2("sum(l_quantity)")} AS sum_qty,
+         |  ${sr4("avg(l_quantity)")} AS avg_qty,
+         |  count(*) AS n_rows,
+         |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+         |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q25_agg_grouping_sets" ->
+      s"""SELECT c_mktsegment, n_name,
+         |  ${sr2("sum(c_acctbal)")} AS sum_bal, count(*) AS n_cust,
+         |  CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+         |  CAST(grouping(n_name) AS BIGINT) AS g_nat
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+         |ORDER BY g_seg, g_nat, c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q26_agg_stats" ->
+      s"""SELECT l_returnflag,
+         |  ${sr4("stddev_samp(l_quantity)")} AS sd_qty,
+         |  ${sr4("var_samp(l_quantity)")} AS var_qty,
+         |  ${sr4("corr(l_quantity, l_extendedprice)")} AS corr_qty_price,
+         |  ${sr4("median(l_quantity)")} AS med_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q27_agg_collect" ->
+      """SELECT user_id, list(event_type ORDER BY event_type) AS types
+        |FROM (SELECT DISTINCT user_id, event_type FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q28_agg_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.3 join matrix: broadcast, shuffle 3-way, outer, semi/anti, theta, as-of,
+  * cross.
+  *
+  * Scale notes: dims (region/nation/customer/supplier/part) stay far below
+  * `spark.sql.autoBroadcastJoinThreshold` even at 100 TB fact scale, and the
+  * small sides are broadcast explicitly where the optimizer might lack stats.
+  * The as-of join (q17) is expressed as theta-join + windowed top-1, which
+  * shuffles once on the join key and once on the window key — both
+  * hash-partitionable by user, saltable on skew.
+  */
+object Joins {
+
+  def q10(s: SparkSession, d: String): DataFrame =
+    nation(s, d)
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name", "r_name")
+      .orderBy("n_nationkey")
+
+  def q11(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_nationkey", "n_name")
+      .agg(r2(sum("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("n_nationkey")
+
+  def q12(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey", "c_name")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  /** Full outer of week-1 vs week-4 January buyers (events span Jan 2024 only
+    * at every SF — verified; SURVEY.md's "Jan vs Feb" re-scoped to weeks). */
+  def q13(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val w1 = ev.filter(col("tsc") < lit("2024-01-08").cast("timestamp_ntz"))
+      .groupBy(col("user_id").as("u1")).agg(count(lit(1)).as("week1_events"))
+    val w4 = ev.filter(col("tsc") >= lit("2024-01-22").cast("timestamp_ntz") &&
+        col("tsc") < lit("2024-01-29").cast("timestamp_ntz"))
+      .groupBy(col("user_id").as("u4")).agg(count(lit(1)).as("week4_events"))
+    w1.join(w4, col("u1") === col("u4"), "full_outer")
+      .select(coalesce(col("u1"), col("u4")).as("user_id"),
+        coalesce(col("week1_events"), lit(0L)).as("week1_events"),
+        coalesce(col("week4_events"), lit(0L)).as("week4_events"))
+      .orderBy("user_id")
+  }
+
+  def q14(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  def q15(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  def q16(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(part(s, d),
+        col("l_partkey") === col("p_partkey") && col("l_extendedprice") > col("p_retailprice"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_over"),
+        r2(avg(col("l_extendedprice") - col("p_retailprice"))).as("avg_over"))
+      .orderBy("p_brand")
+
+  /** As-of: per event, the user's latest order strictly before the event time.
+    * (user_id ⊆ c_custkey domain and all orders predate all events — verified.) */
+  def q17(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select("event_id", "user_id", "tsc")
+    val o = orders(s, d).select("o_custkey", "o_orderkey", "o_orderdate")
+    val w = Window.partitionBy("event_id")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    ev.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") < col("tsc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "tsc", "o_orderkey", "o_orderdate")
+      .orderBy("event_id")
+  }
+
+  def q18(s: SparkSession, d: String): DataFrame =
+    region(s, d).crossJoin(nation(s, d))
+      .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+      .orderBy("r_regionkey", "n_nationkey")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_join_broadcast" -> q10,
+    "q11_join_3way_revenue" -> q11,
+    "q12_join_left_outer" -> q12,
+    "q13_join_full_outer" -> q13,
+    "q14_join_semi" -> q14,
+    "q15_join_anti" -> q15,
+    "q16_join_theta_band" -> q16,
+    "q17_join_asof" -> q17,
+    "q18_join_cross" -> q18)
+
+  val oracle: Map[String, String] = Map(
+    "q10_join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name FROM nation JOIN region
+        |ON n_regionkey = r_regionkey ORDER BY n_nationkey""".stripMargin,
+    "q11_join_3way_revenue" ->
+      s"""SELECT n_nationkey, n_name, ${sr2("sum(o_totalprice)")} AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
+    "q12_join_left_outer" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "q13_join_full_outer" ->
+      """WITH w1 AS (SELECT user_id AS u1, count(*) AS week1_events FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-08' GROUP BY 1),
+        |w4 AS (SELECT user_id AS u4, count(*) AS week4_events FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-22' AND ts < TIMESTAMP '2024-01-29' GROUP BY 1)
+        |SELECT coalesce(u1, u4) AS user_id,
+        |  coalesce(week1_events, 0) AS week1_events,
+        |  coalesce(week4_events, 0) AS week4_events
+        |FROM w1 FULL OUTER JOIN w4 ON u1 = u4 ORDER BY user_id""".stripMargin,
+    "q14_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q15_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q16_join_theta_band" ->
+      s"""SELECT p_brand, count(*) AS n_over,
+        |  ${sr2("avg(l_extendedprice - p_retailprice)")} AS avg_over
+        |FROM lineitem JOIN part
+        |ON l_partkey = p_partkey AND l_extendedprice > p_retailprice
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q17_join_asof" ->
+      """SELECT event_id, user_id, ts AS tsc, o_orderkey, o_orderdate FROM (
+        |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |  ON e.user_id = o.o_custkey AND o.o_orderdate < e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q18_join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin)
+}
