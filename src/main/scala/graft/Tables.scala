@@ -71,10 +71,15 @@ object Tables {
   def r4(c: Column): Column = rnd(c, 4)
   def r5(c: Column): Column = rnd(c, 5)
 
-  /** The same rounding formula as a DuckDB SQL snippet. */
+  /** The same rounding formula as a SQL snippet. Literals use exponent form
+    * (`100e0`, `0.5e0`) because BOTH Spark SQL and DuckDB parse those as
+    * DOUBLE, whereas `100.0` parses as DECIMAL(4,1) in Spark SQL — which made
+    * the whole expression (and the written parquet column) DECIMAL while
+    * DuckDB computed DOUBLE → driver hash mismatch (round-1 q23/q24/q25).
+    */
   def sqlRnd(e: String, n: Int): String = {
     val p = pw(n).toLong
-    s"floor(($e) * $p.0 + 0.5) / $p.0"
+    s"floor(($e) * ${p}e0 + 0.5e0) / ${p}e0"
   }
   def sr2(e: String): String = sqlRnd(e, 2)
   def sr4(e: String): String = sqlRnd(e, 4)

@@ -101,10 +101,13 @@ object Aggregates {
         r4(median(col("l_quantity"))).as("med_qty"))
       .orderBy("l_returnflag")
 
+  /** collect_set surface. The array is serialized to a CSV string at the
+    * output edge — the driver's pandas harness cannot hash array cells
+    * (round-1 failure: "unhashable type: numpy.ndarray"). */
   def q27(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .groupBy("user_id")
-      .agg(sort_array(collect_set(col("event_type"))).as("types"))
+      .agg(concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"))
       .orderBy("user_id")
 
   def q28(s: SparkSession, d: String): DataFrame =
@@ -183,7 +186,7 @@ object Aggregates {
          |  ${sr4("median(l_quantity)")} AS med_qty
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q27_agg_collect" ->
-      """SELECT user_id, list(event_type ORDER BY event_type) AS types
+      """SELECT user_id, array_to_string(list(event_type ORDER BY event_type), ',') AS types
         |FROM (SELECT DISTINCT user_id, event_type FROM events)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q28_agg_pivot" ->

@@ -76,16 +76,27 @@ object Joins {
       .orderBy("p_brand")
 
   /** As-of: per event, the user's latest order strictly before the event time.
-    * (user_id ⊆ c_custkey domain and all orders predate all events — verified.) */
+    * (user_id ⊆ c_custkey domain and all orders predate all events — verified.)
+    *
+    * Scale design: the theta join fans out each event to every prior order of
+    * its user; the top-1 pick is a single `max_by` hash aggregation — partial
+    * (map-side) combine collapses the fan-out before the one shuffle, and
+    * there is no sort. The round-1 version used `row_number` over a window
+    * partitioned by event_id, which forced a second full shuffle+sort of the
+    * entire fan-out (9 s / 31% of the bench); at 100 TB that window is the
+    * scale-killer, the aggregation is not. Tiebreak (o_orderdate, o_orderkey)
+    * is total because o_orderkey is unique. */
   def q17(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d).select("event_id", "user_id", "tsc")
     val o = orders(s, d).select("o_custkey", "o_orderkey", "o_orderdate")
-    val w = Window.partitionBy("event_id")
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
     ev.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") < col("tsc"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("event_id", "user_id", "tsc", "o_orderkey", "o_orderdate")
+      .groupBy("event_id", "user_id", "tsc")
+      .agg(max_by(
+        struct(col("o_orderkey"), col("o_orderdate")),
+        struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
+      .select(col("event_id"), col("user_id"), col("tsc"),
+        col("best.o_orderkey").as("o_orderkey"),
+        col("best.o_orderdate").as("o_orderdate"))
       .orderBy("event_id")
   }
 
