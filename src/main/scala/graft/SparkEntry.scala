@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
+import graft.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (the binding inventory) and
   * §7 (build plan). Each family object under graft.operators / graft.functions
@@ -16,10 +17,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Scans.queries ++ Joins.queries ++ Aggregates.queries
+    Scans.queries ++ Joins.queries ++ Aggregates.queries ++
+      Windows.queries ++ SetOps.queries ++ Scalars.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Scans.oracle ++ Joins.oracle ++ Aggregates.oracle
+    Scans.oracle ++ Joins.oracle ++ Aggregates.oracle ++
+      Windows.oracle ++ SetOps.oracle ++ Scalars.oracle
 }

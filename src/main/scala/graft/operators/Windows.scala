@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.5 window functions: top-k per group, running sum, sessionization,
+  * ranking kinds, moving average, lead/lag + range frames.
+  *
+  * Scale notes: every per-entity window partitions by a high-cardinality key
+  * (o_custkey / user_id), so the window shuffle hash-distributes evenly and
+  * each partition sorts only its own rows — this holds at 1000 executors.
+  * The two global windows (q33 ranking over suppliers, q34 moving average
+  * over daily totals) are single-partition by construction; that is safe
+  * because their inputs are dimension-sized (suppliers) or bounded by the
+  * calendar (one row per date after pre-aggregation) — at 100 TB the
+  * pre-aggregation shrinks the fact table *before* the single-partition sort.
+  * Rank outputs are cast to long: Spark's rank family returns int32 while
+  * DuckDB emits int64, and the driver compares dtypes via pandas.
+  */
+object Windows {
+
+  def q30(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  def q31(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        r2(sum("o_totalprice").over(w)).as("cum_spend"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** Sessionization on the raw ns-long `ts` (exact integer arithmetic; the
+    * DuckDB twin compares µs timestamps — equivalent because no row carries
+    * sub-µs precision, SURVEY §1.3). Gap > 30 min starts a new session. */
+  def q32(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("new_sess",
+        when(lag("ts", 1).over(w).isNull ||
+          (col("ts") - lag("ts", 1).over(w)) > lit(1800000000000L), 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_sess").over(wc))
+      .select("user_id", "event_id", "tsc", "session_id")
+      .orderBy("event_id")
+  }
+
+  /** rank/dense_rank get real ties via a coarse bucket key (floor(bal/1000));
+    * ntile/row_number need a total order, so they run over a fully-tiebroken
+    * window — mixing the two on one window would make ntile nondeterministic. */
+  def q33(s: SparkSession, d: String): DataFrame = {
+    val wr = Window.orderBy(floor(col("s_acctbal") / lit(1000.0)).desc)
+    val wt = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        rank().over(wr).cast("long").as("rnk"),
+        dense_rank().over(wr).cast("long").as("drnk"),
+        ntile(4).over(wt).cast("long").as("quartile"),
+        row_number().over(wt).cast("long").as("rn"))
+      .orderBy("s_suppkey")
+  }
+
+  def q34(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d).groupBy("o_orderdate")
+      .agg(sum("o_totalprice").as("rev"))
+    val w = Window.orderBy("o_orderdate").rowsBetween(-2, 0)
+    daily
+      .select(col("o_orderdate"), r2(col("rev")).as("rev"),
+        r2(avg("rev").over(w)).as("ma3"))
+      .orderBy("o_orderdate")
+  }
+
+  /** lead/lag gaps in exact µs integers + count/first over a 1-hour RANGE
+    * frame. `first` over the range frame equals min(ts) in the frame, so its
+    * VALUE is deterministic even when two events share a timestamp. */
+  def q35(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wr = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0)
+    e.select(col("user_id"), col("event_id"),
+        (col("ts_us") - lag("ts_us", 1).over(w)).as("gap_us"),
+        (lead("ts_us", 1).over(w) - col("ts_us")).as("next_gap_us"),
+        count(lit(1)).over(wr).as("n_1h"),
+        first("ts_us").over(wr).as("first_us"))
+      .orderBy("event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_window_topk_per_group" -> q30,
+    "q31_window_running_sum" -> q31,
+    "q32_window_sessionize" -> q32,
+    "q33_window_rank_kinds" -> q33,
+    "q34_window_moving_avg" -> q34,
+    "q35_window_lead_lag_frame" -> q35)
+
+  val oracle: Map[String, String] = Map(
+    "q30_window_topk_per_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q31_window_running_sum" ->
+      s"""SELECT o_custkey, o_orderkey, o_orderdate,
+         |  ${sr2("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS cum_spend
+         |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q32_window_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events)
+        |SELECT user_id, event_id, ts AS tsc,
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM e ORDER BY event_id""".stripMargin,
+    "q33_window_rank_kinds" ->
+      """SELECT s_suppkey, s_name, s_acctbal,
+        |  CAST(rank() OVER (ORDER BY floor(s_acctbal / 1000e0) DESC) AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER (ORDER BY floor(s_acctbal / 1000e0) DESC) AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS quartile,
+        |  CAST(row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS rn
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q34_window_moving_avg" ->
+      s"""WITH daily AS (SELECT o_orderdate, sum(o_totalprice) AS rev
+         |  FROM orders GROUP BY o_orderdate)
+         |SELECT o_orderdate, ${sr2("rev")} AS rev,
+         |  ${sr2("avg(rev) OVER (ORDER BY o_orderdate ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)")} AS ma3
+         |FROM daily ORDER BY o_orderdate""".stripMargin,
+    "q35_window_lead_lag_frame" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)
+        |SELECT user_id, event_id,
+        |  ts_us - lag(ts_us) OVER w AS gap_us,
+        |  lead(ts_us) OVER w - ts_us AS next_gap_us,
+        |  CAST(count(*) OVER wr AS BIGINT) AS n_1h,
+        |  first_value(ts_us) OVER wr AS first_us
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id),
+        |  wr AS (PARTITION BY user_id ORDER BY ts_us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)
+}
