@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.queries ++ Joins.queries ++ Aggregates.queries ++
-      Windows.queries ++ SetOps.queries ++ Scalars.queries
+      Windows.queries ++ SetOps.queries ++ Scalars.queries ++
+      Recommender.queries ++ Udfs.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Scans.oracle ++ Joins.oracle ++ Aggregates.oracle ++
-      Windows.oracle ++ SetOps.oracle ++ Scalars.oracle
+      Windows.oracle ++ SetOps.oracle ++ Scalars.oracle ++
+      Recommender.oracle ++ Udfs.oracle
 }

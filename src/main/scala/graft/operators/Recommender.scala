@@ -1,0 +1,292 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.recommendation.ALS
+
+/** §2.8 recommender core: interaction matrix, popularity, bias baseline,
+  * item/user collaborative filtering, ALS, ranking metrics, TF-IDF.
+  *
+  * Scale notes:
+  * - Global scalars (μ, N) are computed as 1-row aggregates and broadcast via
+  *   crossJoin(broadcast(...)) — never a global window, which would funnel
+  *   the whole fact table through one partition.
+  * - The CF self-joins (q63 item-item on user, q64 user-user on item) fan out
+  *   quadratically in per-key degree. At 100 TB the mitigations are (a)
+  *   threshold pruning / DIMSUM-style sampling of high-degree keys, (b)
+  *   capping each user's rating list to their top-R items before the join —
+  *   both preserve top-k similarity almost surely. The join itself stays a
+  *   shuffle hash join on the shared key; partial aggregation collapses the
+  *   pair fan-out map-side before the (i,j)-keyed shuffle.
+  * - Similarities are ROUNDED to 5dp before ranking so both engines rank the
+  *   same values; ties break on the neighbor key (§2.9.4).
+  * - ALS scales via numUserBlocks/numItemBlocks; it is the only
+  *   threshold-verified (not hash-verified) component, per SURVEY §2.8.
+  */
+object Recommender {
+
+  def q60(s: SparkSession, d: String): DataFrame =
+    ratings(s, d)
+      .select(col("user_id"), col("item"), r4(col("rating")).as("rating"))
+      .orderBy("user_id", "item")
+
+  def q61(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"),
+        col("value"))
+      .groupBy("item")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        r4(avg("value")).as("avg_value"))
+      .orderBy(col("n_events").desc, col("item"))
+      .limit(20)
+
+  /** Mean-centered baseline predictor μ + bᵤ + bᵢ. */
+  def q62(s: SparkSession, d: String): DataFrame = {
+    val r = ratings(s, d)
+    val mu = r.agg(avg("rating").as("mu"))
+    val bu = r.groupBy("user_id").agg(avg("rating").as("user_avg"))
+    val withBu = r.crossJoin(broadcast(mu))
+      .join(bu, "user_id")
+      .withColumn("bu", col("user_avg") - col("mu"))
+    val bi = withBu.groupBy("item")
+      .agg(avg(col("rating") - col("mu") - col("bu")).as("bi"))
+    withBu.join(broadcast(bi), "item")
+      .select(col("user_id"), col("item"),
+        r4(col("mu") + col("bu") + col("bi")).as("pred"),
+        r4(col("rating")).as("rating"))
+      .orderBy("user_id", "item")
+  }
+
+  /** Item–item cosine over shared-user rating vectors; top-20 pairs. */
+  def q63(s: SparkSession, d: String): DataFrame = {
+    val r = ratings(s, d)
+    val nrm = r.groupBy("item").agg(sum(col("rating") * col("rating")).as("sq"))
+    val a = r.select(col("user_id"), col("item").as("i1"), col("rating").as("x1"))
+    val b = r.select(col("user_id"), col("item").as("i2"), col("rating").as("x2"))
+    a.join(b, "user_id").filter(col("i1") < col("i2"))
+      .groupBy("i1", "i2")
+      .agg(sum(col("x1") * col("x2")).as("dot"))
+      .join(broadcast(nrm.select(col("item").as("i1"), col("sq").as("sq1"))), "i1")
+      .join(broadcast(nrm.select(col("item").as("i2"), col("sq").as("sq2"))), "i2")
+      .select(col("i1").as("item1"), col("i2").as("item2"),
+        r5(col("dot") / (sqrt(col("sq1")) * sqrt(col("sq2")))).as("cosine"))
+      .orderBy(col("cosine").desc, col("item1"), col("item2"))
+      .limit(20)
+  }
+
+  /** User-based CF: predict each observed (user, item) from the user's k=5
+    * most cosine-similar users (positive similarity only). */
+  def q64(s: SparkSession, d: String): DataFrame = {
+    val r = ratings(s, d)
+    val nrm = r.groupBy("user_id").agg(sum(col("rating") * col("rating")).as("sq"))
+    val a = r.select(col("user_id").as("u"), col("item"), col("rating").as("ra"))
+    val b = r.select(col("user_id").as("v"), col("item"), col("rating").as("rb"))
+    val sims = a.join(b, Seq("item")).filter(col("u") =!= col("v"))
+      .groupBy("u", "v").agg(sum(col("ra") * col("rb")).as("dot"))
+      .join(nrm.select(col("user_id").as("u"), col("sq").as("squ")), "u")
+      .join(nrm.select(col("user_id").as("v"), col("sq").as("sqv")), "v")
+      .withColumn("sim", r5(col("dot") / (sqrt(col("squ")) * sqrt(col("sqv")))))
+      .filter(col("sim") > 0)
+    val top5 = sims
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("u").orderBy(col("sim").desc, col("v"))))
+      .filter(col("rn") <= 5)
+      .select("u", "v", "sim")
+    r.select(col("user_id").as("u"), col("item"))
+      .join(top5, "u")
+      .join(r.select(col("user_id").as("v"), col("item"), col("rating").as("rv")),
+        Seq("v", "item"))
+      .groupBy("u", "item")
+      .agg(count(lit(1)).as("n_nbrs"),
+        r4(sum(col("sim") * col("rv")) / sum(col("sim"))).as("pred"))
+      .select(col("u").as("user_id"), col("item"), col("n_nbrs"), col("pred"))
+      .orderBy("user_id", "item")
+  }
+
+  private def alsOn(train: DataFrame): org.apache.spark.ml.recommendation.ALSModel =
+    new ALS()
+      .setUserCol("user_id").setItemCol("item").setRatingCol("rating")
+      .setRank(8).setMaxIter(10).setRegParam(0.1).setSeed(42)
+      .setColdStartStrategy("drop")
+      .fit(train)
+
+  /** MLlib ALS recommendations (no SQL oracle — fixed-seed + RMSE checks in
+    * MlSpec; driver records a rows-only check). */
+  def q65(s: SparkSession, d: String): DataFrame = {
+    val model = alsOn(ratings(s, d))
+    model.recommendForAllUsers(5)
+      .select(col("user_id"), posexplode(col("recommendations")).as(Seq("pos", "rec")))
+      .select(col("user_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("rec.item").cast("long").as("item"),
+        r4(col("rec.rating").cast("double")).as("score"))
+      .orderBy("user_id", "rnk")
+  }
+
+  /** ALS holdout quality: RMSE + MAE on a seeded 80/20 split (no oracle). */
+  def q66(s: SparkSession, d: String): DataFrame = {
+    val Array(train, test) = ratings(s, d).randomSplit(Array(0.8, 0.2), 42)
+    val model = alsOn(train)
+    model.transform(test)
+      .withColumn("err", col("prediction").cast("double") - col("rating"))
+      .agg(count(lit(1)).as("n_test"),
+        r4(sqrt(avg(col("err") * col("err")))).as("rmse"),
+        r4(avg(abs(col("err")))).as("mae"))
+  }
+
+  /** precision@5 / recall@5 / NDCG@5 of the popularity recommender (top-5
+    * click/view items) against each user's purchased-item set. */
+  def q67(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .withColumn("item", get_json_object(col("props"), "$.k").cast("long"))
+    val recs = ev.filter(col("event_type").isin("click", "view"))
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item")).limit(5)
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("cnt").desc, col("item"))).cast("long"))
+    val rel = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "item").distinct()
+    val nrel = rel.groupBy("user_id").agg(count(lit(1)).as("n_rel"))
+    val hits = rel.join(broadcast(recs), "item")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_hits"),
+        sum(lit(1.0) / log2(col("pos") + 1)).as("dcg"))
+    val ks = s.range(1, 6)
+      .select(col("id").as("k"), (lit(1.0) / log2(col("id") + 1)).as("g"))
+    val idcg = nrel.join(broadcast(ks), col("k") <= least(lit(5L), col("n_rel")))
+      .groupBy("user_id", "n_rel").agg(sum("g").as("idcg"))
+    idcg.join(hits, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg"))
+      .agg(count(lit(1)).as("n_users"),
+        r4(avg(col("n_hits") / lit(5.0))).as("p_at_5"),
+        r4(avg(col("n_hits").cast("double") / col("n_rel"))).as("r_at_5"),
+        r4(avg(col("ndcg"))).as("ndcg_at_5"))
+  }
+
+  /** Pure-DataFrame TF-IDF (tf · ln(N/df)), top term per document — not
+    * HashingTF, so the oracle can reproduce it exactly. */
+  def q68(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val words = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    tf.join(dfq, "w").crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * log(col("n").cast("double") / col("df")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("w").as("top_term"), r4(col("score")).as("score"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_ratings_matrix" -> q60,
+    "q61_item_popularity" -> q61,
+    "q62_user_item_bias" -> q62,
+    "q63_item_cosine_sim" -> q63,
+    "q64_user_knn_predict" -> q64,
+    "q65_als_recommend" -> q65,
+    "q66_als_rmse" -> q66,
+    "q67_ranking_metrics" -> q67,
+    "q68_tfidf_terms" -> q68)
+
+  val oracle: Map[String, String] = Map(
+    "q60_ratings_matrix" ->
+      s"""SELECT user_id, item, ${sr4("rating")} AS rating
+         |FROM ($ratingsSql) ORDER BY user_id, item""".stripMargin,
+    "q61_item_popularity" ->
+      s"""SELECT CAST(json_extract(props, '$$.k') AS BIGINT) AS item,
+         |  count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+         |  ${sr4("avg(value)")} AS avg_value
+         |FROM events GROUP BY 1
+         |ORDER BY n_events DESC, item LIMIT 20""".stripMargin,
+    "q62_user_item_bias" ->
+      s"""WITH r AS ($ratingsSql),
+         |mu AS (SELECT avg(rating) AS mu FROM r),
+         |bu AS (SELECT user_id, avg(rating) - (SELECT mu FROM mu) AS bu
+         |  FROM r GROUP BY 1),
+         |bi AS (SELECT item, avg(rating - (SELECT mu FROM mu) - bu.bu) AS bi
+         |  FROM r JOIN bu USING (user_id) GROUP BY 1)
+         |SELECT r.user_id, r.item,
+         |  ${sr4("mu.mu + bu.bu + bi.bi")} AS pred,
+         |  ${sr4("r.rating")} AS rating
+         |FROM r JOIN bu USING (user_id) JOIN bi USING (item) CROSS JOIN mu
+         |ORDER BY user_id, item""".stripMargin,
+    "q63_item_cosine_sim" ->
+      s"""WITH r AS ($ratingsSql),
+         |n AS (SELECT item, sum(rating*rating) AS sq FROM r GROUP BY 1),
+         |d AS (SELECT a.item AS item1, b.item AS item2,
+         |    sum(a.rating*b.rating) AS dot
+         |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item < b.item
+         |  GROUP BY 1, 2)
+         |SELECT item1, item2,
+         |  ${sr5("dot / (sqrt(n1.sq) * sqrt(n2.sq))")} AS cosine
+         |FROM d JOIN n n1 ON d.item1 = n1.item JOIN n n2 ON d.item2 = n2.item
+         |ORDER BY cosine DESC, item1, item2 LIMIT 20""".stripMargin,
+    "q64_user_knn_predict" ->
+      s"""WITH r AS ($ratingsSql),
+         |n AS (SELECT user_id, sum(rating*rating) AS sq FROM r GROUP BY 1),
+         |dots AS (SELECT a.user_id AS u, b.user_id AS v,
+         |    sum(a.rating*b.rating) AS dot
+         |  FROM r a JOIN r b ON a.item = b.item AND a.user_id <> b.user_id
+         |  GROUP BY 1, 2),
+         |sims AS (SELECT u, v,
+         |    ${sr5("dot / (sqrt(nu.sq) * sqrt(nv.sq))")} AS sim
+         |  FROM dots JOIN n nu ON u = nu.user_id JOIN n nv ON v = nv.user_id),
+         |top5 AS (SELECT u, v, sim FROM (
+         |    SELECT u, v, sim,
+         |      row_number() OVER (PARTITION BY u ORDER BY sim DESC, v) AS rn
+         |    FROM sims WHERE sim > 0) WHERE rn <= 5)
+         |SELECT tr.user_id, tr.item, count(*) AS n_nbrs,
+         |  ${sr4("sum(p.sim * rv.rating) / sum(p.sim)")} AS pred
+         |FROM r tr JOIN top5 p ON tr.user_id = p.u
+         |JOIN r rv ON rv.user_id = p.v AND rv.item = tr.item
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q67_ranking_metrics" ->
+      s"""WITH ev AS (SELECT user_id, event_type,
+         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),
+         |recs AS (SELECT item, CAST(row_number() OVER (
+         |      ORDER BY count(*) DESC, item) AS BIGINT) AS pos
+         |  FROM ev WHERE event_type IN ('click', 'view')
+         |  GROUP BY item ORDER BY count(*) DESC, item LIMIT 5),
+         |rel AS (SELECT DISTINCT user_id, item FROM ev
+         |  WHERE event_type = 'purchase'),
+         |nrel AS (SELECT user_id, count(*) AS n_rel FROM rel GROUP BY 1),
+         |hits AS (SELECT user_id, count(*) AS n_hits,
+         |    sum(1e0 / log2(pos + 1)) AS dcg
+         |  FROM rel JOIN recs USING (item) GROUP BY 1),
+         |idcg AS (SELECT user_id, n_rel, sum(1e0 / log2(k + 1)) AS idcg
+         |  FROM nrel, generate_series(1, 5) AS t(k)
+         |  WHERE k <= least(5, n_rel) GROUP BY 1, 2),
+         |per AS (SELECT i.user_id, i.n_rel,
+         |    coalesce(h.n_hits, 0) AS n_hits,
+         |    coalesce(h.dcg, 0e0) / i.idcg AS ndcg
+         |  FROM idcg i LEFT JOIN hits h ON i.user_id = h.user_id)
+         |SELECT count(*) AS n_users,
+         |  ${sr4("avg(n_hits / 5e0)")} AS p_at_5,
+         |  ${sr4("avg(CAST(n_hits AS DOUBLE) / n_rel)")} AS r_at_5,
+         |  ${sr4("avg(ndcg)")} AS ndcg_at_5
+         |FROM per""".stripMargin,
+    "q68_tfidf_terms" ->
+      s"""WITH words AS (SELECT doc_id, w
+         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         |        FROM documents) WHERE w <> ''),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2),
+         |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (SELECT doc_id, w,
+         |    tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score
+         |  FROM tf JOIN df USING (w) CROSS JOIN n)
+         |SELECT doc_id, w AS top_term, ${sr4("score")} AS score FROM (
+         |  SELECT doc_id, w, score, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, w) AS rn
+         |  FROM scored) WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+}
