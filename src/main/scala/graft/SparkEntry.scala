@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.queries ++ Joins.queries ++ Aggregates.queries ++
       Windows.queries ++ SetOps.queries ++ Scalars.queries ++
-      Recommender.queries ++ Udfs.queries
+      Recommender.queries ++ Udfs.queries ++
+      LlmPipeline.queries ++ graft.streaming.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Scans.oracle ++ Joins.oracle ++ Aggregates.oracle ++
       Windows.oracle ++ SetOps.oracle ++ Scalars.oracle ++
-      Recommender.oracle ++ Udfs.oracle
+      Recommender.oracle ++ Udfs.oracle ++
+      LlmPipeline.oracle ++ graft.streaming.Streaming.oracle
 }

@@ -1,0 +1,208 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+
+/** §2.8b LLM-training-data-pipeline operators: near/exact dedup, similarity
+  * search, corpus text stats, label centroids, multimodal binary columns.
+  *
+  * Scale notes:
+  * - q70 (MinHash): shingle → binary-hash feature vector → banded LSH join.
+  *   approxSimilarityJoin explodes each doc into its hash-table buckets and
+  *   joins ON bucket — candidate pairs are bucket-local, never all-pairs.
+  *   This is THE 100 TB near-dup pattern (the all-pairs alternative is
+  *   O(n²) and unrunnable); cost is tuned by numHashTables (recall) vs
+  *   bucket skew (salt hot buckets if a shingle profile dominates).
+  * - q71 (similarity search): brute-force cosine against a BROADCAST probe
+  *   set — exact, and linear in corpus size, so it scales to 100 TB as one
+  *   map-side pass WHEN the probe set is small. For probe sets beyond
+  *   broadcast size, the scale path is LSH/IVF bucketing: pre-bucket both
+  *   sides (random hyperplane signs for cosine), join on bucket, and rank
+  *   within buckets — same shape as q70. Documented here as the rewrite the
+  *   optimizer candidate in SURVEY §4.3 would apply above a size threshold.
+  * - q74 (exact dedup): sha2-keyed first-row — one shuffle on the 256-bit
+  *   content hash, never content-to-content comparison.
+  */
+object LlmPipeline {
+
+  /** Near-duplicate detection: 5-char shingles → binary HashingTF(2^18) →
+    * MinHashLSH(seed=42, 5 tables) → pairs with Jaccard distance < 0.6.
+    * No SQL oracle (hash-model based); MlSpec asserts symmetry, self-distance
+    * 0, and seed stability. */
+  def q70(s: SparkSession, d: String): DataFrame = {
+    val shingled = documents(s, d)
+      .filter(length(col("text")) >= 5)
+      .select(col("doc_id"),
+        expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")
+          .as("shingles"))
+    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feats = tf.transform(shingled)
+    val model = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(5).setSeed(42).fit(feats)
+    model.approxSimilarityJoin(feats, feats, 0.6, "jaccard_dist")
+      .select(col("datasetA.doc_id").as("doc_a"),
+        col("datasetB.doc_id").as("doc_b"),
+        r5(col("jaccard_dist")).as("dist"))
+      .filter(col("doc_a") < col("doc_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Similarity search: top-5 cosine neighbors for the 10 probe vectors
+    * (vec_id < 10), brute-force against the full corpus; probes broadcast. */
+  def q71(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("p"), col("nrm").as("pn"))
+    e.select(col("vec_id").as("cand_id"), col("v").as("c"), col("nrm").as("cn"))
+      .crossJoin(broadcast(probes))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("cos", r5(
+        expr("aggregate(zip_with(p, c, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+          / (col("pn") * col("cn"))))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id")))
+        .cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("probe_id", "rnk", "cand_id", "cos")
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** Corpus text stats per language: doc count, avg length, source spread,
+    * dominant source. */
+  def q72(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val top = docs.groupBy("lang", "source").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("source"))))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("source").as("top_source"))
+    docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        r2(avg("n_chars")).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .join(top, "lang")
+      .orderBy("lang")
+  }
+
+  /** Per-label centroid (element-wise mean embedding), then each vector's
+    * cosine to its label centroid. posexplode → (label, pos) agg is
+    * shuffle-native; centroids (|labels| rows) broadcast back. */
+  def q73(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg(col("x").cast("double")).as("cx"))
+      .groupBy("label")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, cx))), s -> s.cx)")
+        .as("cvec"))
+    e.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .join(broadcast(cent), "label")
+      .withColumn("dot",
+        expr("aggregate(zip_with(v, cvec, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .withColumn("vn", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+      .withColumn("cn", sqrt(expr("aggregate(cvec, 0D, (acc, x) -> acc + x * x)")))
+      .select(col("vec_id"), col("label"),
+        r5(col("dot") / (col("vn") * col("cn"))).as("cos_centroid"))
+      .orderBy("vec_id")
+  }
+
+  /** Exact dedup on normalized text via sha2-256 content hash, deterministic
+    * first-row (min doc_id) per hash. */
+  def q74(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("sha", sha2(lower(trim(col("text"))), 256))
+      .groupBy("sha")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("sha")
+
+  /** Multimodal-column plumbing: an opaque binary payload column + typed
+    * metadata, processed in partition batches via mapPartitions (the Scala
+    * analogue of batched pandas UDFs).
+    *
+    * STUB NOTE: real image/audio decode libraries are not in this container,
+    * so the "decode kernel" is a deterministic stand-in (byte length +
+    * SHA-256 of the payload, computed with java.security.MessageDigest). The
+    * Spark-side plumbing — binary column, metadata struct, per-partition
+    * batch loop reusing one digest instance — is real, tested, and is the
+    * shape a genuine decoder drops into. */
+  def q75(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        struct(col("lang"), col("n_chars")).as("meta"))
+    src.select(col("doc_id"), col("payload"), col("meta.lang").as("lang"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, bytes, lang) =>
+          md.reset()
+          val sha = md.digest(bytes).map("%02x".format(_)).mkString
+          (id, bytes.length.toLong, sha, lang)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "sha", "lang")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_dedup_near_minhash" -> q70,
+    "q71_sim_search_topk" -> q71,
+    "q72_text_stats" -> q72,
+    "q73_label_centroids" -> q73,
+    "q74_dedup_exact_docs" -> q74,
+    "q75_multimodal_meta" -> q75)
+
+  val oracle: Map[String, String] = Map(
+    "q71_sim_search_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+         |sc AS (SELECT probe_id, e.vec_id AS cand_id,
+         |    ${sr5("list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v)))")} AS cos
+         |  FROM p, e WHERE e.vec_id <> probe_id),
+         |r AS (SELECT probe_id, cand_id, cos, CAST(row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rnk
+         |  FROM sc)
+         |SELECT probe_id, rnk, cand_id, cos FROM r
+         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+    "q72_text_stats" ->
+      s"""WITH top AS (SELECT lang, source FROM (
+         |    SELECT lang, source, row_number() OVER (PARTITION BY lang
+         |      ORDER BY count(*) DESC, source) AS rn
+         |    FROM documents GROUP BY lang, source) WHERE rn = 1)
+         |SELECT d.lang, count(*) AS n_docs,
+         |  ${sr2("avg(n_chars)")} AS avg_chars,
+         |  count(DISTINCT d.source) AS n_sources,
+         |  min(top.source) AS top_source
+         |FROM documents d JOIN top ON d.lang = top.lang
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    // DuckDB 1.0 lacks `unnest ... WITH ORDINALITY`; 1-based list indexing
+    // over generate_series(1, 64) is equivalent (all vectors are 64-dim at
+    // every SF — verified).
+    "q73_label_centroids" ->
+      s"""WITH ex AS (SELECT vec_id, label, i AS ord, embedding[i]::DOUBLE AS x
+         |  FROM embeddings, generate_series(1, 64) AS t(i)),
+         |c AS (SELECT label, ord, avg(x) AS cx FROM ex GROUP BY 1, 2),
+         |cent AS (SELECT label, list(cx ORDER BY ord) AS cvec FROM c GROUP BY 1)
+         |SELECT vec_id, e.label,
+         |  ${sr5("list_dot_product(e.embedding::DOUBLE[], cvec) / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(cvec, cvec)))")} AS cos_centroid
+         |FROM embeddings e JOIN cent ON e.label = cent.label
+         |ORDER BY vec_id""".stripMargin,
+    "q74_dedup_exact_docs" ->
+      """SELECT sha, keep_doc_id, n_copies FROM (
+        |  SELECT sha256(lower(trim(text))) AS sha,
+        |    min(doc_id) AS keep_doc_id,
+        |    count(*) AS n_copies
+        |  FROM documents GROUP BY 1)
+        |ORDER BY sha""".stripMargin,
+    "q75_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha, lang
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

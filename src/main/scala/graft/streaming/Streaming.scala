@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.8c event-time windowing: tumbling / sliding / session windows.
+  *
+  * The `queries` entries are the BATCH twins (the driver's Verify/Bench call
+  * count()/write() which are illegal on streaming DataFrames); the shared
+  * transformation functions below are applied verbatim to a streaming source
+  * in StreamingSpec (MemoryStream + Trigger.AvailableNow) to assert
+  * stream ≡ batch. Event-time semantics make the two identical by
+  * construction — the same groupBy(window(...)) plan runs incrementally with
+  * a watermark in streaming mode.
+  *
+  * Scale notes: tumbling/sliding aggregation state is bounded by
+  * (#windows × #groups) and evicted by the watermark; session windows key
+  * state by user and merge on overlap — all shuffle-partitioned by the group
+  * key, no driver state. The sliding window fans each event into
+  * length/slide = 2 windows before the shuffle (Spark expands exactly the
+  * needed window instances, not a cross join).
+  */
+object Streaming {
+
+  /** Shared transforms — `ev` may be a batch OR streaming DataFrame with the
+    * events schema (+ tsc). Ordering/rounding happen in the batch wrapper
+    * (sorts are illegal on unaggregated streams). */
+  def tumbling(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("tsc"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sv"))
+
+  def sliding(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("tsc"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("n"))
+
+  def session(ev: DataFrame): DataFrame =
+    ev.groupBy(session_window(col("tsc"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sv"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), col("sv"))
+
+  def q80(s: SparkSession, d: String): DataFrame =
+    tumbling(events(s, d))
+      .select(col("ws"), col("event_type"), col("n"), r2(col("sv")).as("sum_value"))
+      .orderBy("ws", "event_type")
+
+  def q81(s: SparkSession, d: String): DataFrame =
+    sliding(events(s, d)).orderBy("ws")
+
+  def q82(s: SparkSession, d: String): DataFrame =
+    session(events(s, d))
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        r2(col("sv")).as("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_tumbling_window" -> q80,
+    "q81_sliding_window" -> q81,
+    "q82_session_window" -> q82)
+
+  val oracle: Map[String, String] = Map(
+    "q80_tumbling_window" ->
+      s"""SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
+         |  ${sr2("sum(value)")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Each event belongs to exactly 2 sliding windows (1h length / 30m
+    // slide): starts floor30(ts) and floor30(ts) - 30min. make_timestamp
+    // keeps the result a naive TIMESTAMP (to_timestamp would be TZ-aware).
+    "q81_sliding_window" ->
+      """SELECT make_timestamp((epoch_us(ts) // 1800000000 - k) * 1800000000) AS ws,
+        |  count(*) AS n
+        |FROM events, (VALUES (0), (1)) AS t(k)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Spark session_window semantics: a gap >= 30min starts a NEW session
+    // (an event at t extends the session to t+30min exclusive).
+    "q82_session_window" ->
+      s"""WITH e AS (SELECT user_id, event_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s2 AS (SELECT user_id, ts, value,
+         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM e)
+         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+         |  ${sr2("sum(value)")} AS sum_value
+         |FROM s2 GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin)
+}
