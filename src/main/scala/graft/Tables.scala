@@ -34,24 +34,36 @@ object Tables {
     * The raw `ts` long (ns since epoch) is kept for exact integer arithmetic
     * in gap/session queries.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("tsc", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
-  }
+  /** Memoized, cached shared inputs. ~20 queries re-derive events (ns decode
+    * + json parse) and 7 re-derive ratings; caching them once per
+    * (session, sfDir) removes the repeated scan+parse without changing any
+    * semantics. Each query function still stands alone — the memo is an
+    * optimization, not a dependency. */
+  private val memo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    memo.getOrElseUpdate((spark, sfDir, "events"), {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      table(spark, sfDir, "events")
+        .withColumn("tsc", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+        .cache()
+    })
 
   /** The user–item interaction matrix (SURVEY.md §2.8 q60): item id comes from
     * the JSON `props.$k`, rating is the mean event value per (user, item).
     * Kept UNROUNDED here — each consumer rounds at its output edge (§2.9.2).
     */
   def ratings(spark: SparkSession, sfDir: String): DataFrame =
-    events(spark, sfDir)
-      .select(
-        col("user_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("item"),
-        col("value"))
-      .groupBy("user_id", "item")
-      .agg(avg("value").as("rating"))
+    memo.getOrElseUpdate((spark, sfDir, "ratings"),
+      events(spark, sfDir)
+        .select(
+          col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"),
+          col("value"))
+        .groupBy("user_id", "item")
+        .agg(avg("value").as("rating"))
+        .cache())
 
   /** DuckDB-side CTE mirroring `ratings` — splice into oracle SQL. */
   val ratingsSql: String =

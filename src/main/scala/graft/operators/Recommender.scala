@@ -85,12 +85,18 @@ object Recommender {
     val nrm = r.groupBy("user_id").agg(sum(col("rating") * col("rating")).as("sq"))
     val a = r.select(col("user_id").as("u"), col("item"), col("rating").as("ra"))
     val b = r.select(col("user_id").as("v"), col("item"), col("rating").as("rb"))
-    val sims = a.join(b, Seq("item")).filter(col("u") =!= col("v"))
+    // Pair fan-out is the quadratic hot spot: compute each unordered pair
+    // once (u < v) and mirror afterwards — halves the join output and the
+    // (u,v)-keyed aggregation. The per-item ratings side is broadcast (item
+    // cardinality is dimension-sized), so the only shuffle is the pair agg.
+    val half = a.join(broadcast(b), Seq("item")).filter(col("u") < col("v"))
       .groupBy("u", "v").agg(sum(col("ra") * col("rb")).as("dot"))
       .join(nrm.select(col("user_id").as("u"), col("sq").as("squ")), "u")
       .join(nrm.select(col("user_id").as("v"), col("sq").as("sqv")), "v")
       .withColumn("sim", r5(col("dot") / (sqrt(col("squ")) * sqrt(col("sqv")))))
       .filter(col("sim") > 0)
+      .select("u", "v", "sim")
+    val sims = half.union(half.select(col("v").as("u"), col("u").as("v"), col("sim")))
     val top5 = sims
       .withColumn("rn", row_number().over(
         Window.partitionBy("u").orderBy(col("sim").desc, col("v"))))
