@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** ML validity tests (SURVEY §5.4): seeded determinism, quality thresholds,
+  * LSH model laws, and the q22 approx-distinct accuracy bound that has no
+  * SQL oracle (ADVICE r1). */
+class MlSpec extends AnyFunSuite {
+  private def s = TestSpark.spark
+  private val d = TestSpark.sf0001
+
+  test("ALS with seed=42 is run-to-run deterministic") {
+    val a = operators.Recommender.q65(s, d).collect()
+    val b = operators.Recommender.q65(s, d).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("ALS recommends exactly 5 items per user") {
+    val perUser = operators.Recommender.q65(s, d)
+      .groupBy("user_id").count().select("count").distinct().collect()
+    assert(perUser.map(_.getLong(0)).toSeq == Seq(5L))
+  }
+
+  test("ALS holdout RMSE is finite and within 2x of the global-mean baseline") {
+    // The synthetic ratings (avg event value per user-item) carry no latent
+    // structure for ALS to exploit, so it cannot beat the global mean here —
+    // assert it trains, predicts, and stays in the same error regime.
+    val Array(train, test) = Tables.ratings(s, d).randomSplit(Array(0.8, 0.2), 42)
+    val mean = train.agg(avg("rating")).head().getDouble(0)
+    val baselineRmse = math.sqrt(test
+      .agg(avg(pow(col("rating") - lit(mean), 2))).head().getDouble(0))
+    val alsRmse = operators.Recommender.q66(s, d).head().getDouble(1)
+    assert(alsRmse > 0 && !alsRmse.isNaN)
+    assert(alsRmse < 2 * baselineRmse,
+      s"ALS rmse $alsRmse should be within 2x of baseline $baselineRmse")
+  }
+
+  test("q22 approx_count_distinct within 3*rsd of exact (per event_type)") {
+    val approx = operators.Aggregates.q22(s, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(s, d).groupBy("event_type")
+      .agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val err = math.abs(approx(k) - ex).toDouble / ex
+      assert(err <= 3 * 0.02, s"$k: approx=${approx(k)} exact=$ex err=$err")
+    }
+  }
+
+  test("MinHashLSH q70 is seed-stable and symmetric-by-construction") {
+    val a = operators.LlmPipeline.q70(s, d).collect()
+    val b = operators.LlmPipeline.q70(s, d).collect()
+    assert(a.sameElements(b))
+    // pairs are emitted once with doc_a < doc_b — no duplicate mirror rows
+    val t = operators.LlmPipeline.q70(s, d)
+    assert(t.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(t.select("doc_a", "doc_b").distinct().count() == t.count())
+    // distances are valid Jaccard distances
+    val mm = t.agg(min("dist"), max("dist")).head()
+    if (t.count() > 0) assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 0.6)
+  }
+
+  test("near-dup detection finds the corpus's near-duplicates at sf0.01") {
+    // sf0.01 has verified shared-prefix near-dup groups; the LSH join must
+    // surface at least one pair (recall > 0)
+    assert(operators.LlmPipeline.q70(s, TestSpark.sf001).count() > 0)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Golden unit tests per operator family on sf0.001, against the
+  * hand-verified facts in FIXTURES.md. */
+class OperatorGoldenSpec extends AnyFunSuite {
+  private def s = TestSpark.spark
+  private val d = TestSpark.sf0001
+
+  test("lineitem golden group counts match FIXTURES.md; q20 has the same 6 groups") {
+    // FIXTURES.md counts are UNFILTERED; q20 filters on shipdate, so assert
+    // the raw golden counts directly and the group structure through q20.
+    val counts = Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts == Map(
+      ("A", "F") -> 977L, ("A", "O") -> 985L, ("N", "F") -> 1066L,
+      ("N", "O") -> 1004L, ("R", "F") -> 967L, ("R", "O") -> 1001L))
+    val q20groups = operators.Aggregates.q20(s, d)
+      .select("l_returnflag", "l_linestatus").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(q20groups == counts.keySet)
+  }
+
+  test("q10/q18: 25 nations, 125 region x nation pairs") {
+    assert(operators.Joins.q10(s, d).count() == 25)
+    assert(operators.Joins.q18(s, d).count() == 125)
+  }
+
+  test("q03 events: 1000 rows, 15 users, 5 event types") {
+    val ev = Tables.events(s, d)
+    assert(ev.count() == 1000)
+    assert(ev.select("user_id").distinct().count() == 15)
+    assert(ev.select("event_type").distinct().count() == 5)
+  }
+
+  test("q60 ratings: item ids are props.k in [0,99], 100 distinct") {
+    val r = operators.Recommender.q60(s, d)
+    val stats = r.agg(min("item"), max("item"), countDistinct("item")).head()
+    assert(stats.getLong(0) >= 0 && stats.getLong(1) <= 99)
+    assert(stats.getLong(2) == 100)
+  }
+
+  test("q54 embeddings: 500 rows, every vector 64-dim") {
+    val out = operators.LlmPipeline.q73(s, d)
+    assert(out.count() == 500)
+    val dims = functions.Scalars.q54(s, d).select("dim").distinct().collect()
+    assert(dims.map(_.getLong(0)).toSeq == Seq(64L))
+  }
+
+  test("q30 top-k: at most 3 orders per customer, rn in 1..3") {
+    val t = operators.Windows.q30(s, d)
+    val maxPer = t.groupBy("o_custkey").count().agg(max("count")).head().getLong(0)
+    assert(maxPer <= 3)
+    assert(t.agg(min("rn"), max("rn")).head() == org.apache.spark.sql.Row(1L, 3L))
+  }
+
+  test("q74 exact dedup: all sf0.001 texts distinct -> every hash has 1 copy") {
+    val t = operators.LlmPipeline.q74(s, d)
+    assert(t.count() == 500)
+    assert(t.agg(max("n_copies")).head().getLong(0) == 1L)
+  }
+
+  test("q28 pivot: per-user type counts sum to the user's event total") {
+    val p = operators.Aggregates.q28(s, d)
+      .withColumn("total",
+        col("click") + col("view") + col("purchase") + col("signup") + col("error"))
+    val byUser = Tables.events(s, d).groupBy("user_id").count()
+    val joined = p.join(byUser, "user_id")
+      .filter(col("total") =!= col("count"))
+    assert(joined.count() == 0)
+  }
+
+  test("q40 top-k: 20 rows, strictly non-increasing totalprice") {
+    val prices = operators.SetOps.q40(s, d).select("o_totalprice")
+      .collect().map(_.getDouble(0))
+    assert(prices.length == 20)
+    assert(prices.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("entry flagship returns rows on sf0.001") {
+    assert(SparkEntry.entry(s).count() > 0)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+
+/** Invariant/property tests (SURVEY §5.3): algebraic laws of the operators
+  * over the real sf0.001 data, plus scalacheck properties of the pure
+  * rounding helper that underpins every cross-engine comparison. */
+class PropertySpec extends AnyFunSuite {
+  private def s = TestSpark.spark
+  private val d = TestSpark.sf0001
+
+  test("rnd is idempotent and clamps to n decimals (scalacheck)") {
+    // pure-JVM mirror of Tables.rnd / sqlRnd: floor(x*p + 0.5)/p
+    def rnd(x: Double, n: Int): Double = {
+      val p = math.pow(10, n.toDouble)
+      math.floor(x * p + 0.5) / p
+    }
+    val prop = Prop.forAll(Gen.chooseNum(-1e9, 1e9), Gen.chooseNum(0, 5)) {
+      (x: Double, n: Int) =>
+        val once = rnd(x, n)
+        rnd(once, n) == once &&
+          math.abs(once - x) <= 0.5 / math.pow(10, n.toDouble) + math.ulp(x)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("dedup idempotence: q44 applied to its own output is a no-op") {
+    val once = operators.SetOps.q44(s, d)
+    // one row per (user_id, event_type) — re-deduplicating changes nothing
+    assert(once.count() == once.select("user_id", "event_type").distinct().count())
+  }
+
+  test("cosines bounded: q63 similarities in [-1, 1], q73 in [-1, 1]") {
+    val c63 = operators.Recommender.q63(s, d).agg(min("cosine"), max("cosine")).head()
+    assert(c63.getDouble(0) >= -1.0 && c63.getDouble(1) <= 1.0)
+    val c73 = operators.LlmPipeline.q73(s, d)
+      .agg(min("cos_centroid"), max("cos_centroid")).head()
+    assert(c73.getDouble(0) >= -1.0 && c73.getDouble(1) <= 1.0)
+  }
+
+  test("running sum final value equals group total (q31 vs direct agg)") {
+    val last = operators.Windows.q31(s, d)
+      .groupBy("o_custkey").agg(max("cum_spend").as("final"))
+    val direct = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(Tables.r2(sum("o_totalprice")).as("total"))
+    // cum_spend is rounded per-row; the FINAL cumulative row equals the
+    // rounded group total (same full-group sum, same rounding)
+    val bad = last.join(direct, "o_custkey")
+      .filter(abs(col("final") - col("total")) > 0.011)
+    assert(bad.count() == 0)
+  }
+
+  test("set-op cardinality law: |A| = |A intersect B| + |A except B| (user sets)") {
+    val ev = Tables.events(s, d)
+    val a = ev.filter(col("event_type") === "click").select("user_id").distinct()
+    val b = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
+    assert(a.count() == a.intersect(b).count() + a.except(b).count())
+  }
+
+  test("q91 UDAF RMS equals SQL sqrt(avg(x^2))") {
+    val udafOut = functions.Udfs.q91(s, d).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val sqlOut = Tables.events(s, d).groupBy("event_type")
+      .agg(Tables.r4(sqrt(avg(col("value") * col("value")))).as("rms"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(udafOut == sqlOut)
+  }
+
+  test("sessionization consistency: q32 per-user session count equals q82 rows") {
+    val viaQ32 = operators.Windows.q32(s, d)
+      .groupBy("user_id").agg(max("session_id").as("n"))
+    val viaQ82 = streaming.Streaming.q82(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    // q32 uses gap > 30min, session_window uses gap >= 30min; they differ
+    // only if a gap is EXACTLY 30:00.000000 — assert counts match, which
+    // also empirically confirms no exact-30min gap exists in the data
+    val bad = viaQ32.join(viaQ82.withColumnRenamed("n", "n2"), "user_id")
+      .filter(col("n") =!= col("n2"))
+    assert(bad.count() == 0)
+  }
+
+  test("q17 as-of result: every matched order predates its event") {
+    val t = operators.Joins.q17(s, d)
+    assert(t.filter(col("o_orderdate") >= col("tsc")).count() == 0)
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+import java.time.{LocalDateTime, ZoneOffset}
+
+// tsc is java.sql.Timestamp (TimestampType): Spark requires an LTZ TIMESTAMP
+// event-time column for watermarks; with the session TZ pinned UTC the
+// wall-clock values are identical to the batch twins' NTZ column.
+case class Ev(event_id: Long, user_id: Long, event_type: String,
+  value: Double, tsc: Timestamp)
+
+/** Stream ≡ batch equivalence (SURVEY §5.5): the SAME transformation
+  * functions behind q80/q81 are applied to a MemoryStream and must produce
+  * the batch result; plus watermark late-data drop and stateful stream
+  * dedup. */
+class StreamingSpec extends AnyFunSuite {
+  private def s = TestSpark.spark
+  private val d = TestSpark.sf0001
+
+  private def runComplete(df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  private def batchEvents: DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("tsc").cast("timestamp").as("tsc"))
+
+  private def utcTs(t: LocalDateTime): Timestamp =
+    Timestamp.from(t.toInstant(ZoneOffset.UTC))
+
+  test("tumbling window: stream result equals batch result") {
+    val sp = s
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(batchEvents.as[Ev].collect().toIndexedSeq)
+    val streamed = runComplete(
+      streaming.Streaming.tumbling(ms.toDF.withWatermark("tsc", "10 minutes")),
+      "tumbling_out")
+    val batch = streaming.Streaming.tumbling(batchEvents)
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+    assert(streamed.count() == batch.count())
+  }
+
+  test("sliding window: stream result equals batch result") {
+    val sp = s
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(batchEvents.as[Ev].collect().toIndexedSeq)
+    val streamed = runComplete(
+      streaming.Streaming.sliding(ms.toDF.withWatermark("tsc", "10 minutes")),
+      "sliding_out")
+    val batch = streaming.Streaming.sliding(batchEvents)
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
+  test("watermark drops late data in append mode") {
+    val sp = s
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    def ev(id: Long, t: LocalDateTime) = Ev(id, 1L, "click", 1.0, utcTs(t))
+    val base = LocalDateTime.of(2024, 1, 1, 10, 0, 0)
+    val ms = MemoryStream[Ev]
+    val q = streaming.Streaming.tumbling(ms.toDF.withWatermark("tsc", "10 minutes"))
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    // batch 1: events in [10:00,11:00) plus one at 12:05 that advances the
+    // watermark to 11:55 — the 10:00 window finalizes and is emitted
+    ms.addData(Seq(ev(1, base), ev(2, base.plusMinutes(30)), ev(3, base.plusHours(2).plusMinutes(5))))
+    q.processAllAvailable()
+    val afterBatch1 = s.table("late_out").collect()
+    val w10 = afterBatch1.filter(_.getAs[Timestamp]("ws") == utcTs(base))
+    assert(w10.length == 1 && w10.head.getAs[Long]("n") == 2L)
+    // batch 2: a LATE event at 10:45 — behind the 11:55 watermark, its
+    // (already finalized) window must not be re-emitted or updated
+    ms.addData(Seq(ev(4, base.plusMinutes(45))))
+    q.processAllAvailable()
+    val afterBatch2 = s.table("late_out").collect()
+    val w10b = afterBatch2.filter(_.getAs[Timestamp]("ws") == utcTs(base))
+    assert(w10b.length == 1 && w10b.head.getAs[Long]("n") == 2L,
+      "late event must be dropped by the watermark")
+    q.stop()
+  }
+
+  test("stateful stream dedup: dropDuplicatesWithinWatermark keeps one row per id") {
+    val sp = s
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val base = LocalDateTime.of(2024, 1, 1, 10, 0, 0)
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF.withWatermark("tsc", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("ddup_out")
+      .outputMode("append").start()
+    ms.addData(Seq(
+      Ev(1, 1, "click", 1.0, utcTs(base)),
+      Ev(1, 1, "click", 1.0, utcTs(base.plusMinutes(1))), // dup within watermark
+      Ev(2, 1, "view", 2.0, utcTs(base.plusMinutes(2)))))
+    q.processAllAvailable()
+    val ids = s.table("ddup_out").select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+    q.stop()
+  }
+}
