@@ -55,7 +55,8 @@ object Aggregates {
     nation(s, d).createOrReplaceTempView("nation_v")
     region(s, d).createOrReplaceTempView("region_v")
     s.sql(
-      s"""SELECT r_name, n_name, ${sr2("sum(o_totalprice)")} AS revenue,
+      s"""SELECT /*+ BROADCAST(customer_v), BROADCAST(nation_v), BROADCAST(region_v) */
+         |  r_name, n_name, ${sr2("sum(o_totalprice)")} AS revenue,
          |  CAST(grouping(r_name) AS BIGINT) AS g_r,
          |  CAST(grouping(n_name) AS BIGINT) AS g_n
          |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
@@ -82,7 +83,7 @@ object Aggregates {
     customer(s, d).createOrReplaceTempView("customer_v")
     nation(s, d).createOrReplaceTempView("nation_v")
     s.sql(
-      s"""SELECT c_mktsegment, n_name,
+      s"""SELECT /*+ BROADCAST(nation_v) */ c_mktsegment, n_name,
          |  ${sr2("sum(c_acctbal)")} AS sum_bal, count(1) AS n_cust,
          |  CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
          |  CAST(grouping(n_name) AS BIGINT) AS g_nat
