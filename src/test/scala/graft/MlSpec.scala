@@ -62,6 +62,34 @@ class MlSpec extends AnyFunSuite {
     if (t.count() > 0) assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 0.6)
   }
 
+  test("ml.feature surface: Tokenizer -> HashingTF -> IDF, StringIndexer, MinMaxScaler (SURVEY §2.8)") {
+    import org.apache.spark.ml.feature._
+    val docs = Tables.documents(s, d)
+    val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
+    val tf = new HashingTF().setInputCol("words").setOutputCol("tf").setNumFeatures(1 << 12)
+    val tfDf = tf.transform(tok.transform(docs))
+    val idf = new IDF().setInputCol("tf").setOutputCol("tfidf").fit(tfDf)
+    val tfidf = idf.transform(tfDf)
+    assert(tfidf.count() == 500)
+    // hash-bucketed vectors are model-bound (why q68 is pure-DataFrame):
+    // just assert shape + non-degeneracy
+    val v = tfidf.select("tfidf").head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(v.size == (1 << 12) && v.numNonzeros > 0)
+
+    val idx = new StringIndexer().setInputCol("lang").setOutputCol("lang_idx")
+      .setStringOrderType("alphabetAsc").fit(docs)
+    val indexed = idx.transform(docs)
+    assert(indexed.select("lang_idx").distinct().count() == 5)
+
+    val ratings = Tables.ratings(s, d)
+    val va = new VectorAssembler().setInputCols(Array("rating")).setOutputCol("rv")
+    val scaled = new MinMaxScaler().setInputCol("rv").setOutputCol("scaled")
+      .fit(va.transform(ratings)).transform(va.transform(ratings))
+    val mm = scaled.select("scaled").collect()
+      .map(_.getAs[org.apache.spark.ml.linalg.Vector](0)(0))
+    assert(mm.min >= 0.0 && mm.max <= 1.0 + 1e-9)
+  }
+
   test("near-dup detection finds the corpus's near-duplicates at sf0.01") {
     // sf0.01 has verified shared-prefix near-dup groups; the LSH join must
     // surface at least one pair (recall > 0)

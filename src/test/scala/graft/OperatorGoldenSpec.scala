@@ -83,4 +83,17 @@ class OperatorGoldenSpec extends AnyFunSuite {
   test("entry flagship returns rows on sf0.001") {
     assert(SparkEntry.entry(s).count() > 0)
   }
+
+  test("CSV source surface: nation round-trips through CSV losslessly (SURVEY §2.1)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val n = Tables.nation(s, d)
+    n.coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+    val back = s.read.option("header", "true")
+      .schema(n.schema) // explicit schema: the engine standardizes on
+      .csv(dir)         // footer/declared schemas, not inference
+    assert(back.count() == 25)
+    assert(back.except(n).count() == 0 && n.except(back).count() == 0)
+    val inferred = s.read.option("header", "true").option("inferSchema", "true").csv(dir)
+    assert(inferred.count() == 25) // genre-style inferred load also works
+  }
 }
