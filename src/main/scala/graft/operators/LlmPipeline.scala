@@ -61,19 +61,19 @@ object LlmPipeline {
   }
 
   /** Similarity search: top-5 cosine neighbors for the 10 probe vectors
-    * (vec_id < 10), brute-force against the full corpus; probes broadcast. */
+    * (vec_id < 10), brute-force against the full corpus; probes broadcast.
+    * The cosine itself is the native codegen'd [[graft.plans.CosineSim]]
+    * expression — one fused loop per pair instead of three HOF passes. */
   def q71(s: SparkSession, d: String): DataFrame = {
+    graft.plans.CosineSim.register(s)
     val e = embeddings(s, d)
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
     val probes = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("v").as("p"), col("nrm").as("pn"))
-    e.select(col("vec_id").as("cand_id"), col("v").as("c"), col("nrm").as("cn"))
+      .select(col("vec_id").as("probe_id"), col("v").as("p"))
+    e.select(col("vec_id").as("cand_id"), col("v").as("c"))
       .crossJoin(broadcast(probes))
       .filter(col("cand_id") =!= col("probe_id"))
-      .withColumn("cos", r5(
-        expr("aggregate(zip_with(p, c, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
-          / (col("pn") * col("cn"))))
+      .withColumn("cos", r5(expr("cosine_sim(p, c)")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id")))
         .cast("long"))
@@ -103,6 +103,7 @@ object LlmPipeline {
     * cosine to its label centroid. posexplode → (label, pos) agg is
     * shuffle-native; centroids (|labels| rows) broadcast back. */
   def q73(s: SparkSession, d: String): DataFrame = {
+    graft.plans.CosineSim.register(s)
     val e = embeddings(s, d)
     val cent = e
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -112,12 +113,8 @@ object LlmPipeline {
         .as("cvec"))
     e.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .join(broadcast(cent), "label")
-      .withColumn("dot",
-        expr("aggregate(zip_with(v, cvec, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
-      .withColumn("vn", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
-      .withColumn("cn", sqrt(expr("aggregate(cvec, 0D, (acc, x) -> acc + x * x)")))
       .select(col("vec_id"), col("label"),
-        r5(col("dot") / (col("vn") * col("cn"))).as("cos_centroid"))
+        r5(expr("cosine_sim(v, cvec)")).as("cos_centroid"))
       .orderBy("vec_id")
   }
 

@@ -82,6 +82,17 @@ class PropertySpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("CosineSim expression: self-sim 1, orthogonal 0, null-safe") {
+    plans.CosineSim.register(s)
+    val r = s.sql(
+      """SELECT cosine_sim(array(1D,2D,3D), array(1D,2D,3D)) a,
+        |       cosine_sim(array(1D,0D), array(0D,2D)) b,
+        |       cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1D)) c""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.isNullAt(2))
+  }
+
   test("q17 as-of result: every matched order predates its event") {
     val t = operators.Joins.q17(s, d)
     assert(t.filter(col("o_orderdate") >= col("tsc")).count() == 0)
