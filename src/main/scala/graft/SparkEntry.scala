@@ -20,7 +20,8 @@ object SparkEntry {
     Scans.queries ++ Joins.queries ++ Aggregates.queries ++
       Windows.queries ++ SetOps.queries ++ Scalars.queries ++
       Recommender.queries ++ Udfs.queries ++
-      LlmPipeline.queries ++ graft.streaming.Streaming.queries
+      LlmPipeline.queries ++ TextPipeline.queries ++
+      graft.streaming.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
     Scans.oracle ++ Joins.oracle ++ Aggregates.oracle ++
       Windows.oracle ++ SetOps.oracle ++ Scalars.oracle ++
       Recommender.oracle ++ Udfs.oracle ++
-      LlmPipeline.oracle ++ graft.streaming.Streaming.oracle
+      LlmPipeline.oracle ++ TextPipeline.oracle ++
+      graft.streaming.Streaming.oracle
 }

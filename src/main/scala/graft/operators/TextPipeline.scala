@@ -1,0 +1,352 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extended LLM-training-data text/vector operators beyond §2.8b's core
+  * five: the remaining dedup family (n-gram Jaccard, embedding-cosine,
+  * SimHash), text analysis (language-ID, quality scoring, token counting,
+  * document fingerprinting), and the IVF-bucketed similarity-search scale
+  * path. All oracle-backed.
+  *
+  * Scale notes:
+  * - q76 (n-gram Jaccard) is inverted-index dedup: explode rare shingles,
+  *   join on shingle, count shared — never text-to-text comparison. The
+  *   common-shingle df cap (≤50 docs) bounds each posting list, so the
+  *   pair fan-out is Σ df² over rare shingles, near-linear in corpus size.
+  * - q77 (cosine near-dup) is the exact all-pairs baseline — quadratic,
+  *   correct at test scale; q85 is the IVF-bucketed rewrite that scales
+  *   (assign to nearest coarse centroid, search only that cell).
+  * - q86 (SimHash) is the constant-space near-dup sketch: one 48-bit
+  *   signature per doc, banded 4×12 bits so candidate pairs share a band
+  *   bucket — the join is on (band, value), never all-pairs.
+  * - Language-ID profiles and IVF centroids are corpus-derived dimension-
+  *   sized tables → broadcast.
+  */
+object TextPipeline {
+
+  /** Lower-cased non-empty word arrays, the shared text normalization. */
+  private def docWords(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), col("lang"),
+      expr("filter(split(lower(text), ' '), w -> w != '')").as("words"))
+
+  private val wordsSql =
+    "SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), w -> w != '') AS words FROM documents"
+
+  /** Exact n-gram Jaccard dedup: distinct 5-word shingles, inverted-index
+    * join with a df≤50 common-shingle cap, pairs with Jaccard ≥ 0.4. */
+  def q76(s: SparkSession, d: String): DataFrame = {
+    val sh = docWords(s, d)
+      .filter(size(col("words")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(words) - 4), i -> array_join(slice(words, i, 5), ' '))"))
+        .as("sh"))
+      .distinct()
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
+    val pruned = sh.join(rare.select("sh"), "sh")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    pruned.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(pruned.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jac", r5(col("shared") / (col("na") + col("nb") - col("shared"))))
+      .filter(col("jac") >= 0.4)
+      .select("doc_a", "doc_b", "shared", "jac")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-dup: exact all-pairs baseline at cosine ≥ 0.5
+    * (this corpus's max pairwise cosine is ~0.6; see q85 for the scale path). */
+  def q77(s: SparkSession, d: String): DataFrame = {
+    graft.plans.CosineSim.register(s)
+    val e = embeddings(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")),
+        col("vec_a") < col("vec_b"))
+      .withColumn("cos", r5(expr("cosine_sim(va, vb)")))
+      .filter(col("cos") >= 0.5)
+      .select("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Language-ID via corpus-derived word profiles: top-20 words per language
+    * by frequency, classify each doc by distinct-word overlap (argmax score,
+    * ties → alphabetical language). Deterministic n-gram-style heuristic. */
+  def q78(s: SparkSession, d: String): DataFrame = {
+    val words = docWords(s, d)
+      .select(col("doc_id"), col("lang"), explode(col("words")).as("w"))
+    val prof = words.groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("cnt").desc, col("w"))))
+      .filter(col("rn") <= 20)
+      .select(col("lang").as("plang"), col("w"))
+    val docDistinct = words.select("doc_id", "w").distinct()
+    val scores = docDistinct.join(broadcast(prof), "w")
+      .groupBy("doc_id", "plang").agg(count(lit(1)).as("score"))
+    scores.withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("plang"))))
+      .filter(col("rn") === 1)
+      .join(documents(s, d).select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("plang").as("pred_lang"), col("lang").as("actual_lang"),
+        (col("plang") === col("lang")).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length/punctuation/stopword ratios combined into a
+    * [0,1] score. All ratios are exact int/int divisions → cross-engine
+    * deterministic; the score formula is identical text in both engines. */
+  def q79(s: SparkSession, d: String): DataFrame =
+    docWords(s, d)
+      .join(documents(s, d).select("doc_id", "text", "n_chars"), "doc_id")
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        expr("CAST(length(regexp_replace(text, '[^a-z]', '')) AS DOUBLE) " +
+          "/ size(filter(split(lower(text), ' '), w -> w != ''))").as("avg_wlen_raw"),
+        expr("CAST(length(regexp_replace(text, '[a-z0-9 ]', '')) AS DOUBLE) / length(text)")
+          .as("punct_ratio_raw"),
+        expr("CAST(size(filter(split(lower(text), ' '), " +
+          "w -> w IN ('the', 'a', 'of', 'in', 'and', 'to'))) AS DOUBLE) " +
+          "/ size(filter(split(lower(text), ' '), w -> w != ''))").as("stop_ratio_raw"))
+      .select(col("doc_id"), col("n_words"),
+        r2(col("avg_wlen_raw")).as("avg_wlen"),
+        r4(col("punct_ratio_raw")).as("punct_ratio"),
+        r4(col("stop_ratio_raw")).as("stop_ratio"),
+        r4(least(lit(1.0), col("n_words") / lit(100.0))
+          * (lit(1.0) - col("punct_ratio_raw"))
+          * (lit(0.5) + least(lit(0.5), col("stop_ratio_raw") * lit(5.0)))).as("quality"))
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace tokens + a BPE-ish regex (alnum runs or
+    * single non-space symbols), chars-per-token ratio. */
+  def q83(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        size(expr("filter(split(text, '\\\\s+'), w -> w != '')")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z0-9]+|[^a-z0-9\\s]")).cast("long").as("bpe_tokens"),
+        col("n_chars"))
+      .withColumn("chars_per_token",
+        r4(col("n_chars").cast("double") / col("bpe_tokens")))
+      .orderBy("doc_id")
+
+  /** Document fingerprinting: min/max SHA-256 over the doc's 5-word shingle
+    * set (a 1-permutation MinHash signature with a cryptographic hash —
+    * deterministic and collision-safe), plus the distinct-shingle count. */
+  def q84(s: SparkSession, d: String): DataFrame =
+    docWords(s, d)
+      .filter(size(col("words")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(words) - 4), i -> array_join(slice(words, i, 5), ' '))"))
+        .as("sh"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(min(sha2(col("sh"), 256)).as("fp_min"),
+        max(sha2(col("sh"), 256)).as("fp_max"),
+        count(lit(1)).as("n_shingles"))
+      .orderBy("doc_id")
+
+  /** IVF-bucketed similarity search — the 100 TB path for q71: coarse-
+    * quantize with the per-label centroids (q73), assign each probe to its
+    * nearest centroid, search ONLY that cell (nprobe=1). Cells are
+    * data-partitionable; the probe-cell assignment is a broadcast join
+    * against the dimension-sized centroid table. */
+  def q85(s: SparkSession, d: String): DataFrame = {
+    graft.plans.CosineSim.register(s)
+    val e = embeddings(s, d)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg(col("x").cast("double")).as("cx"))
+      .groupBy("label")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, cx))), s -> s.cx)")
+        .as("cvec"))
+    val cell = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("p"))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", r5(expr("cosine_sim(p, cvec)")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("ccos").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("probe_id"), col("p"), col("label").as("cell"))
+    e.select(col("vec_id").as("cand_id"), col("label").as("cell"), col("v").as("c"))
+      .join(broadcast(cell), "cell")
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("cos", r5(expr("cosine_sim(p, c)")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id")))
+        .cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("probe_id", "cell", "rnk", "cand_id", "cos")
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** SimHash near-dup: 48-bit signature (majority vote over per-feature
+    * 48-bit hashes from sha2 prefixes), banded 4×12 bits for candidate
+    * generation, pairs kept at Hamming distance ≤ 3. Features are 3-WORD
+    * shingles, not single words: this corpus's shared vocabulary makes
+    * single-word signatures nearly identical across all docs (measured: 12%
+    * of ALL pairs within hamming 6), which would also degenerate the banded
+    * join toward all-pairs at scale — the same lesson as q70's shingles. */
+  def q86(s: SparkSession, d: String): DataFrame = {
+    val wordHash = docWords(s, d)
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(words) - 2), i -> array_join(slice(words, i, 3), ' '))"))
+        .as("w"))
+      .distinct()
+      .withColumn("h", expr("CAST(conv(substring(sha2(w, 256), 1, 12), 16, 10) AS BIGINT)"))
+    val bitVotes = wordHash
+      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 47)")).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(sum(expr("CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END")).as("vote"))
+    val sig = bitVotes
+      .groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN vote > 0 THEN CAST(pow(2e0, j) AS BIGINT) ELSE 0L END"))
+        .as("simhash"))
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("bv", expr("(simhash >> (12 * b)) & 4095"))
+    banded.select(col("doc_id").as("doc_a"), col("simhash").as("ha"), col("b"), col("bv"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("simhash").as("hb"), col("b"), col("bv")),
+        Seq("b", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ha", "hb").distinct()
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_dedup_ngram_jaccard" -> q76,
+    "q77_dedup_cosine_nn" -> q77,
+    "q78_text_langid" -> q78,
+    "q79_text_quality" -> q79,
+    "q83_token_count" -> q83,
+    "q84_doc_fingerprint" -> q84,
+    "q85_sim_search_ivf" -> q85,
+    "q86_dedup_simhash" -> q86)
+
+  private val wordsCte = s"w AS ($wordsSql)"
+
+  val oracle: Map[String, String] = Map(
+    "q76_dedup_ngram_jaccard" ->
+      s"""WITH $wordsCte,
+         |sh AS (SELECT DISTINCT doc_id, s AS sh FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(words) - 4),
+         |      i -> array_to_string(list_slice(words, i, i + 4), ' '))) AS s
+         |    FROM w WHERE len(words) >= 5)),
+         |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
+         |  WHERE df <= 50),
+         |pr AS (SELECT doc_id, sh.sh FROM sh JOIN rare USING (sh)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM pr a JOIN pr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared,
+         |  ${sr5("shared / CAST(na.n + nb.n - shared AS DOUBLE)")} AS jac
+         |FROM pairs JOIN sizes na ON doc_a = na.doc_id
+         |JOIN sizes nb ON doc_b = nb.doc_id
+         |WHERE ${sr5("shared / CAST(na.n + nb.n - shared AS DOUBLE)")} >= 0.4
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q77_dedup_cosine_nn" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT vec_a, vec_b, cos FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${sr5("list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))")} AS cos
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |WHERE cos >= 0.5 ORDER BY vec_a, vec_b""".stripMargin,
+    "q78_text_langid" ->
+      s"""WITH $wordsCte,
+         |words AS (SELECT doc_id, lang, unnest(words) AS wd FROM w),
+         |prof AS (SELECT lang AS plang, wd FROM (
+         |    SELECT lang, wd, row_number() OVER (PARTITION BY lang
+         |      ORDER BY count(*) DESC, wd) AS rn
+         |    FROM words GROUP BY lang, wd) WHERE rn <= 20),
+         |dd AS (SELECT DISTINCT doc_id, wd FROM words),
+         |scores AS (SELECT doc_id, plang, count(*) AS score
+         |  FROM dd JOIN prof USING (wd) GROUP BY 1, 2),
+         |top AS (SELECT doc_id, plang FROM (
+         |    SELECT doc_id, plang, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, plang) AS rn FROM scores) WHERE rn = 1)
+         |SELECT d.doc_id, plang AS pred_lang, d.lang AS actual_lang,
+         |  plang = d.lang AS correct
+         |FROM top JOIN documents d USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q79_text_quality" ->
+      s"""WITH base AS (SELECT doc_id,
+         |    len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS n_words,
+         |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+         |      / len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS avg_wlen_raw,
+         |    CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS punct_ratio_raw,
+         |    CAST(len(list_filter(string_split(lower(text), ' '),
+         |      x -> x IN ('the', 'a', 'of', 'in', 'and', 'to'))) AS DOUBLE)
+         |      / len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS stop_ratio_raw
+         |  FROM documents)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |  ${sr2("avg_wlen_raw")} AS avg_wlen,
+         |  ${sr4("punct_ratio_raw")} AS punct_ratio,
+         |  ${sr4("stop_ratio_raw")} AS stop_ratio,
+         |  ${sr4("least(1e0, n_words / 100e0) * (1e0 - punct_ratio_raw) * (0.5e0 + least(0.5e0, stop_ratio_raw * 5e0))")} AS quality
+         |FROM base ORDER BY doc_id""".stripMargin,
+    "q83_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+         |  n_chars,
+         |  ${sr4("CAST(n_chars AS DOUBLE) / len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]'))")} AS chars_per_token
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q84_doc_fingerprint" ->
+      s"""WITH $wordsCte,
+         |sh AS (SELECT DISTINCT doc_id, s AS sh FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(words) - 4),
+         |      i -> array_to_string(list_slice(words, i, i + 4), ' '))) AS s
+         |    FROM w WHERE len(words) >= 5))
+         |SELECT doc_id, min(sha256(sh)) AS fp_min, max(sha256(sh)) AS fp_max,
+         |  count(*) AS n_shingles
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q85_sim_search_ivf" ->
+      s"""WITH ex AS (SELECT vec_id, label, i AS ord, embedding[i]::DOUBLE AS x
+         |  FROM embeddings, generate_series(1, 64) AS t(i)),
+         |c AS (SELECT label, ord, avg(x) AS cx FROM ex GROUP BY 1, 2),
+         |cent AS (SELECT label, list(cx ORDER BY ord) AS cvec FROM c GROUP BY 1),
+         |e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |cell AS (SELECT probe_id, p, label AS cell FROM (
+         |    SELECT pr.vec_id AS probe_id, pr.v AS p, cent.label,
+         |      row_number() OVER (PARTITION BY pr.vec_id ORDER BY
+         |        ${sr5("list_dot_product(pr.v, cvec) / (sqrt(list_dot_product(pr.v, pr.v)) * sqrt(list_dot_product(cvec, cvec)))")} DESC,
+         |        cent.label) AS rn
+         |    FROM e pr, cent WHERE pr.vec_id < 10) WHERE rn = 1),
+         |scored AS (SELECT probe_id, cell.cell, e.vec_id AS cand_id,
+         |    ${sr5("list_dot_product(p, e.v) / (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(e.v, e.v)))")} AS cos
+         |  FROM cell JOIN e ON e.label = cell.cell AND e.vec_id <> cell.probe_id)
+         |SELECT probe_id, cell, rnk, cand_id, cos FROM (
+         |  SELECT probe_id, cell, cand_id, cos, CAST(row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rnk
+         |  FROM scored) WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+    "q86_dedup_simhash" ->
+      s"""WITH $wordsCte,
+         |wh AS (SELECT DISTINCT doc_id, wd FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(words) - 2),
+         |      i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS wd
+         |    FROM w WHERE len(words) >= 3)),
+         |hs AS (SELECT doc_id, ('0x' || substr(sha256(wd), 1, 12))::BIGINT AS h FROM wh),
+         |votes AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM hs, generate_series(0, 47) AS t(j) GROUP BY 1, 2),
+         |sig AS (SELECT doc_id,
+         |    sum(CASE WHEN vote > 0 THEN CAST(pow(2e0, j) AS BIGINT) ELSE 0 END) AS simhash
+         |  FROM votes GROUP BY 1),
+         |banded AS (SELECT doc_id, simhash, b, (simhash >> (12 * b)) & 4095 AS bv
+         |  FROM sig, generate_series(0, 3) AS t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS ha, b.simhash AS hb
+         |  FROM banded a JOIN banded b
+         |  ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin)
+}
