@@ -95,4 +95,28 @@ class MlSpec extends AnyFunSuite {
     // surface at least one pair (recall > 0)
     assert(operators.LlmPipeline.q70(s, TestSpark.sf001).count() > 0)
   }
+
+  test("dedup family consistency: MinHash, exact Jaccard, and SimHash agree on near-dups") {
+    val d01 = TestSpark.sf001
+    val minhash = operators.LlmPipeline.q70(s, d01).select("doc_a", "doc_b")
+    val exact = operators.TextPipeline.q76(s, d01).select("doc_a", "doc_b")
+    val simhash = operators.TextPipeline.q86(s, d01).select("doc_a", "doc_b")
+    // the approximate methods must each recover part of the exact-Jaccard
+    // near-dup set (recall > 0 given the corpus has true near-dups)
+    assert(exact.count() > 0)
+    assert(minhash.intersect(exact).count() > 0)
+    assert(simhash.intersect(exact).count() > 0)
+  }
+
+  test("IVF search (q85) is bounded by brute force (q71) per probe") {
+    val d01 = TestSpark.sf001
+    val ivf1 = operators.TextPipeline.q85(s, d01)
+      .filter(col("rnk") === 1).select(col("probe_id"), col("cos").as("ivf_cos"))
+    val bf1 = operators.LlmPipeline.q71(s, d01)
+      .filter(col("rnk") === 1).select(col("probe_id"), col("cos").as("bf_cos"))
+    // cell-restricted top-1 can never beat the global top-1
+    val bad = ivf1.join(bf1, "probe_id")
+      .filter(col("ivf_cos") > col("bf_cos") + 1e-9)
+    assert(bad.count() == 0)
+  }
 }
