@@ -96,4 +96,13 @@ class OperatorGoldenSpec extends AnyFunSuite {
     val inferred = s.read.option("header", "true").option("inferSchema", "true").csv(dir)
     assert(inferred.count() == 25) // genre-style inferred load also works
   }
+
+  test("JSON source surface: customer round-trips through JSON lines losslessly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val c = Tables.customer(s, d)
+    c.coalesce(1).write.mode("overwrite").json(dir)
+    val back = s.read.schema(c.schema).json(dir)
+    assert(back.count() == 150)
+    assert(back.except(c).count() == 0 && c.except(back).count() == 0)
+  }
 }

@@ -94,6 +94,36 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("custom state: flatMapGroupsWithState accumulates per-user counts across batches") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val sp = s
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val base = LocalDateTime.of(2024, 1, 1, 10, 0, 0)
+    def ev(id: Long, uid: Long) = Ev(id, uid, "click", 1.0, utcTs(base.plusSeconds(id)))
+    val fn = (uid: Long, evs: Iterator[Ev], state: GroupState[Long]) => {
+      val total = state.getOption.getOrElse(0L) + evs.size
+      state.update(total)
+      Iterator((uid, total))
+    }
+    val ms = MemoryStream[Ev]
+    val q = ms.toDS().groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+      .toDF("user_id", "n")
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("update").start()
+    ms.addData(Seq(ev(1, 100), ev(2, 100), ev(3, 200)))
+    q.processAllAvailable()
+    ms.addData(Seq(ev(4, 100), ev(5, 200)))
+    q.processAllAvailable()
+    // last emitted row per user carries the accumulated cross-batch total
+    val finalCounts = s.table("state_out")
+      .groupBy("user_id").agg(max("n").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalCounts == Map(100L -> 3L, 200L -> 2L))
+    q.stop()
+  }
+
   test("stateful stream dedup: dropDuplicatesWithinWatermark keeps one row per id") {
     val sp = s
     import sp.implicits._
