@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface beyond the primary parquet corpus (SURVEY §2.1).
+  *
+  * Policy: the engine standardizes on EXPLICIT schemas for text formats
+  * (csv/json) — schema inference is a convenience for exploration, not a
+  * pipeline contract; at 100 TB an inference pass is a full extra scan and
+  * a type-drift hazard. Parquet/ORC carry footer schemas.
+  *
+  * Scale notes: `writePartitioned`/`readParquet` + a partition-column
+  * filter give partition PRUNING — the scan touches only matching
+  * directories, which is the difference between reading 100 TB and reading
+  * one partition. Verified by OperatorGoldenSpec, which asserts the pruned
+  * plan's PartitionFilters.
+  */
+object Sources {
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Hive-style partitioned parquet sink: one directory per value of
+    * `partitionCols`. Readers filtering on those columns scan only the
+    * matching directories (partition pruning). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Skew-safe aggregation pattern: two-phase groupBy with an explicit salt.
+    * Phase 1 aggregates on (key, salt) — spreading one hot key over
+    * `saltBuckets` reducers — phase 2 merges the partials on the key alone.
+    * Semantically identical to a direct groupBy-sum (addition is
+    * associative); PropertySpec asserts the equivalence. AQE's skew-join
+    * handling covers JOINS automatically, but aggregation-side hot keys
+    * still need this pattern (or partial-agg push-down, which salting
+    * generalizes to deliberately-placed reducers). */
+  def saltedSum(df: DataFrame, key: Column, value: Column, saltBuckets: Int): DataFrame =
+    df.select(key.as("k"), value.as("v"))
+      .withColumn("salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+      .groupBy(col("k"), col("salt")).agg(sum("v").as("partial"))
+      .groupBy(col("k")).agg(sum("partial").as("total"))
+}

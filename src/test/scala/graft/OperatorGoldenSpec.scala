@@ -100,9 +100,31 @@ class OperatorGoldenSpec extends AnyFunSuite {
   test("JSON source surface: customer round-trips through JSON lines losslessly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
     val c = Tables.customer(s, d)
-    c.coalesce(1).write.mode("overwrite").json(dir)
-    val back = s.read.schema(c.schema).json(dir)
+    sources.Sources.writeJson(c.coalesce(1), dir)
+    val back = sources.Sources.readJson(s, dir, c.schema)
     assert(back.count() == 150)
     assert(back.except(c).count() == 0 && c.except(back).count() == 0)
+  }
+
+  test("ORC source surface: supplier round-trips losslessly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val sup = Tables.supplier(s, d)
+    sources.Sources.writeOrc(sup, dir)
+    val back = sources.Sources.readOrc(s, dir)
+    assert(back.count() == 10)
+    assert(back.except(sup).count() == 0 && sup.except(back).count() == 0)
+  }
+
+  test("partitioned parquet sink + partition pruning on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val o = Tables.orders(s, d).withColumn("o_year", year(col("o_orderdate")))
+    sources.Sources.writePartitioned(o, dir, Seq("o_year"))
+    val pruned = sources.Sources.readParquet(s, dir).filter(col("o_year") === 1997)
+    // the year filter must become a PartitionFilter (directory skip), not a
+    // data filter — the 100 TB difference between one partition and a full scan
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_year"))
+    val expected = o.filter(col("o_year") === 1997).count()
+    assert(pruned.count() == expected && expected > 0)
   }
 }

@@ -82,6 +82,15 @@ class PropertySpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("salted two-phase aggregation equals direct groupBy sum") {
+    val o = Tables.orders(s, d)
+    val direct = o.groupBy(col("o_custkey").as("k"))
+      .agg(Tables.r2(sum("o_totalprice")).as("total"))
+    val salted = sources.Sources.saltedSum(o, col("o_custkey"), col("o_totalprice"), 8)
+      .select(col("k"), Tables.r2(col("total")).as("total"))
+    assert(salted.except(direct).count() == 0 && direct.except(salted).count() == 0)
+  }
+
   test("CosineSim expression: self-sim 1, orthogonal 0, null-safe") {
     plans.CosineSim.register(s)
     val r = s.sql(
