@@ -124,7 +124,38 @@ object Aggregates {
         coalesce(col("error"), lit(0L)).as("error"))
       .orderBy("user_id")
 
+  /** Exact interpolated quantiles — Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition. At 100 TB
+    * prefer `approx_percentile` (t-digest, mergeable); `percentile` holds
+    * per-group sorted buffers and is the exact-answer variant. */
+  def q29(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        r4(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+        r4(expr("percentile(o_totalprice, 0.9)")).as("p90"),
+        r4(expr("percentile(o_totalprice, 0.99)")).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** Equi-width histogram via an explicit bucket formula (DuckDB 1.0 has no
+    * width_bucket); min/max come from a 1-row broadcast aggregate, so the
+    * histogram is two passes with no global sort. */
+  def q45(s: SparkSession, d: String): DataFrame = {
+    val mm = orders(s, d).agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+    orders(s, d).crossJoin(broadcast(mm))
+      .withColumn("bucket",
+        least(lit(9L), floor((col("o_totalprice") - col("lo")) / (col("hi") - col("lo")) * lit(10.0))))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        r2(min("o_totalprice")).as("bucket_min"),
+        r2(max("o_totalprice")).as("bucket_max"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_agg_quantiles" -> q29,
+    "q45_histogram" -> q45,
     "q20_agg_pricing_summary" -> q20,
     "q21_agg_count_distinct" -> q21,
     "q22_agg_approx_distinct" -> q22,
@@ -136,6 +167,20 @@ object Aggregates {
     "q28_agg_pivot" -> q28)
 
   val oracle: Map[String, String] = Map(
+    "q29_agg_quantiles" ->
+      s"""SELECT o_orderpriority,
+         |  ${sr4("quantile_cont(o_totalprice, 0.5)")} AS p50,
+         |  ${sr4("quantile_cont(o_totalprice, 0.9)")} AS p90,
+         |  ${sr4("quantile_cont(o_totalprice, 0.99)")} AS p99,
+         |  count(*) AS n
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q45_histogram" ->
+      s"""WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+         |SELECT CAST(least(9, floor((o_totalprice - lo) / (hi - lo) * 10e0)) AS BIGINT) AS bucket,
+         |  count(*) AS n,
+         |  ${sr2("min(o_totalprice)")} AS bucket_min,
+         |  ${sr2("max(o_totalprice)")} AS bucket_max
+         |FROM orders, mm GROUP BY 1 ORDER BY 1""".stripMargin,
     "q20_agg_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sr2("sum(l_quantity)")} AS sum_qty,

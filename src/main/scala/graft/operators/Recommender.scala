@@ -193,7 +193,86 @@ object Recommender {
       .orderBy("doc_id")
   }
 
+  /** MRR and MAP@5 of the popularity recommender (complements q67's
+    * precision/recall/NDCG). */
+  def q87(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .withColumn("item", get_json_object(col("props"), "$.k").cast("long"))
+    val recs = ev.filter(col("event_type").isin("click", "view"))
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item")).limit(5)
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("cnt").desc, col("item"))).cast("long"))
+    val rel = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "item").distinct()
+    val nrel = rel.groupBy("user_id").agg(count(lit(1)).as("n_rel"))
+    val w = Window.partitionBy("user_id").orderBy("pos")
+    val ap = rel.join(broadcast(recs), "item")
+      .withColumn("hit_rank", row_number().over(w))
+      .withColumn("prec", col("hit_rank").cast("double") / col("pos"))
+      .groupBy("user_id")
+      .agg(min("pos").as("first_pos"), sum("prec").as("sum_prec"))
+    nrel.join(ap, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(lit(1.0) / col("first_pos"), lit(0.0)).as("rr"),
+        (coalesce(col("sum_prec"), lit(0.0))
+          / least(lit(5.0), col("n_rel").cast("double"))).as("ap"))
+      .agg(count(lit(1)).as("n_users"),
+        r4(avg("rr")).as("mrr"),
+        r4(avg("ap")).as("map_at_5"))
+  }
+
+  /** Item-based CF prediction: for each observed (user, item), weighted
+    * average of the user's OTHER ratings, weighted by item-item cosine
+    * (top-10 positive neighbors per item — the q63 similarity, mirrored). */
+  def q88(s: SparkSession, d: String): DataFrame = {
+    val r = ratings(s, d)
+    val nrm = r.groupBy("item").agg(sum(col("rating") * col("rating")).as("sq"))
+    val a = r.select(col("user_id"), col("item").as("i1"), col("rating").as("x1"))
+    val b = r.select(col("user_id"), col("item").as("i2"), col("rating").as("x2"))
+    val half = a.join(b, "user_id").filter(col("i1") < col("i2"))
+      .groupBy("i1", "i2").agg(sum(col("x1") * col("x2")).as("dot"))
+      .join(broadcast(nrm.select(col("item").as("i1"), col("sq").as("sq1"))), "i1")
+      .join(broadcast(nrm.select(col("item").as("i2"), col("sq").as("sq2"))), "i2")
+      .withColumn("sim", r5(col("dot") / (sqrt(col("sq1")) * sqrt(col("sq2")))))
+      .filter(col("sim") > 0)
+      .select("i1", "i2", "sim")
+    val sims = half.union(half.select(col("i2").as("i1"), col("i1").as("i2"), col("sim")))
+    val top10 = sims.withColumn("rn", row_number().over(
+        Window.partitionBy("i1").orderBy(col("sim").desc, col("i2"))))
+      .filter(col("rn") <= 10)
+      .select(col("i1").as("item"), col("i2").as("nbr"), col("sim"))
+    r.select(col("user_id"), col("item"))
+      .join(broadcast(top10), "item")
+      .join(r.select(col("user_id"), col("item").as("nbr"), col("rating").as("rn_val")),
+        Seq("user_id", "nbr"))
+      .groupBy("user_id", "item")
+      .agg(count(lit(1)).as("n_nbrs"),
+        r4(sum(col("sim") * col("rn_val")) / sum(col("sim"))).as("pred"))
+      .orderBy("user_id", "item")
+  }
+
+  /** Segmented popularity recommender: top-3 items per customer market
+    * segment (events.user_id shares the c_custkey domain — verified). */
+  def q89(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .withColumn("item", get_json_object(col("props"), "$.k").cast("long"))
+    val seg = customer(s, d).select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    ev.join(seg, "user_id")
+      .groupBy("c_mktsegment", "item")
+      .agg(count(lit(1)).as("n_events"), r4(avg("value")).as("avg_value"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("c_mktsegment")
+          .orderBy(col("n_events").desc, col("item"))).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("c_mktsegment", "rnk", "item", "n_events", "avg_value")
+      .orderBy("c_mktsegment", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_ranking_mrr_map" -> q87,
+    "q88_item_knn_predict" -> q88,
+    "q89_segment_recs" -> q89,
     "q60_ratings_matrix" -> q60,
     "q61_item_popularity" -> q61,
     "q62_user_item_bias" -> q62,
@@ -205,6 +284,57 @@ object Recommender {
     "q68_tfidf_terms" -> q68)
 
   val oracle: Map[String, String] = Map(
+    "q87_ranking_mrr_map" ->
+      s"""WITH ev AS (SELECT user_id, event_type,
+         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),
+         |recs AS (SELECT item, CAST(row_number() OVER (
+         |      ORDER BY count(*) DESC, item) AS BIGINT) AS pos
+         |  FROM ev WHERE event_type IN ('click', 'view')
+         |  GROUP BY item ORDER BY count(*) DESC, item LIMIT 5),
+         |rel AS (SELECT DISTINCT user_id, item FROM ev
+         |  WHERE event_type = 'purchase'),
+         |nrel AS (SELECT user_id, count(*) AS n_rel FROM rel GROUP BY 1),
+         |ap AS (SELECT user_id, min(pos) AS first_pos, sum(prec) AS sum_prec
+         |  FROM (SELECT user_id, pos,
+         |      CAST(row_number() OVER (PARTITION BY user_id ORDER BY pos) AS DOUBLE)
+         |        / pos AS prec
+         |    FROM rel JOIN recs USING (item))
+         |  GROUP BY 1)
+         |SELECT count(*) AS n_users,
+         |  ${sr4("avg(coalesce(1e0 / first_pos, 0e0))")} AS mrr,
+         |  ${sr4("avg(coalesce(sum_prec, 0e0) / least(5e0, CAST(n_rel AS DOUBLE)))")} AS map_at_5
+         |FROM nrel LEFT JOIN ap USING (user_id)""".stripMargin,
+    "q88_item_knn_predict" ->
+      s"""WITH r AS ($ratingsSql),
+         |n AS (SELECT item, sum(rating*rating) AS sq FROM r GROUP BY 1),
+         |half AS (SELECT i1, i2, ${sr5("dot / (sqrt(n1.sq) * sqrt(n2.sq))")} AS sim
+         |  FROM (SELECT a.item AS i1, b.item AS i2, sum(a.rating*b.rating) AS dot
+         |        FROM r a JOIN r b ON a.user_id = b.user_id AND a.item < b.item
+         |        GROUP BY 1, 2) d
+         |  JOIN n n1 ON d.i1 = n1.item JOIN n n2 ON d.i2 = n2.item),
+         |sims AS (SELECT i1, i2, sim FROM half WHERE sim > 0
+         |  UNION ALL SELECT i2, i1, sim FROM half WHERE sim > 0),
+         |top10 AS (SELECT i1 AS item, i2 AS nbr, sim FROM (
+         |    SELECT i1, i2, sim, row_number() OVER (PARTITION BY i1
+         |      ORDER BY sim DESC, i2) AS rn FROM sims) WHERE rn <= 10)
+         |SELECT tr.user_id, tr.item, count(*) AS n_nbrs,
+         |  ${sr4("sum(t.sim * rv.rating) / sum(t.sim)")} AS pred
+         |FROM r tr JOIN top10 t ON tr.item = t.item
+         |JOIN r rv ON rv.user_id = tr.user_id AND rv.item = t.nbr
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q89_segment_recs" ->
+      s"""WITH ev AS (SELECT user_id, value,
+         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),
+         |agg AS (SELECT c_mktsegment, item, count(*) AS n_events,
+         |    ${sr4("avg(value)")} AS avg_value
+         |  FROM ev JOIN customer ON user_id = c_custkey
+         |  GROUP BY 1, 2)
+         |SELECT c_mktsegment, rnk, item, n_events, avg_value FROM (
+         |  SELECT c_mktsegment, item, n_events, avg_value,
+         |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+         |      ORDER BY n_events DESC, item) AS BIGINT) AS rnk
+         |  FROM agg) WHERE rnk <= 3
+         |ORDER BY c_mktsegment, rnk""".stripMargin,
     "q60_ratings_matrix" ->
       s"""SELECT user_id, item, ${sr4("rating")} AS rating
          |FROM ($ratingsSql) ORDER BY user_id, item""".stripMargin,
