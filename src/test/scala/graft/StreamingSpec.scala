@@ -124,6 +124,33 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream-stream interval join: clicks to purchases within 30 min, equals batch join") {
+    val sp = s
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val data = batchEvents.as[Ev].collect().toIndexedSeq
+    val msC = MemoryStream[Ev]
+    val msP = MemoryStream[Ev]
+    msC.addData(data)
+    msP.addData(data)
+    def clicks(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("event_id").as("cid"), col("tsc").as("ct"))
+    def purchases(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("pid"), col("tsc").as("pt"))
+    val joinCond = "cu = pu AND pt >= ct AND pt <= ct + interval 30 minutes"
+    val streamed = clicks(msC.toDF.withWatermark("tsc", "1 hour"))
+      .join(purchases(msP.toDF.withWatermark("tsc", "1 hour")), expr(joinCond))
+    val q = streamed.writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = s.table("ssjoin_out")
+    val batch = clicks(batchEvents).join(purchases(batchEvents), expr(joinCond))
+    assert(got.count() == batch.count() && batch.count() > 0)
+    assert(got.except(batch).count() == 0 && batch.except(got).count() == 0)
+  }
+
   test("stateful stream dedup: dropDuplicatesWithinWatermark keeps one row per id") {
     val sp = s
     import sp.implicits._
