@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Composite analytical workloads: TPC-H-style multi-join aggregations over
+  * the relational corpus (adapted to its reduced columns) and event-stream
+  * analytics (funnel conversion, retention cohorts).
+  *
+  * Scale notes: the TPC-H shapes are the canonical shuffle-join benchmarks —
+  * fact-fact joins (lineitem ⋈ orders) shuffle on the join key with
+  * filters pushed to both scans; dimensions (customer, supplier, nation)
+  * broadcast. Top-k results use TakeOrderedAndProject. The funnel query
+  * joins events to events per user with a time-range predicate — at scale
+  * the range condition bounds the state exactly like the stream-stream
+  * interval join it mirrors. Retention buckets events by cohort×week with
+  * one shuffle each for the cohort map and the matrix.
+  */
+object Workloads {
+
+  /** TPC-H Q3 shape: top-10 open orders by revenue within a segment. */
+  def q19(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1997-06-30").cast("timestamp_ntz")
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = orders(s, d).filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = lineitem(s, d).filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: revenue by nation where customer and supplier share the
+    * nation, one order-year. */
+  def q47(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .filter(year(col("o_orderdate")) === 1997)
+      .select("o_orderkey", "o_custkey")
+    val l = lineitem(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val c = customer(s, d).select("c_custkey", "c_nationkey")
+    val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
+    val n = nation(s, d).select("n_nationkey", "n_name")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q10 shape: top-20 customers by returned-item revenue. */
+  def q48(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = orders(s, d).select("o_orderkey", "o_custkey")
+    val c = customer(s, d).select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val n = nation(s, d).select("n_nationkey", "n_name")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"),
+        r2(max("c_acctbal")).as("acctbal"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Funnel: per user, click → purchase conversion within 30 minutes.
+    * Output: per event-type funnel stage, user counts and conversion rate. */
+  def q36(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("ct"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pt"))
+    val converted = clicks.join(buys, Seq("user_id"))
+      .filter(col("pt") >= col("ct") && col("pt") - col("ct") <= lit(1800000000000L))
+      .select("user_id").distinct()
+    val clickers = clicks.select("user_id").distinct()
+    clickers.agg(count(lit(1)).as("n_clickers"))
+      .crossJoin(converted.agg(count(lit(1)).as("n_converted")))
+      .withColumn("conversion_rate",
+        r4(col("n_converted").cast("double") / col("n_clickers")))
+  }
+
+  /** Retention cohorts: users grouped by their first-event week; per
+    * (cohort_week, active_week) distinct active users. */
+  def q37(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), date_trunc("week", col("tsc")).as("wk"))
+    val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_week"))
+    ev.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), col("wk").as("active_week"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort_week", "active_week")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_tpch_q3_shipping" -> q19,
+    "q47_tpch_q5_local" -> q47,
+    "q48_tpch_q10_returns" -> q48,
+    "q36_funnel_conversion" -> q36,
+    "q37_retention_cohorts" -> q37)
+
+  val oracle: Map[String, String] = Map(
+    "q19_tpch_q3_shipping" ->
+      s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+         |  ${sr2("sum(l_extendedprice * (1.0 - l_discount))")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1997-06-30'
+         |  AND l_shipdate > TIMESTAMP '1997-06-30'
+         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q47_tpch_q5_local" ->
+      s"""SELECT n_name,
+         |  ${sr2("sum(l_extendedprice * (1.0 - l_discount))")} AS revenue,
+         |  count(*) AS n_lines
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE year(o_orderdate) = 1997
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q48_tpch_q10_returns" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  ${sr2("sum(l_extendedprice * (1.0 - l_discount))")} AS revenue,
+         |  ${sr2("max(c_acctbal)")} AS acctbal
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q36_funnel_conversion" ->
+      s"""WITH clicks AS (SELECT user_id, ts AS ct FROM events WHERE event_type = 'click'),
+         |buys AS (SELECT user_id, ts AS pt FROM events WHERE event_type = 'purchase'),
+         |conv AS (SELECT DISTINCT c.user_id FROM clicks c JOIN buys b
+         |  ON c.user_id = b.user_id AND b.pt >= c.ct
+         |  AND b.pt <= c.ct + INTERVAL 30 MINUTE)
+         |SELECT (SELECT count(DISTINCT user_id) FROM clicks) AS n_clickers,
+         |  (SELECT count(*) FROM conv) AS n_converted,
+         |  ${sr4("(SELECT count(*) FROM conv) / CAST((SELECT count(DISTINCT user_id) FROM clicks) AS DOUBLE)")} AS conversion_rate""".stripMargin,
+    "q37_retention_cohorts" ->
+      """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1)
+        |SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+        |  CAST(wk AS TIMESTAMP) AS active_week,
+        |  count(DISTINCT user_id) AS n_active
+        |FROM ev JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}
