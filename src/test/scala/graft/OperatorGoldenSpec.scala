@@ -97,6 +97,19 @@ class OperatorGoldenSpec extends AnyFunSuite {
     assert(inferred.count() == 25) // genre-style inferred load also works
   }
 
+  test("workload shapes: TPC-H Q3/Q5/Q10 and funnel return sane results") {
+    assert(operators.Workloads.q19(s, d).count() <= 10)
+    val q5 = operators.Workloads.q47(s, d)
+    assert(q5.count() <= 25) // at most one row per nation
+    val q10 = operators.Workloads.q48(s, d).select("revenue")
+      .collect().map(_.getDouble(0))
+    assert(q10.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    val f = operators.Workloads.q36(s, d).head()
+    assert(f.getLong(1) <= f.getLong(0)) // converted <= clickers
+    val rate = f.getDouble(2)
+    assert(rate >= 0.0 && rate <= 1.0)
+  }
+
   test("JSON source surface: customer round-trips through JSON lines losslessly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
     val c = Tables.customer(s, d)
