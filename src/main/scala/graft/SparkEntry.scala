@@ -21,7 +21,8 @@ object SparkEntry {
       Windows.queries ++ SetOps.queries ++ Scalars.queries ++
       Recommender.queries ++ Udfs.queries ++
       LlmPipeline.queries ++ TextPipeline.queries ++
-      Workloads.queries ++ graft.streaming.Streaming.queries
+      Workloads.queries ++ Analytics.queries ++
+      graft.streaming.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       Windows.oracle ++ SetOps.oracle ++ Scalars.oracle ++
       Recommender.oracle ++ Udfs.oracle ++
       LlmPipeline.oracle ++ TextPipeline.oracle ++
-      Workloads.oracle ++ graft.streaming.Streaming.oracle
+      Workloads.oracle ++ Analytics.oracle ++
+      graft.streaming.Streaming.oracle
 }
