@@ -153,8 +153,22 @@ object Aggregates {
       .orderBy("bucket")
   }
 
+  /** Mergeable-sketch quantiles — the 100 TB companion to q29's exact
+    * percentile: approx_percentile's buffer is bounded and map-side
+    * combinable regardless of group size. No SQL oracle (sketch internals
+    * differ across engines); MlSpec bounds it against q29's exact values. */
+  def q59(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        r4(expr("approx_percentile(o_totalprice, 0.5, 10000)")).as("p50"),
+        r4(expr("approx_percentile(o_totalprice, 0.9, 10000)")).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_agg_quantiles" -> q29,
+    "q59_agg_approx_quantiles" -> q59,
     "q45_histogram" -> q45,
     "q20_agg_pricing_summary" -> q20,
     "q21_agg_count_distinct" -> q21,

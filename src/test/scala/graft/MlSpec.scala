@@ -36,6 +36,18 @@ class MlSpec extends AnyFunSuite {
       s"ALS rmse $alsRmse should be within 2x of baseline $baselineRmse")
   }
 
+  test("q59 approx_percentile within 2% of q29's exact quantiles") {
+    val exact = operators.Aggregates.q29(s, d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = operators.Aggregates.q59(s, d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (p50, p90)) =>
+      assert(math.abs(approx(k)._1 - p50) / p50 <= 0.02, s"$k p50")
+      assert(math.abs(approx(k)._2 - p90) / p90 <= 0.02, s"$k p90")
+    }
+  }
+
   test("q22 approx_count_distinct within 3*rsd of exact (per event_type)") {
     val approx = operators.Aggregates.q22(s, d).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

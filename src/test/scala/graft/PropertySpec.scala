@@ -82,6 +82,14 @@ class PropertySpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("quantiles are monotone and histogram counts sum to the row count") {
+    operators.Aggregates.q29(s, d).collect().foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3))
+    }
+    val h = operators.Aggregates.q45(s, d)
+    assert(h.agg(sum("n")).head().getLong(0) == Tables.orders(s, d).count())
+  }
+
   test("salted two-phase aggregation equals direct groupBy sum") {
     val o = Tables.orders(s, d)
     val direct = o.groupBy(col("o_custkey").as("k"))
