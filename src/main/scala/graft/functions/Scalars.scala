@@ -53,7 +53,10 @@ object Scalars {
         r4(sqrt(col("l_quantity"))).as("sqrt_qty"),
         r4(least(col("l_discount"), col("l_tax"))).as("min_dt"),
         r4(greatest(col("l_discount"), col("l_tax"))).as("max_dt"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is not unique — order by every output
+      // column so remaining ties are value-identical rows (hash-safe)
+      .orderBy("l_orderkey", "l_linenumber", "abs_dd", "ceil_c", "floor_c",
+        "qty_sq", "ln_price", "sqrt_qty", "min_dt", "max_dt")
 
   def q53(s: SparkSession, d: String): DataFrame =
     events(s, d)
@@ -127,7 +130,8 @@ object Scalars {
          |  ${sr4("sqrt(l_quantity)")} AS sqrt_qty,
          |  ${sr4("least(l_discount, l_tax)")} AS min_dt,
          |  ${sr4("greatest(l_discount, l_tax)")} AS max_dt
-         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber, abs_dd, ceil_c,
+         |  floor_c, qty_sq, ln_price, sqrt_qty, min_dt, max_dt""".stripMargin,
     "q53_json_funcs" ->
       """SELECT event_id,
         |  CAST(json_extract(props, '$.k') AS BIGINT) AS item,

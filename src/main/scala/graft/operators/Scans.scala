@@ -17,14 +17,18 @@ object Scans {
   def q01(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in this corpus (verified at
+      // every SF) — order by ALL output columns so any remaining ties are
+      // value-identical rows, which hash equal whichever rows the engines
+      // pick (caught at sf0.1 in round 2: the limit boundary split a tie).
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
       .limit(100)
 
   def q02(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .filter(col("l_shipdate").between("1997-01-01", "1997-12-31") && col("l_quantity") > lit(45.0))
       .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
 
   def q03(s: SparkSession, d: String): DataFrame =
     events(s, d)
@@ -38,7 +42,7 @@ object Scans {
       .withColumn("charge", col("revenue") * (lit(1.0) + col("l_tax")))
       .select(col("l_orderkey"), col("l_linenumber"),
         r2(col("revenue")).as("revenue"), r2(col("charge")).as("charge"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "revenue", "charge")
 
   def q05(s: SparkSession, d: String): DataFrame = {
     val p = part(s, d).filter(
@@ -65,12 +69,14 @@ object Scans {
   val oracle: Map[String, String] = Map(
     "q01_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |LIMIT 100""".stripMargin,
     "q02_scan_filter_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
         |  AND l_quantity > 45.0
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_shipdate, l_quantity""".stripMargin,
     "q03_scan_events_ns" ->
       s"""SELECT event_id, ts AS tsc, user_id, event_type, ${sr2("value")} AS value_r
         |FROM events ORDER BY event_id""".stripMargin,
@@ -78,7 +84,7 @@ object Scans {
       s"""SELECT l_orderkey, l_linenumber,
         |  ${sr2("l_extendedprice * (1.0 - l_discount)")} AS revenue,
         |  ${sr2("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS charge
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, charge""".stripMargin,
     "q05_predicates" ->
       s"""SELECT p_brand, count(*) AS n_lines,
         |  ${sr2("sum(l_extendedprice * (1.0 - l_discount))")} AS revenue
