@@ -79,20 +79,33 @@ object Recommender {
   }
 
   /** User-based CF: predict each observed (user, item) from the user's k=5
-    * most cosine-similar users (positive similarity only). */
+    * most cosine-similar users (positive similarity only). Similarities are
+    * computed over each user's top-R=50 ratings (by rounded rating, item
+    * tiebreak), mirrored exactly in the oracle SQL. */
   def q64(s: SparkSession, d: String): DataFrame = {
     val r = ratings(s, d)
-    val nrm = r.groupBy("user_id").agg(sum(col("rating") * col("rating")).as("sq"))
-    val a = r.select(col("user_id").as("u"), col("item"), col("rating").as("ra"))
-    val b = r.select(col("user_id").as("v"), col("item"), col("rating").as("rb"))
+    // Top-R cap per user BEFORE the pair join — the header's 100 TB
+    // mitigation (b): bounds every user's vector to R entries so total pair
+    // volume is O(ratings · R) instead of degree-quadratic. The cap orders
+    // by the 4dp-rounded rating (cross-engine stable, §2.9.2) with item
+    // tiebreak, so both engines cap identical sets.
+    val capped = r
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(r4(col("rating")).desc, col("item"))))
+      .filter(col("rn") <= 50).drop("rn")
+    val nrm = capped.groupBy("user_id").agg(sum(col("rating") * col("rating")).as("sq"))
+    val a = capped.select(col("user_id").as("u"), col("item"), col("rating").as("ra"))
+    val b = capped.select(col("user_id").as("v"), col("item"), col("rating").as("rb"))
     // Pair fan-out is the quadratic hot spot: compute each unordered pair
     // once (u < v) and mirror afterwards — halves the join output and the
-    // (u,v)-keyed aggregation. The per-item ratings side is broadcast (item
-    // cardinality is dimension-sized), so the only shuffle is the pair agg.
-    val half = a.join(broadcast(b), Seq("item")).filter(col("u") < col("v"))
+    // (u,v)-keyed aggregation. Both sides are fact-sized (ratings rows), so
+    // the join MUST shuffle on item — never broadcast — and the shuffle_hash
+    // hint avoids the sort-merge sort. Partial aggregation collapses the
+    // pair fan-out map-side before the (u,v)-keyed shuffle.
+    val half = a.join(b.hint("shuffle_hash"), Seq("item")).filter(col("u") < col("v"))
       .groupBy("u", "v").agg(sum(col("ra") * col("rb")).as("dot"))
-      .join(nrm.select(col("user_id").as("u"), col("sq").as("squ")), "u")
-      .join(nrm.select(col("user_id").as("v"), col("sq").as("sqv")), "v")
+      .join(nrm.select(col("user_id").as("u"), col("sq").as("squ")).hint("shuffle_hash"), "u")
+      .join(nrm.select(col("user_id").as("v"), col("sq").as("sqv")).hint("shuffle_hash"), "v")
       .withColumn("sim", r5(col("dot") / (sqrt(col("squ")) * sqrt(col("sqv")))))
       .filter(col("sim") > 0)
       .select("u", "v", "sim")
@@ -369,10 +382,14 @@ object Recommender {
          |ORDER BY cosine DESC, item1, item2 LIMIT 20""".stripMargin,
     "q64_user_knn_predict" ->
       s"""WITH r AS ($ratingsSql),
-         |n AS (SELECT user_id, sum(rating*rating) AS sq FROM r GROUP BY 1),
+         |capped AS (SELECT user_id, item, rating FROM (
+         |    SELECT user_id, item, rating, row_number() OVER (
+         |      PARTITION BY user_id ORDER BY ${sr4("rating")} DESC, item) AS rn
+         |    FROM r) WHERE rn <= 50),
+         |n AS (SELECT user_id, sum(rating*rating) AS sq FROM capped GROUP BY 1),
          |dots AS (SELECT a.user_id AS u, b.user_id AS v,
          |    sum(a.rating*b.rating) AS dot
-         |  FROM r a JOIN r b ON a.item = b.item AND a.user_id <> b.user_id
+         |  FROM capped a JOIN capped b ON a.item = b.item AND a.user_id <> b.user_id
          |  GROUP BY 1, 2),
          |sims AS (SELECT u, v,
          |    ${sr5("dot / (sqrt(nu.sq) * sqrt(nv.sq))")} AS sim

@@ -75,8 +75,9 @@ object Workloads {
       .limit(20)
   }
 
-  /** Funnel: per user, click → purchase conversion within 30 minutes.
-    * Output: per event-type funnel stage, user counts and conversion rate. */
+  /** Funnel: click → purchase conversion within 30 minutes. Output is ONE
+    * row: distinct clickers, distinct converters, and their ratio (null when
+    * there are no clickers — nullif guards the division). */
   def q36(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
     val clicks = ev.filter(col("event_type") === "click")
@@ -90,7 +91,7 @@ object Workloads {
     clickers.agg(count(lit(1)).as("n_clickers"))
       .crossJoin(converted.agg(count(lit(1)).as("n_converted")))
       .withColumn("conversion_rate",
-        r4(col("n_converted").cast("double") / col("n_clickers")))
+        r4(col("n_converted").cast("double") / nullif(col("n_clickers"), lit(0L))))
   }
 
   /** Retention cohorts: users grouped by their first-event week; per
@@ -151,7 +152,7 @@ object Workloads {
          |  AND b.pt <= c.ct + INTERVAL 30 MINUTE)
          |SELECT (SELECT count(DISTINCT user_id) FROM clicks) AS n_clickers,
          |  (SELECT count(*) FROM conv) AS n_converted,
-         |  ${sr4("(SELECT count(*) FROM conv) / CAST((SELECT count(DISTINCT user_id) FROM clicks) AS DOUBLE)")} AS conversion_rate""".stripMargin,
+         |  ${sr4("(SELECT count(*) FROM conv) / CAST(nullif((SELECT count(DISTINCT user_id) FROM clicks), 0) AS DOUBLE)")} AS conversion_rate""".stripMargin,
     "q37_retention_cohorts" ->
       """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
         |cohort AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1)

@@ -23,7 +23,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Semantics: dot(a,b) / (||a||·||b||), accumulated left-to-right in IEEE
   * doubles — bit-identical to the sequential HOF formulation it replaces.
   * Returns null if either side is null; mismatched lengths raise (vectors
-  * are schema-fixed 64-dim in this corpus).
+  * are schema-fixed 64-dim in this corpus). A zero-norm side yields 0.0, not
+  * NaN: Spark orders NaN above every double, so a NaN cosine would satisfy
+  * any `>= t` threshold and turn degenerate rows into universal matches in
+  * similarity joins — 0.0 ("no direction, no similarity") is the safe
+  * convention and what SimilarityBandRewrite's exactness proof assumes.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -49,7 +53,8 @@ case class CosineSim(left: Expression, right: Expression)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -60,14 +65,19 @@ case class CosineSim(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val den = ctx.freshName("den")
       s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException("cosine_sim: length mismatch");
+         |}
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $a.numElements(); $i++) {
          |  double $xi = $a.getDouble($i);
          |  double $yi = $b.getDouble($i);
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |double $den = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |${ev.value} = $den == 0.0 ? 0.0 : $dot / $den;
        """.stripMargin
     })
 
@@ -93,11 +103,19 @@ object CosineSim {
 
 /** `SparkSessionExtensions` hook for users who configure the library the
   * idiomatic way:
-  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`. */
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  * Registers the native functions and the brute-force→banded similarity
+  * join rewrite ([[SimilarityBandRewrite]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("cosine_sim"),
         new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
         (args: Seq[Expression]) => CosineSim(args.head, args(1))))
+    ext.injectFunction(
+      (FunctionIdentifier("ref_angle"),
+        new ExpressionInfo(classOf[RefAngle].getName, "ref_angle"),
+        (args: Seq[Expression]) => RefAngle(args.head)))
+    ext.injectOptimizerRule(_ => SimilarityBandRewrite)
+  }
 }

@@ -1,0 +1,138 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import graft.plans.{CosineSim, SimilarityBandRewrite}
+
+/** Explain-plan regressions for the flagship shapes: the physical plan is
+  * part of the contract at 100 TB, not an implementation detail. Each test
+  * pins the plan property that makes the query scale — filters reaching the
+  * parquet scan, dims (and only dims) broadcast, top-k avoiding a total
+  * sort, fact-fact joins shuffling — so a regression of the q64 class
+  * (accidentally broadcasting a fact table) fails CI, not the cluster. */
+class PlanRegressionSpec extends AnyFunSuite {
+  private def s = TestSpark.spark
+  private val d = TestSpark.sf0001
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q02: shipdate/quantity filters are pushed into the parquet scan") {
+    val plan = planOf(operators.Scans.q02(s, d))
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("l_shipdate") && plan.contains("l_quantity"))
+    // pushed as actual filters, not an empty PushedFilters: []
+    assert("PushedFilters: \\[\\]".r.findFirstIn(plan).isEmpty)
+  }
+
+  test("q19/q48: dims broadcast, top-k via TakeOrderedAndProject (no total sort)") {
+    for (q <- Seq(operators.Workloads.q19(s, d), operators.Workloads.q48(s, d))) {
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"))
+      assert(plan.contains("TakeOrderedAndProject"))
+    }
+  }
+
+  test("q64: no BroadcastExchange anywhere when auto-broadcast is off (no fact-sized broadcast hints)") {
+    // Disabling size-based auto-broadcast leaves only EXPLICIT broadcasts in
+    // the plan — at 100 TB every q64 input (ratings, norms, sims) is
+    // fact-proportional, so any surviving BroadcastExchange is a bug of the
+    // round-2 class (broadcast(fullRatings) → executor OOM at scale).
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planOf(operators.Recommender.q64(s, d))
+      assert(!plan.contains("BroadcastExchange"))
+      assert(plan.contains("ShuffledHashJoin")) // the hinted pair join
+    } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("q10: a genuine dimension join still broadcasts by hint even with auto-broadcast off") {
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try assert(planOf(operators.Joins.q10(s, d)).contains("BroadcastExchange"))
+    finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("SimilarityBandRewrite fires on q77's all-pairs shape and preserves results exactly") {
+    val baseline = operators.TextPipeline.q77(s, d).collect().toSeq
+    s.experimental.extraOptimizations = Seq(SimilarityBandRewrite)
+    s.conf.set(SimilarityBandRewrite.MinSideBytesKey, "1")
+    try {
+      val df = operators.TextPipeline.q77(s, d)
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("ref_angle"), s"rewrite did not fire:\n$opt")
+      assert(df.collect().toSeq == baseline)
+    } finally {
+      s.experimental.extraOptimizations = Nil
+      s.conf.unset(SimilarityBandRewrite.MinSideBytesKey)
+    }
+  }
+
+  test("SimilarityBandRewrite does NOT fire below the size threshold or on equi joins") {
+    s.experimental.extraOptimizations = Seq(SimilarityBandRewrite)
+    try {
+      // default minSideBytes = 1 GiB >> sf0.001 inputs → no rewrite
+      val opt = operators.TextPipeline.q77(s, d).queryExecution.optimizedPlan.toString
+      assert(!opt.contains("ref_angle"))
+      // an equi-keyed join with a cosine filter is already hash-joinable —
+      // must be left alone even when the size gate is forced open
+      s.conf.set(SimilarityBandRewrite.MinSideBytesKey, "1")
+      CosineSim.register(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val equi = e.select(col("label"), col("vec_id").as("ia"), col("v").as("va"))
+        .join(e.select(col("label"), col("vec_id").as("ib"), col("v").as("vb")), "label")
+        .filter(expr("cosine_sim(va, vb)") >= 0.5)
+      assert(!equi.queryExecution.optimizedPlan.toString.contains("ref_angle"))
+    } finally {
+      s.experimental.extraOptimizations = Nil
+      s.conf.unset(SimilarityBandRewrite.MinSideBytesKey)
+    }
+  }
+
+  test("cosine_sim: length mismatch raises in BOTH interpreted and codegen paths; zero norm → 0.0") {
+    // interpreted
+    val arr2 = Literal.create(Seq(1.0, 2.0), ArrayType(DoubleType))
+    val arr1 = Literal.create(Seq(1.0), ArrayType(DoubleType))
+    val zero = Literal.create(Seq(0.0, 0.0), ArrayType(DoubleType))
+    intercept[IllegalArgumentException] { CosineSim(arr2, arr1).eval(null) }
+    assert(CosineSim(zero, arr2).eval(null) == 0.0)
+    // codegen (whole-stage over a DataFrame)
+    CosineSim.register(s)
+    val sp = TestSpark.spark
+    import sp.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+    val ex = intercept[Exception] { df.select(expr("cosine_sim(a, b)")).collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("length mismatch")), s"unexpected failure: $ex")
+    val z = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .select(expr("cosine_sim(a, b)").as("c")).head().getDouble(0)
+    assert(z == 0.0)
+  }
+
+  test("salted aggregation spreads a hot key over >1 reducer bucket and stays exact") {
+    // 50k-row hot key + uniform tail, deliberately skewed
+    val hot = s.range(50000).select(lit("hot").as("k"), lit(1.0).as("v"))
+    val tail = s.range(1000).select(concat(lit("k"), col("id")).as("k"), lit(2.0).as("v"))
+    val df = hot.union(tail).repartition(8)
+    // phase-1 view (same salt formula as Sources.saltedSum): the hot key's
+    // partials must land in MULTIPLE salt buckets — that is the whole point
+    val saltBuckets = 8
+    val phase1 = df.select(col("k"), col("v"))
+      .withColumn("salt",
+        pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+      .groupBy(col("k"), col("salt")).agg(sum("v").as("partial"))
+    val hotSalts = phase1.filter(col("k") === "hot").select("salt").distinct().count()
+    assert(hotSalts > 1, s"hot key landed in only $hotSalts salt bucket(s)")
+    // and the two-phase result is exactly the direct aggregation
+    val salted = sources.Sources.saltedSum(df, col("k"), col("v"), saltBuckets)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val direct = df.groupBy("k").agg(sum("v").as("total"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(salted == direct)
+  }
+}
