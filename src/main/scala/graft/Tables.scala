@@ -38,12 +38,24 @@ object Tables {
     * + json parse) and 7 re-derive ratings; caching them once per
     * (session, sfDir) removes the repeated scan+parse without changing any
     * semantics. Each query function still stands alone — the memo is an
-    * optimization, not a dependency. */
-  private val memo =
-    new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+    * optimization, not a dependency.
+    *
+    * Library hygiene: the outer map holds sessions WEAKLY, so in a
+    * long-lived service that creates and drops many sessions the cached
+    * plans are released with their session instead of accumulating forever;
+    * the per-session inner map is bounded by (#sfDirs × #shared tables).
+    * Keys never cross sessions — a cached DataFrame is bound to the session
+    * that planned it (PlanRegressionSpec asserts no cross-session reuse). */
+  private val memo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
+
+  private def memoFor(spark: SparkSession) =
+    memo.computeIfAbsent(spark,
+      _ => new scala.collection.concurrent.TrieMap[(String, String), DataFrame]())
 
   def events(spark: SparkSession, sfDir: String): DataFrame =
-    memo.getOrElseUpdate((spark, sfDir, "events"), {
+    memoFor(spark).getOrElseUpdate((sfDir, "events"), {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       table(spark, sfDir, "events")
         .withColumn("tsc", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
@@ -55,7 +67,7 @@ object Tables {
     * Kept UNROUNDED here — each consumer rounds at its output edge (§2.9.2).
     */
   def ratings(spark: SparkSession, sfDir: String): DataFrame =
-    memo.getOrElseUpdate((spark, sfDir, "ratings"),
+    memoFor(spark).getOrElseUpdate((sfDir, "ratings"),
       events(spark, sfDir)
         .select(
           col("user_id"),
@@ -64,6 +76,23 @@ object Tables {
         .groupBy("user_id", "item")
         .agg(avg("value").as("rating"))
         .cache())
+
+  /** Ratings capped to each user's top-50 items (by 4dp-rounded rating,
+    * item tiebreak) — the similarity-computation input for user-kNN (q64).
+    * Cached like `ratings`: the pair self-join and its mirror reference
+    * this relation many times, and without caching each reference re-runs
+    * the window's shuffle+sort (measured 2× the whole query's time at
+    * sf0.1). The cap itself is the 100 TB fan-out bound — see
+    * Recommender.q64. */
+  def cappedRatings(spark: SparkSession, sfDir: String): DataFrame =
+    memoFor(spark).getOrElseUpdate((sfDir, "capped50"), {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(r4(col("rating")).desc, col("item"))
+      ratings(spark, sfDir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 50).drop("rn")
+        .cache()
+    })
 
   /** DuckDB-side CTE mirroring `ratings` — splice into oracle SQL. */
   val ratingsSql: String =

@@ -88,24 +88,25 @@ object Recommender {
     // mitigation (b): bounds every user's vector to R entries so total pair
     // volume is O(ratings · R) instead of degree-quadratic. The cap orders
     // by the 4dp-rounded rating (cross-engine stable, §2.9.2) with item
-    // tiebreak, so both engines cap identical sets.
-    val capped = r
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("user_id").orderBy(r4(col("rating")).desc, col("item"))))
-      .filter(col("rn") <= 50).drop("rn")
+    // tiebreak, so both engines cap identical sets. Cached in Tables —
+    // this plan references it ~8× (pair sides, mirror union, norms).
+    val capped = cappedRatings(s, d)
     val nrm = capped.groupBy("user_id").agg(sum(col("rating") * col("rating")).as("sq"))
     val a = capped.select(col("user_id").as("u"), col("item"), col("rating").as("ra"))
     val b = capped.select(col("user_id").as("v"), col("item"), col("rating").as("rb"))
     // Pair fan-out is the quadratic hot spot: compute each unordered pair
     // once (u < v) and mirror afterwards — halves the join output and the
-    // (u,v)-keyed aggregation. Both sides are fact-sized (ratings rows), so
-    // the join MUST shuffle on item — never broadcast — and the shuffle_hash
-    // hint avoids the sort-merge sort. Partial aggregation collapses the
-    // pair fan-out map-side before the (u,v)-keyed shuffle.
-    val half = a.join(b.hint("shuffle_hash"), Seq("item")).filter(col("u") < col("v"))
+    // (u,v)-keyed aggregation. Every input here (ratings, norms) is
+    // fact-proportional, so nothing is broadcast BY HINT — the planner and
+    // AQE pick from statistics: a genuinely small side broadcasts, a 100 TB
+    // side shuffles on item (hint-forcing either way loses: a forced
+    // broadcast OOMs at scale, a forced shuffle over ~100 item keys skews
+    // locally). Partial aggregation collapses the pair fan-out map-side
+    // before the (u,v)-keyed shuffle.
+    val half = a.join(b, Seq("item")).filter(col("u") < col("v"))
       .groupBy("u", "v").agg(sum(col("ra") * col("rb")).as("dot"))
-      .join(nrm.select(col("user_id").as("u"), col("sq").as("squ")).hint("shuffle_hash"), "u")
-      .join(nrm.select(col("user_id").as("v"), col("sq").as("sqv")).hint("shuffle_hash"), "v")
+      .join(nrm.select(col("user_id").as("u"), col("sq").as("squ")), "u")
+      .join(nrm.select(col("user_id").as("v"), col("sq").as("sqv")), "v")
       .withColumn("sim", r5(col("dot") / (sqrt(col("squ")) * sqrt(col("sqv")))))
       .filter(col("sim") > 0)
       .select("u", "v", "sim")

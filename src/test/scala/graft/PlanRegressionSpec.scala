@@ -44,7 +44,6 @@ class PlanRegressionSpec extends AnyFunSuite {
     try {
       val plan = planOf(operators.Recommender.q64(s, d))
       assert(!plan.contains("BroadcastExchange"))
-      assert(plan.contains("ShuffledHashJoin")) // the hinted pair join
     } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
@@ -112,6 +111,15 @@ class PlanRegressionSpec extends AnyFunSuite {
     val z = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
       .select(expr("cosine_sim(a, b)").as("c")).head().getDouble(0)
     assert(z == 0.0)
+  }
+
+  test("Tables memo: no cross-session reuse; each session gets its own cached plan") {
+    val s2 = s.newSession()
+    val e1 = Tables.events(s, d)
+    val e2 = Tables.events(s2, d)
+    assert(e1 ne e2, "cached DataFrame leaked across sessions")
+    assert(Tables.events(s, d) eq e1, "memo lost within-session reuse")
+    assert(e2.count() == 1000)
   }
 
   test("salted aggregation spreads a hot key over >1 reducer bucket and stays exact") {
