@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond the dedup/similarity core:
+  * oracle-checkable sketch signatures (KMV MinHash), duplicate-cluster
+  * resolution (connected components over fingerprint buckets), reproducible
+  * stratified sampling, and context-window sequence packing.
+  *
+  * Scale notes:
+  * - q92 (KMV) is the ORACLE-CHECKABLE sketch: unlike HLL (q22) or
+  *   MinHashLSH models (q70), a k-minimum-values signature is a pure
+  *   function of the input set via sha256, so both engines reproduce it
+  *   bit-for-bit. One explode + one windowed top-k per doc; linear.
+  * - q93 (components) propagates min-labels over the bipartite doc↔bucket
+  *   graph, NOT a pairwise edge list — membership is 2 rows per doc
+  *   (linear) even when a bucket holds a million near-dups, where a
+  *   pairwise edge list would be quadratic per bucket. Fixed 8 rounds
+  *   cover this corpus's tiny cluster diameters (fixpoint asserted in
+  *   tests); at 100 TB the same loop gets pointer-jumping (label-of-label
+  *   doubling) for O(log n) rounds.
+  * - q94 samples by CONTENT-STABLE hash bucket, not rand(): the sample is
+  *   reproducible across clusters, partitionings and reruns, and the same
+  *   bucket function selects consistent rows across tables — the only
+  *   sampling discipline that survives a distributed pipeline. Rates are
+  *   per-stratum (downsample the dominant language).
+  * - q96 packs documents into fixed token-budget chunks with a running sum
+  *   per source — the streaming-greedy packing used to build training
+  *   context windows; one window per source partition, no shuffle beyond
+  *   the partitioning, deterministic chunk ids both engines.
+  */
+object Curation {
+
+  /** KMV (k-minimum-values) MinHash signature, k=8: the 8 smallest sha256
+    * values over the doc's 5-word shingle set, plus the KMV distinct-count
+    * estimate (k-1)/frac(kth-min) — exact count when the doc has <k
+    * shingles. Signature elements are truncated to 16 hex chars (64 bits). */
+  def q92(s: SparkSession, d: String): DataFrame = {
+    val sh = TextPipeline.shingles5(s, d)
+      .withColumn("h", sha2(col("sh"), 256))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    sh.withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy("h")))
+      .filter(col("rn") <= 8)
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(",", sort_array(collect_list(substring(col("h"), 1, 16)))).as("sig"),
+        max(expr("CAST(conv(substring(h, 1, 12), 16, 10) AS BIGINT)") /
+          lit(281474976710656e0)).as("kth_frac"))
+      .join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_shingles"), col("sig"),
+        r2(when(col("n_shingles") >= 8, lit(7.0) / col("kth_frac"))
+          .otherwise(col("n_shingles").cast("double"))).as("est_distinct"))
+      .orderBy("doc_id")
+  }
+
+  /** Duplicate-cluster resolution: connected components over the "shares a
+    * fingerprint bucket" graph (buckets = q84's fp_min/fp_max 1-perm
+    * MinHash values). Output: each doc's component id (min doc_id in the
+    * cluster) and the cluster size — the step that turns near-dup PAIRS
+    * into keep/drop decisions. */
+  def q93(s: SparkSession, d: String): DataFrame = components(s, d, rounds = 8)
+
+  /** The propagation loop behind q93, with the round count exposed so tests
+    * can assert the fixpoint (rounds and rounds+1 agree). */
+  private[graft] def components(s: SparkSession, d: String, rounds: Int): DataFrame = {
+    val fp = TextPipeline.shingles5(s, d)
+      .groupBy("doc_id")
+      .agg(min(sha2(col("sh"), 256)).as("fp_min"),
+        max(sha2(col("sh"), 256)).as("fp_max"))
+    val mem = fp.select(col("doc_id"), col("fp_min").as("bucket"))
+      .union(fp.select(col("doc_id"), col("fp_max").as("bucket")))
+      .cache()
+    var labels = fp.select(col("doc_id"), col("doc_id").as("label"))
+    for (_ <- 1 to rounds) {
+      val bmin = mem.join(labels, "doc_id")
+        .groupBy("bucket").agg(min("label").as("bl"))
+      labels = mem.join(bmin, "bucket")
+        .groupBy("doc_id").agg(min("bl").as("label"))
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("component"), col("csize"))
+      .orderBy("doc_id")
+  }
+
+  /** Reproducible stratified sampling: keep a doc when its content-stable
+    * hash bucket (sha256(doc_id) mod 100) falls under the stratum's rate —
+    * 10% for the dominant 'en', 30% for the rest. No RNG state anywhere. */
+  def q94(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(sha2(CAST(doc_id AS STRING), 256), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .withColumn("rate", when(col("lang") === "en", lit(10L)).otherwise(lit(30L)))
+      .filter(col("bucket") < col("rate"))
+      .select("doc_id", "lang", "source", "bucket", "rate")
+      .orderBy("doc_id")
+
+  /** Sequence packing: assign docs (ordered by doc_id within source) to
+    * fixed 2048-token training chunks by running token count; a doc's chunk
+    * is floor(tokens-before-it / 2048) — the streaming-greedy packing. */
+  def q96(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        regexp_count(col("text"), lit("[a-z0-9]+|[^a-z0-9\\s]")).cast("long").as("tokens"))
+      .withColumn("cum_tokens", sum("tokens").over(w))
+      .withColumn("chunk_id",
+        floor((col("cum_tokens") - col("tokens")) / lit(2048)).cast("long"))
+      .select("source", "chunk_id", "doc_id", "tokens", "cum_tokens")
+      .orderBy("source", "doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_minhash_kmv" -> q92,
+    "q93_dedup_components" -> q93,
+    "q94_sample_stratified" -> q94,
+    "q96_pack_sequences" -> q96)
+
+  private val wordsCte = s"w AS (${TextPipeline.wordsSql})"
+  private val shCte = s"sh AS (${TextPipeline.shinglesSql})"
+
+  val oracle: Map[String, String] = Map(
+    "q92_minhash_kmv" ->
+      s"""WITH $wordsCte,
+         |$shCte,
+         |h AS (SELECT doc_id, sha256(sh) AS h FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM h GROUP BY 1),
+         |kept AS (SELECT doc_id, h FROM (
+         |    SELECT doc_id, h, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY h) AS rn FROM h) WHERE rn <= 8),
+         |agg AS (SELECT doc_id,
+         |    array_to_string(list(substr(h, 1, 16) ORDER BY h), ',') AS sig,
+         |    max(('0x' || substr(h, 1, 12))::BIGINT / 281474976710656e0) AS kth_frac
+         |  FROM kept GROUP BY 1)
+         |SELECT a.doc_id, s.n_shingles, a.sig,
+         |  ${sr2("CASE WHEN s.n_shingles >= 8 THEN 7e0 / a.kth_frac ELSE CAST(s.n_shingles AS DOUBLE) END")} AS est_distinct
+         |FROM agg a JOIN sizes s ON a.doc_id = s.doc_id
+         |ORDER BY a.doc_id""".stripMargin,
+    "q93_dedup_components" ->
+      s"""WITH RECURSIVE $wordsCte,
+         |$shCte,
+         |fp AS (SELECT doc_id, min(sha256(sh)) AS fp_min, max(sha256(sh)) AS fp_max
+         |  FROM sh GROUP BY 1),
+         |mem AS (SELECT doc_id, fp_min AS bucket FROM fp
+         |  UNION ALL SELECT doc_id, fp_max FROM fp),
+         |edges AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM mem a JOIN mem b ON a.bucket = b.bucket),
+         |reach(src, dst) AS (SELECT doc_id, doc_id FROM fp
+         |  UNION SELECT r.src, e.db FROM reach r JOIN edges e ON r.dst = e.da),
+         |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY 1),
+         |sizes AS (SELECT component, count(*) AS csize FROM comp GROUP BY 1)
+         |SELECT c.doc_id, c.component, s.csize
+         |FROM comp c JOIN sizes s ON c.component = s.component
+         |ORDER BY doc_id""".stripMargin,
+    "q94_sample_stratified" ->
+      """WITH b AS (SELECT doc_id, lang, source,
+        |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,
+        |    CASE WHEN lang = 'en' THEN 10 ELSE 30 END AS rate
+        |  FROM documents)
+        |SELECT doc_id, lang, source, bucket, CAST(rate AS BIGINT) AS rate
+        |FROM b WHERE bucket < rate ORDER BY doc_id""".stripMargin,
+    "q96_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, tokens,
+        |    CAST(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT source, CAST(floor((cum_tokens - tokens) / 2048) AS BIGINT) AS chunk_id,
+        |  doc_id, tokens, cum_tokens
+        |FROM c ORDER BY source, doc_id""".stripMargin)
+}

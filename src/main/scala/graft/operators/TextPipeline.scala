@@ -28,22 +28,34 @@ import org.apache.spark.sql.functions._
 object TextPipeline {
 
   /** Lower-cased non-empty word arrays, the shared text normalization. */
-  private def docWords(s: SparkSession, d: String): DataFrame =
+  private[operators] def docWords(s: SparkSession, d: String): DataFrame =
     documents(s, d).select(col("doc_id"), col("lang"),
       expr("filter(split(lower(text), ' '), w -> w != '')").as("words"))
 
-  private val wordsSql =
+  private[operators] val wordsSql =
     "SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), w -> w != '') AS words FROM documents"
 
-  /** Exact n-gram Jaccard dedup: distinct 5-word shingles, inverted-index
-    * join with a df≤50 common-shingle cap, pairs with Jaccard ≥ 0.4. */
-  def q76(s: SparkSession, d: String): DataFrame = {
-    val sh = docWords(s, d)
+  /** Distinct 5-word shingles per doc (docs with <5 words drop out) — the
+    * shared unit of the shingle-based dedup family (q76/q84/q92/q93). */
+  private[operators] def shingles5(s: SparkSession, d: String): DataFrame =
+    docWords(s, d)
       .filter(size(col("words")) >= 5)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(words) - 4), i -> array_join(slice(words, i, 5), ' '))"))
         .as("sh"))
       .distinct()
+
+  /** DuckDB twin of [[shingles5]] — assumes a `w` CTE from [[wordsSql]]. */
+  private[operators] val shinglesSql =
+    """SELECT DISTINCT doc_id, s AS sh FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(words) - 4),
+      |      i -> array_to_string(list_slice(words, i, i + 4), ' '))) AS s
+      |    FROM w WHERE len(words) >= 5)""".stripMargin
+
+  /** Exact n-gram Jaccard dedup: distinct 5-word shingles, inverted-index
+    * join with a df≤50 common-shingle cap, pairs with Jaccard ≥ 0.4. */
+  def q76(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles5(s, d)
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
     val pruned = sh.join(rare.select("sh"), "sh")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -137,12 +149,7 @@ object TextPipeline {
     * set (a 1-permutation MinHash signature with a cryptographic hash —
     * deterministic and collision-safe), plus the distinct-shingle count. */
   def q84(s: SparkSession, d: String): DataFrame =
-    docWords(s, d)
-      .filter(size(col("words")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(words) - 4), i -> array_join(slice(words, i, 5), ' '))"))
-        .as("sh"))
-      .distinct()
+    shingles5(s, d)
       .groupBy("doc_id")
       .agg(min(sha2(col("sh"), 256)).as("fp_min"),
         max(sha2(col("sh"), 256)).as("fp_max"),

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Invariants for the curation family (q92-q96) beyond the DuckDB oracle:
+  * sketch error bounds, component fixpoint, sampling reproducibility,
+  * packing feasibility. */
+class CurationSpec extends AnyFunSuite {
+  private def s = TestSpark.spark
+  private val d = TestSpark.sf001 // sf0.01 — the driver's verification SF
+
+  test("q92 KMV: exact below k, bounded relative error at or above k") {
+    val rows = operators.Curation.q92(s, d)
+      .select("n_shingles", "est_distinct").collect()
+    assert(rows.nonEmpty)
+    val ratios = rows.flatMap { r =>
+      val n = r.getLong(0).toDouble
+      val est = r.getDouble(1)
+      if (n < 8) { assert(est == n, s"below k the KMV estimate must be exact: $n vs $est"); None }
+      else {
+        // k=8 has rsd ≈ 41% with a heavy right tail; per-doc bounds must be
+        // loose (this is a max over ~700 draws), the CALIBRATION must be tight
+        assert(est > n / 20 && est < n * 20, s"KMV estimate $est absurd for $n")
+        Some(est / n)
+      }
+    }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.6 && mean < 1.7,
+      f"KMV estimator miscalibrated: mean est/true = $mean%.2f over ${ratios.length} docs")
+  }
+
+  test("q93 components: 8 rounds reach the fixpoint; labels are component minima") {
+    val r8 = operators.Curation.components(s, d, rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val r9 = operators.Curation.components(s, d, rounds = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r8 == r9, "label propagation had not converged after 8 rounds")
+    // a component's id is a member of the component, and is its minimum
+    val byComp = r8.groupBy(_._2).map { case (c, m) => c -> m.keys.min }
+    byComp.foreach { case (c, minDoc) => assert(c == minDoc) }
+  }
+
+  test("q94 sampling: reproducible, stratified, and rate-consistent") {
+    val a = operators.Curation.q94(s, d).collect()
+    val b = operators.Curation.q94(s, d).collect()
+    assert(a.toSeq == b.toSeq, "hash-bucket sampling must be bit-reproducible")
+    a.foreach(r => assert(r.getLong(3) < r.getLong(4), "kept row outside its rate"))
+    // en is downsampled 3x relative to other langs; with 218 en docs the
+    // realized rate should sit near 10% (binomial, generous bounds)
+    val en = a.count(_.getString(1) == "en")
+    assert(en > 5 && en < 50, s"en kept $en of 218 at a 10% hash rate")
+  }
+
+  test("q96 packing: chunks are contiguous, start-aligned, and in budget order") {
+    val rows = operators.Curation.q96(s, d)
+      .select("source", "chunk_id", "doc_id", "tokens", "cum_tokens").collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, docs) =>
+      val ordered = docs.sortBy(_.getLong(2))
+      var prevCum = 0L
+      var prevChunk = 0L
+      ordered.foreach { r =>
+        val (chunk, tokens, cum) = (r.getLong(1), r.getLong(3), r.getLong(4))
+        assert(cum == prevCum + tokens, "running sum must be contiguous")
+        assert(chunk >= prevChunk, "chunk ids must be non-decreasing")
+        assert(chunk == prevCum / 2048, "chunk = floor(tokens-before / budget)")
+        prevCum = cum; prevChunk = chunk
+      }
+    }
+  }
+}
