@@ -46,6 +46,21 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Bucketed table sink: persist with `bucketBy(n, cols)` so future joins
+    * and aggregations on the bucket columns need NO shuffle — both sides
+    * arrive pre-partitioned on disk. At 100 TB this is the difference
+    * between re-shuffling the fact table on every join and shuffling it
+    * exactly once at write time. Requires `saveAsTable` (bucket metadata
+    * lives in the catalog, not the parquet footer); PlanRegressionSpec
+    * asserts a bucketed-bucketed equi join plans with zero Exchange. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    bucketCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Skew-safe aggregation pattern: two-phase groupBy with an explicit salt.
     * Phase 1 aggregates on (key, salt) — spreading one hot key over
     * `saltBuckets` reducers — phase 2 merges the partials on the key alone.

@@ -113,6 +113,37 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(z == 0.0)
   }
 
+  test("bucketed-bucketed equi join plans with ZERO shuffle (co-located by write)") {
+    // bucket both sides on the join key at write time; the join must then
+    // read both pre-partitioned — no Exchange anywhere in the plan
+    sources.Sources.writeBucketed(
+      Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+      "b_orders", 4, Seq("o_orderkey"))
+    sources.Sources.writeBucketed(
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity"),
+      "b_lineitem", 4, Seq("l_orderkey"))
+    // broadcast would bypass bucketing at toy scale — disable it to get the
+    // plan the same join gets at 100 TB, where neither side broadcasts
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = s.table("b_lineitem")
+        .join(s.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan did not use bucketing:\n$plan")
+      // and it computes the right thing
+      val expected = Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+          col("l_orderkey") === col("o_orderkey"))
+      assert(joined.orderBy("l_orderkey", "l_quantity", "o_custkey").collect().toSeq ==
+        expected.orderBy("l_orderkey", "l_quantity", "o_custkey").collect().toSeq)
+    } finally {
+      s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      s.sql("DROP TABLE IF EXISTS b_orders")
+      s.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("Tables memo: no cross-session reuse; each session gets its own cached plan") {
     val s2 = s.newSession()
     val e1 = Tables.events(s, d)

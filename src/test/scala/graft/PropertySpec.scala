@@ -20,8 +20,11 @@ class PropertySpec extends AnyFunSuite {
     val prop = Prop.forAll(Gen.chooseNum(-1e9, 1e9), Gen.chooseNum(0, 5)) {
       (x: Double, n: Int) =>
         val once = rnd(x, n)
+        // closeness tolerance: half-step + the fp error of the x*p product
+        // (relative u ≈ 1.1e-16 of |x|·p, i.e. |x|-proportional after /p)
         rnd(once, n) == once &&
-          math.abs(once - x) <= 0.5 / math.pow(10, n.toDouble) + math.ulp(x)
+          math.abs(once - x) <=
+            0.5 / math.pow(10, n.toDouble) + math.abs(x) * 1e-15 + math.ulp(x)
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
     assert(res.passed, res.status.toString)
