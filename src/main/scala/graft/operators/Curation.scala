@@ -18,10 +18,10 @@ import org.apache.spark.sql.functions._
   * - q93 (components) propagates min-labels over the bipartite doc↔bucket
   *   graph, NOT a pairwise edge list — membership is 2 rows per doc
   *   (linear) even when a bucket holds a million near-dups, where a
-  *   pairwise edge list would be quadratic per bucket. Fixed 8 rounds
-  *   cover this corpus's tiny cluster diameters (fixpoint asserted in
-  *   tests); at 100 TB the same loop gets pointer-jumping (label-of-label
-  *   doubling) for O(log n) rounds.
+  *   pairwise edge list would be quadratic per bucket. The loop runs to
+  *   the exact fixpoint (driver-side convergence check, diameter-many
+  *   rounds); at 100 TB the same loop gets pointer-jumping (label-of-label
+  *   doubling) to compress long chains to O(log n) rounds.
   * - q94 samples by CONTENT-STABLE hash bucket, not rand(): the sample is
   *   reproducible across clusters, partitionings and reruns, and the same
   *   bucket function selects consistent rows across tables — the only
@@ -62,25 +62,41 @@ object Curation {
     * MinHash values). Output: each doc's component id (min doc_id in the
     * cluster) and the cluster size — the step that turns near-dup PAIRS
     * into keep/drop decisions. */
-  def q93(s: SparkSession, d: String): DataFrame = components(s, d, rounds = 8)
+  def q93(s: SparkSession, d: String): DataFrame = components(s, d, maxRounds = 20)
 
-  /** The propagation loop behind q93, with the round count exposed so tests
-    * can assert the fixpoint (rounds and rounds+1 agree). */
-  private[graft] def components(s: SparkSession, d: String, rounds: Int): DataFrame = {
+  /** The propagation loop behind q93. Iterates to the EXACT fixpoint with a
+    * driver-side convergence check (labels are monotone non-increasing, so
+    * "no label changed" is the stopping rule — one cheap anti-join count
+    * per round, and the loop runs diameter-many rounds instead of a fixed
+    * guess). `maxRounds` is a runaway safety bound only. */
+  private[graft] def components(s: SparkSession, d: String, maxRounds: Int): DataFrame = {
+    // fp is referenced three times (both membership branches + the label
+    // init) — cache it so the shingle+sha256 pass runs once
     val fp = TextPipeline.shingles5(s, d)
       .groupBy("doc_id")
       .agg(min(sha2(col("sh"), 256)).as("fp_min"),
         max(sha2(col("sh"), 256)).as("fp_max"))
+      .cache()
     val mem = fp.select(col("doc_id"), col("fp_min").as("bucket"))
       .union(fp.select(col("doc_id"), col("fp_max").as("bucket")))
       .cache()
-    var labels = fp.select(col("doc_id"), col("doc_id").as("label"))
-    for (_ <- 1 to rounds) {
+    var labels = fp.select(col("doc_id"), col("doc_id").as("label")).cache()
+    var changed = true
+    var round = 0
+    while (changed && round < maxRounds) {
       val bmin = mem.join(labels, "doc_id")
         .groupBy("bucket").agg(min("label").as("bl"))
-      labels = mem.join(bmin, "bucket")
+      val next = mem.join(bmin, "bucket")
         .groupBy("doc_id").agg(min("bl").as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .filter(col("label") =!= col("prev")).limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      round += 1
     }
+    labels.count() // pin the final labels before dropping the inputs' caches
+    fp.unpersist(); mem.unpersist()
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("csize"))
     labels.join(sizes, "label")
       .select(col("doc_id"), col("label").as("component"), col("csize"))
