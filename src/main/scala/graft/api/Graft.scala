@@ -1,0 +1,163 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reusable operator surface: every workhorse shape the canned queries
+  * in `graft.operators` use, exposed as generic functions over ANY
+  * DataFrame with the right columns — so a user brings their own tables,
+  * not this corpus. Each function documents the plan it produces and why
+  * that plan survives a 100 TB input; the equivalence of facade and query
+  * implementations is asserted in GraftApiSpec.
+  */
+object Graft {
+
+  /** Top-k rows per group. Plan: one shuffle on the group keys + in-memory
+    * per-group heap via `WindowGroupLimit` (Spark pushes the `<= k` filter
+    * into the window sort) — no global sort, no collect. `orderBy` must be
+    * a total order for a deterministic result. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column],
+                   k: Int, rankCol: String = "rank"): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn(rankCol, row_number().over(w).cast("long"))
+      .filter(col(rankCol) <= k)
+  }
+
+  /** As-of join: for each left row, the single latest right row with
+    * `rightTs` strictly before (or at, when `strict=false`) the left row's
+    * `leftTs`, matched on `keys`. `leftId` must uniquely identify left rows.
+    *
+    * Plan: theta join fans out left×matching-right, then ONE `max_by` hash
+    * aggregation picks the winner — partial aggregation collapses the
+    * fan-out map-side before the single shuffle, and nothing sorts. A
+    * row_number window here would re-shuffle AND sort the whole fan-out —
+    * the scale-killer this shape exists to avoid. Ties on `rightTs` break
+    * by the payload column order. Right columns arrive as `asof_<name>`;
+    * left rows with no match keep null payloads. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, leftId: Seq[String],
+               payload: Seq[String], strict: Boolean = true): DataFrame = {
+    val rts = col("__asof_rts")
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__asof_rts")) ++ payload.map(col): _*)
+    val lSlim = left.select((leftId ++ keys :+ leftTs).distinct.map(col): _*)
+    val cmp = if (strict) rts < col(leftTs) else rts <= col(leftTs)
+    val pickCols = rts +: payload.map(col)
+    val best = lSlim.join(r, keys).filter(cmp)
+      .groupBy(leftId.map(col): _*)
+      .agg(max_by(struct(pickCols: _*), struct(pickCols: _*)).as("__asof"))
+      .select(leftId.map(col) :+ col("__asof"): _*)
+    val renamed = (rightTs +: payload).foldLeft(
+      best.select(leftId.map(col) :+ col("__asof.*"): _*)
+        .withColumnRenamed("__asof_rts", rightTs)) {
+      (acc, c) => acc.withColumnRenamed(c, s"asof_$c")
+    }
+    left.join(renamed, leftId, "left")
+  }
+
+  /** Sessionization: assign each row a per-entity session id, where a gap
+    * greater than `gap` (in `tsCol`'s own units — epoch numerics expected)
+    * starts a new session. `tieBreak` totalizes the in-entity order for
+    * equal timestamps. Plan: one shuffle on the entity key, two stacked
+    * windows over the same partitioning (lag → running count), no second
+    * exchange. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, gap: Long,
+                 tieBreak: Seq[String] = Nil,
+                 sessionCol: String = "session_id"): DataFrame = {
+    val order = (tsCol +: tieBreak).map(col)
+    val w = Window.partitionBy(keyCol).orderBy(order: _*)
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__new_sess",
+        when(lag(col(tsCol), 1).over(w).isNull ||
+          (col(tsCol) - lag(col(tsCol), 1).over(w)) > lit(gap), 1L).otherwise(0L))
+      .withColumn(sessionCol, sum("__new_sess").over(wc))
+      .drop("__new_sess")
+  }
+
+  /** Keyed exact dedup keeping the FIRST row per key under `orderBy` — the
+    * deterministic replacement for `dropDuplicates`, whose row choice
+    * depends on partitioning. One shuffle on the keys. */
+  def dedupFirst(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame =
+    topKPerGroup(df, keys, orderBy, 1, "__dedup_rn").drop("__dedup_rn")
+
+  /** Content-stable bucket in [0, buckets) from any id column: the first 8
+    * hex chars of sha256(id) — identical on every engine, partitioning and
+    * rerun. The primitive behind reproducible sampling and A/B splits. */
+  def hashBucket(id: Column, buckets: Int = 100): Column =
+    conv(substring(sha2(id.cast("string"), 256), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Reproducible (stratified) sampling: keep rows whose hash bucket falls
+    * under `rate` (a per-row Column in [0,100], so strata can carry
+    * different rates). No RNG state — the same rows are kept on any
+    * cluster, any partitioning, any rerun. */
+  def hashSample(df: DataFrame, id: Column, rate: Column): DataFrame =
+    df.filter(hashBucket(id) < rate)
+
+  /** Sequence packing: assign rows (ordered by `orderCol` within
+    * `groupCol`) to fixed `budget`-token chunks by running token count —
+    * the streaming-greedy packing used to build training context windows.
+    * One window per group partition, deterministic chunk ids. */
+  def packSequences(df: DataFrame, groupCol: String, orderCol: String,
+                    tokenCol: String, budget: Long,
+                    chunkCol: String = "chunk_id"): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn(chunkCol,
+        floor((col("__cum") - col(tokenCol)) / lit(budget)).cast("long"))
+      .drop("__cum")
+  }
+
+  /** Connected components over a bipartite membership relation
+    * `(idCol, bucketCol)`: two ids are connected when they share any
+    * bucket. Returns `(idCol, component)` where component = min id of the
+    * cluster. Min-label propagation to the EXACT fixpoint (driver-side
+    * convergence check, diameter-many rounds, `maxRounds` as a runaway
+    * bound). Membership stays linear in the input — never a pairwise edge
+    * list, which is quadratic per bucket at 100 TB. */
+  def connectedComponents(mem: DataFrame, idCol: String, bucketCol: String,
+                          maxRounds: Int = 50): DataFrame = {
+    val m = mem.select(col(idCol), col(bucketCol).as("__bucket")).cache()
+    var labels = m.select(col(idCol)).distinct()
+      .withColumn("__label", col(idCol)).cache()
+    var changed = true
+    var round = 0
+    while (changed && round < maxRounds) {
+      val bmin = m.join(labels, idCol)
+        .groupBy("__bucket").agg(min("__label").as("__bl"))
+      val next = m.join(bmin, "__bucket")
+        .groupBy(idCol).agg(min("__bl").as("__label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("__label", "__prev"), idCol)
+        .filter(col("__label") =!= col("__prev")).limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    labels.count() // pin before dropping the membership cache
+    m.unpersist()
+    labels.withColumnRenamed("__label", "component")
+  }
+
+  /** Brute-force cosine top-k: for each probe vector, the k most similar
+    * corpus vectors (self-matches excluded when ids collide). Probes are
+    * broadcast — the corpus streams map-side, so the scan is linear and
+    * shuffle-free until the per-probe top-k. Vectors must be
+    * `array<double>`; similarity is the native codegen'd `cosine_sim`.
+    * For corpus×corpus near-dup joins use the IVF/banded paths instead
+    * (q85 / SimilarityBandRewrite). */
+  def cosineTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                 corpusId: String = "id", corpusVec: String = "vec",
+                 probeId: String = "probe_id", probeVec: String = "probe_vec"): DataFrame = {
+    graft.plans.CosineSim.register(corpus.sparkSession)
+    corpus.select(col(corpusId), col(corpusVec))
+      .crossJoin(broadcast(probes.select(col(probeId), col(probeVec))))
+      .filter(col(corpusId) =!= col(probeId))
+      .withColumn("cos", expr(s"cosine_sim($probeVec, $corpusVec)"))
+      .transform(df => topKPerGroup(df, Seq(probeId),
+        Seq(col("cos").desc, col(corpusId)), k))
+      .select(col(probeId), col("rank"), col(corpusId), col("cos"))
+  }
+}

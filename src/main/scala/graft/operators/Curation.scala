@@ -64,14 +64,12 @@ object Curation {
     * into keep/drop decisions. */
   def q93(s: SparkSession, d: String): DataFrame = components(s, d, maxRounds = 20)
 
-  /** The propagation loop behind q93. Iterates to the EXACT fixpoint with a
-    * driver-side convergence check (labels are monotone non-increasing, so
-    * "no label changed" is the stopping rule — one cheap anti-join count
-    * per round, and the loop runs diameter-many rounds instead of a fixed
-    * guess). `maxRounds` is a runaway safety bound only. */
+  /** The propagation behind q93 — delegates to the generic
+    * [[graft.api.Graft.connectedComponents]] (exact fixpoint, linear
+    * membership) over the fingerprint-bucket membership relation. */
   private[graft] def components(s: SparkSession, d: String, maxRounds: Int): DataFrame = {
-    // fp is referenced three times (both membership branches + the label
-    // init) — cache it so the shingle+sha256 pass runs once
+    // fp is referenced by both membership branches — cache it so the
+    // shingle+sha256 pass runs once
     val fp = TextPipeline.shingles5(s, d)
       .groupBy("doc_id")
       .agg(min(sha2(col("sh"), 256)).as("fp_min"),
@@ -79,27 +77,11 @@ object Curation {
       .cache()
     val mem = fp.select(col("doc_id"), col("fp_min").as("bucket"))
       .union(fp.select(col("doc_id"), col("fp_max").as("bucket")))
-      .cache()
-    var labels = fp.select(col("doc_id"), col("doc_id").as("label")).cache()
-    var changed = true
-    var round = 0
-    while (changed && round < maxRounds) {
-      val bmin = mem.join(labels, "doc_id")
-        .groupBy("bucket").agg(min("label").as("bl"))
-      val next = mem.join(bmin, "bucket")
-        .groupBy("doc_id").agg(min("bl").as("label"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
-        .filter(col("label") =!= col("prev")).limit(1).count() > 0
-      labels.unpersist()
-      labels = next
-      round += 1
-    }
-    labels.count() // pin the final labels before dropping the inputs' caches
-    fp.unpersist(); mem.unpersist()
-    val sizes = labels.groupBy("label").agg(count(lit(1)).as("csize"))
-    labels.join(sizes, "label")
-      .select(col("doc_id"), col("label").as("component"), col("csize"))
+    val labels = graft.api.Graft.connectedComponents(mem, "doc_id", "bucket", maxRounds)
+    fp.unpersist()
+    val sizes = labels.groupBy("component").agg(count(lit(1)).as("csize"))
+    labels.join(sizes, "component")
+      .select(col("doc_id"), col("component"), col("csize"))
       .orderBy("doc_id")
   }
 

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.api.Graft
+
+/** The facade contract: each generic `graft.api.Graft` operator reproduces
+  * the corresponding tuned corpus query exactly — so a user composing the
+  * library on their own tables gets the same semantics (and the same
+  * plans) the oracle-verified inventory runs. */
+class GraftApiSpec extends AnyFunSuite {
+  private def s = TestSpark.spark
+  private val d = TestSpark.sf0001
+
+  test("topKPerGroup reproduces q30 (top-3 orders per customer)") {
+    val api = Graft.topKPerGroup(
+      Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"), Seq(col("o_totalprice").desc, col("o_orderkey")), 3, "rn")
+      .select("o_custkey", "o_orderkey", "rn")
+    val q30 = operators.Windows.q30(s, d).select("o_custkey", "o_orderkey", "rn")
+    assert(api.except(q30).isEmpty && q30.except(api).isEmpty)
+  }
+
+  test("asofJoin reproduces q17 (latest order strictly before each event)") {
+    val ev = Tables.events(s, d).select("event_id", "user_id", "tsc")
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey").as("user_id"), col("o_orderkey"), col("o_orderdate"))
+    val api = Graft.asofJoin(ev, o, keys = Seq("user_id"),
+        leftTs = "tsc", rightTs = "o_orderdate", leftId = Seq("event_id"),
+        payload = Seq("o_orderkey"), strict = true)
+      .filter(col("asof_o_orderkey").isNotNull) // q17 is inner (matched only)
+      .select(col("event_id"), col("user_id"), col("tsc"),
+        col("asof_o_orderkey").as("o_orderkey"),
+        col("asof_o_orderdate").as("o_orderdate"))
+    val q17 = operators.Joins.q17(s, d)
+    assert(api.except(q17).isEmpty && q17.except(api).isEmpty)
+  }
+
+  test("sessionize reproduces q32's session assignment") {
+    val api = Graft.sessionize(Tables.events(s, d), "user_id", "ts",
+        gap = 1800000000000L, tieBreak = Seq("event_id"))
+      .select("user_id", "event_id", "session_id")
+    val q32 = operators.Windows.q32(s, d).select("user_id", "event_id", "session_id")
+    assert(api.except(q32).isEmpty && q32.except(api).isEmpty)
+  }
+
+  test("dedupFirst reproduces q44 (first event per user+type)") {
+    val api = Graft.dedupFirst(Tables.events(s, d),
+        Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+      .select("user_id", "event_type", "event_id")
+    val q44 = operators.SetOps.q44(s, d).select("user_id", "event_type", "event_id")
+    assert(api.except(q44).isEmpty && q44.except(api).isEmpty)
+  }
+
+  test("hashSample reproduces q94's stratified kept-set") {
+    val api = Graft.hashSample(Tables.documents(s, d),
+        col("doc_id"), when(col("lang") === "en", lit(10)).otherwise(lit(30)))
+      .select("doc_id")
+    val q94 = operators.Curation.q94(s, d).select("doc_id")
+    assert(api.except(q94).isEmpty && q94.except(api).isEmpty)
+  }
+
+  test("packSequences reproduces q96's chunk assignment") {
+    val toks = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      regexp_count(col("text"), lit("[a-z0-9]+|[^a-z0-9\\s]")).cast("long").as("tokens"))
+    val api = Graft.packSequences(toks, "source", "doc_id", "tokens", 2048L)
+      .select("source", "doc_id", "chunk_id")
+    val q96 = operators.Curation.q96(s, d).select("source", "doc_id", "chunk_id")
+    assert(api.except(q96).isEmpty && q96.except(api).isEmpty)
+  }
+
+  test("connectedComponents on a hand graph: two clusters, exact minima") {
+    val sp = TestSpark.spark
+    import sp.implicits._
+    // {1,2,3} chained through buckets a-b, {7,8} through c, 9 isolated
+    val mem = Seq((1L, "a"), (2L, "a"), (2L, "b"), (3L, "b"),
+      (7L, "c"), (8L, "c"), (9L, "z")).toDF("id", "bucket")
+    val got = Graft.connectedComponents(mem, "id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
+
+  test("cosineTopK reproduces q71 (top-5 neighbors for the 10 probes)") {
+    val e = Tables.embeddings(s, d)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val api = Graft.cosineTopK(
+        e.select(col("vec_id").as("id"), col("v").as("vec")),
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("v").as("probe_vec")),
+        k = 5, corpusId = "id", corpusVec = "vec")
+      .select(col("probe_id"), col("rank").as("rnk"), col("id").as("cand_id"))
+    val q71 = operators.LlmPipeline.q71(s, d).select("probe_id", "rnk", "cand_id")
+    assert(api.except(q71).isEmpty && q71.except(api).isEmpty)
+  }
+}
