@@ -54,6 +54,12 @@ object Tables {
     memo.computeIfAbsent(spark,
       _ => new scala.collection.concurrent.TrieMap[(String, String), DataFrame]())
 
+  /** Session-scoped memo+cache for any shared derived relation (same
+    * lifecycle/hygiene as the built-in loaders above). */
+  private[graft] def memoized(spark: SparkSession, sfDir: String, key: String)(
+      build: => DataFrame): DataFrame =
+    memoFor(spark).getOrElseUpdate((sfDir, key), build.cache())
+
   def events(spark: SparkSession, sfDir: String): DataFrame =
     memoFor(spark).getOrElseUpdate((sfDir, "events"), {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -36,14 +36,18 @@ object TextPipeline {
     "SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), w -> w != '') AS words FROM documents"
 
   /** Distinct 5-word shingles per doc (docs with <5 words drop out) — the
-    * shared unit of the shingle-based dedup family (q76/q84/q92/q93). */
+    * shared unit of the shingle-based dedup family (q76/q84/q92/q93).
+    * Memoized+cached: four queries re-derive it, and the distinct is a
+    * full shuffle of the exploded shingle set. */
   private[operators] def shingles5(s: SparkSession, d: String): DataFrame =
-    docWords(s, d)
-      .filter(size(col("words")) >= 5)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(words) - 4), i -> array_join(slice(words, i, 5), ' '))"))
-        .as("sh"))
-      .distinct()
+    graft.Tables.memoized(s, d, "shingles5") {
+      docWords(s, d)
+        .filter(size(col("words")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(words) - 4), i -> array_join(slice(words, i, 5), ' '))"))
+          .as("sh"))
+        .distinct()
+    }
 
   /** DuckDB twin of [[shingles5]] — assumes a `w` CTE from [[wordsSql]]. */
   private[operators] val shinglesSql =
