@@ -75,6 +75,26 @@ object Workloads {
       .limit(20)
   }
 
+  /** TPC-H Q18 shape: large-volume orders (sum of line quantities > 200)
+    * with their customers — the HAVING-subquery join. The aggregate is
+    * computed ONCE and reused as both the filter and the output column
+    * (no second lineitem pass, no IN-subquery re-scan); the filtered
+    * order set is small, so the planner broadcasts it up the join chain. */
+  def q97(s: SparkSession, d: String): DataFrame = {
+    val big = lineitem(s, d).groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("sum_qty"))
+      .filter(col("sum_qty") > 200)
+    val o = orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val c = customer(s, d).select("c_custkey", "c_name")
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), r2(col("o_totalprice")).as("o_totalprice"),
+        r2(col("sum_qty")).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Funnel: click → purchase conversion within 30 minutes. Output is ONE
     * row: distinct clickers, distinct converters, and their ratio (null when
     * there are no clickers — nullif guards the division). */
@@ -110,6 +130,7 @@ object Workloads {
     "q19_tpch_q3_shipping" -> q19,
     "q47_tpch_q5_local" -> q47,
     "q48_tpch_q10_returns" -> q48,
+    "q97_tpch_q18_bigorders" -> q97,
     "q36_funnel_conversion" -> q36,
     "q37_retention_cohorts" -> q37)
 
@@ -144,6 +165,14 @@ object Workloads {
          |WHERE l_returnflag = 'R'
          |GROUP BY c_custkey, c_name, n_name
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q97_tpch_q18_bigorders" ->
+      s"""WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+         |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200)
+         |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+         |  ${sr2("o_totalprice")} AS o_totalprice, ${sr2("sum_qty")} AS sum_qty
+         |FROM big JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "q36_funnel_conversion" ->
       s"""WITH clicks AS (SELECT user_id, ts AS ct FROM events WHERE event_type = 'click'),
          |buys AS (SELECT user_id, ts AS pt FROM events WHERE event_type = 'purchase'),

@@ -151,6 +151,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.except(batch).count() == 0 && batch.except(got).count() == 0)
   }
 
+  test("stream-static join: streaming events enrich against the static customer dim") {
+    val sp = s
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val dim = Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val ms = MemoryStream[Ev]
+    ms.addData(batchEvents.as[Ev].collect().toIndexedSeq)
+    // static side joins per micro-batch with the normal batch planner —
+    // a small dim broadcasts, exactly as it would in a batch job
+    val q = ms.toDF.join(dim, "user_id")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("ssd_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = s.table("ssd_out")
+    val batch = batchEvents.join(dim, "user_id")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    assert(got.count() > 0)
+    assert(got.except(batch).count() == 0 && batch.except(got).count() == 0)
+  }
+
+  test("foreachBatch sink: micro-batches land transactionally by batch id") {
+    val sp = s
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_feb").toString
+    val ms = MemoryStream[Ev]
+    // idempotent-by-batchId parquet sink: each batch overwrites ITS OWN
+    // directory, so a replayed batch cannot double-count — the standard
+    // exactly-once recipe for non-transactional stores
+    val q = ms.toDF.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
+      .outputMode("append").start()
+    ms.addData(batchEvents.as[Ev].collect().toIndexedSeq.take(10))
+    q.processAllAvailable()
+    ms.addData(batchEvents.as[Ev].collect().toIndexedSeq.slice(10, 15))
+    q.processAllAvailable()
+    q.stop()
+    val written = s.read.parquet(s"$outDir/batch=*")
+    assert(written.count() == 15)
+    assert(written.select("event_id").distinct().count() == 15)
+  }
+
   test("stateful stream dedup: dropDuplicatesWithinWatermark keeps one row per id") {
     val sp = s
     import sp.implicits._
