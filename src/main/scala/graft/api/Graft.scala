@@ -114,9 +114,12 @@ object Graft {
     * `(idCol, bucketCol)`: two ids are connected when they share any
     * bucket. Returns `(idCol, component)` where component = min id of the
     * cluster. Min-label propagation to the EXACT fixpoint (driver-side
-    * convergence check, diameter-many rounds, `maxRounds` as a runaway
-    * bound). Membership stays linear in the input — never a pairwise edge
-    * list, which is quadratic per bucket at 100 TB. */
+    * convergence check, `maxRounds` as a runaway bound), with a
+    * POINTER-JUMPING step each round — label(x) ← label(label(x)) — which
+    * compresses chain-shaped clusters exponentially, so a diameter-D
+    * component converges in O(log D) rounds instead of D. Membership stays
+    * linear in the input — never a pairwise edge list, which is quadratic
+    * per bucket at 100 TB. */
   def connectedComponents(mem: DataFrame, idCol: String, bucketCol: String,
                           maxRounds: Int = 50): DataFrame = {
     val m = mem.select(col(idCol), col(bucketCol).as("__bucket")).cache()
@@ -125,13 +128,24 @@ object Graft {
     var changed = true
     var round = 0
     while (changed && round < maxRounds) {
+      // hop 1: through buckets — bucket min of member labels, back to members
       val bmin = m.join(labels, idCol)
         .groupBy("__bucket").agg(min("__label").as("__bl"))
-      val next = m.join(bmin, "__bucket")
+      val hopped = m.join(bmin, "__bucket")
         .groupBy(idCol).agg(min("__bl").as("__label"))
+        .cache() // referenced twice below (row side + label-lookup side)
+      // hop 2: pointer jumping — adopt the label OF the label (a label is
+      // itself an id, so its own, possibly smaller, label short-circuits
+      // chains; the invariant "label is a member of my component" holds
+      // transitively, and labels stay monotone non-increasing)
+      val next = hopped
+        .join(hopped.select(col(idCol).as("__label"),
+          col("__label").as("__ll")), Seq("__label"), "left")
+        .select(col(idCol), least(col("__label"), col("__ll")).as("__label"))
         .cache()
       changed = next.join(labels.withColumnRenamed("__label", "__prev"), idCol)
         .filter(col("__label") =!= col("__prev")).limit(1).count() > 0
+      hopped.unpersist()
       labels.unpersist()
       labels = next
       round += 1

@@ -78,6 +78,12 @@ class GraftApiSpec extends AnyFunSuite {
     val got = Graft.connectedComponents(mem, "id", "bucket")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 9L))
+    // a 12-id chain (worst diameter) — pointer jumping must still reach the
+    // exact minimum everywhere within the round budget
+    val chain = (1L until 12L).flatMap(i => Seq((i, s"e$i"), (i + 1, s"e$i"))).toDF("id", "bucket")
+    val chainGot = Graft.connectedComponents(chain, "id", "bucket", maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainGot == (1L to 12L).map(_ -> 1L).toMap)
   }
 
   test("cosineTopK reproduces q71 (top-5 neighbors for the 10 probes)") {

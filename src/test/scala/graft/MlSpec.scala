@@ -61,6 +61,28 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL sketches are MERGEABLE: per-partition sketch union equals whole-set estimate") {
+    // the 100 TB pattern SURVEY §4 candidate 2 asks about: build one HLL
+    // sketch per shard (day/partition), union the binary sketches, estimate
+    // once — no re-scan of raw data. Spark 4's DataSketches functions.
+    import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate, hll_union_agg}
+    val ev = Tables.events(s, d)
+    val perType = ev.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = perType.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    val direct = ev.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .head().getLong(0)
+    val exact = ev.select("user_id").distinct().count()
+    // merging shard sketches must equal sketching the whole set (HLL union
+    // is lossless over the same lgK), and both must estimate well
+    assert(merged == direct, s"sketch union ($merged) != whole-set sketch ($direct)")
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"HLL estimate $merged vs exact $exact")
+  }
+
   test("MinHashLSH q70 is seed-stable and symmetric-by-construction") {
     val a = operators.LlmPipeline.q70(s, d).collect()
     val b = operators.LlmPipeline.q70(s, d).collect()
