@@ -232,7 +232,48 @@ object TextPipeline {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Repetition filter (the Gopher-rules shape): per doc, the duplicate
+    * share of its 3-gram stream and the hottest trigram's count — documents
+    * that repeat themselves score high and get filtered before training.
+    * Row-linear: explode + two-level aggregation, no joins. */
+  def q98(s: SparkSession, d: String): DataFrame = {
+    val tri = docWords(s, d)
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(words) - 2), i -> array_join(slice(words, i, 3), ' '))"))
+        .as("tri"))
+    tri.groupBy("doc_id", "tri").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_trigrams"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("max_tri_count"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_distinct"),
+        col("max_tri_count"),
+        r4(lit(1.0) - col("n_distinct") / col("n_trigrams").cast("double"))
+          .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Unigram log-probability scoring: corpus word frequencies → per-doc
+    * mean token log-prob (perplexity filtering's core statistic; very low
+    * scores flag boilerplate-free gibberish, very high flag boilerplate).
+    * The frequency table is corpus-derived and dimension-sized → broadcast;
+    * the scan side stays linear. */
+  def q99(s: SparkSession, d: String): DataFrame = {
+    val words = docWords(s, d).select(col("doc_id"), explode(col("words")).as("w"))
+    val freq = words.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = words.agg(count(lit(1)).as("n"))
+    val logp = freq.crossJoin(broadcast(total))
+      .select(col("w"), log(col("c") / col("n").cast("double")).as("lp"))
+    words.join(broadcast(logp), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), r4(avg("lp")).as("mean_logprob"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_text_repetition" -> q98,
+    "q99_text_logprob" -> q99,
     "q76_dedup_ngram_jaccard" -> q76,
     "q77_dedup_cosine_nn" -> q77,
     "q78_text_langid" -> q78,
@@ -245,6 +286,26 @@ object TextPipeline {
   private val wordsCte = s"w AS ($wordsSql)"
 
   val oracle: Map[String, String] = Map(
+    "q98_text_repetition" ->
+      s"""WITH $wordsCte,
+         |tri AS (SELECT doc_id, t FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(words) - 2),
+         |      i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS t
+         |    FROM w WHERE len(words) >= 3)),
+         |pc AS (SELECT doc_id, t, count(*) AS c FROM tri GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams, count(*) AS n_distinct,
+         |  max(c) AS max_tri_count,
+         |  ${sr4("1e0 - count(*) / CAST(sum(c) AS DOUBLE)")} AS dup_ratio
+         |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q99_text_logprob" ->
+      s"""WITH $wordsCte,
+         |words AS (SELECT doc_id, unnest(words) AS wd FROM w),
+         |freq AS (SELECT wd, count(*) AS c FROM words GROUP BY 1),
+         |total AS (SELECT count(*) AS n FROM words),
+         |logp AS (SELECT wd, ln(c / CAST(n AS DOUBLE)) AS lp FROM freq, total)
+         |SELECT doc_id, count(*) AS n_tokens, ${sr4("avg(lp)")} AS mean_logprob
+         |FROM words JOIN logp USING (wd)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q76_dedup_ngram_jaccard" ->
       s"""WITH $wordsCte,
          |sh AS (SELECT DISTINCT doc_id, s AS sh FROM (

@@ -53,6 +53,20 @@ class CurationSpec extends AnyFunSuite {
     assert(en > 5 && en < 50, s"en kept $en of 218 at a 10% hash rate")
   }
 
+  test("q98/q99 quality filters: ratios bounded, log-probs negative, token counts consistent") {
+    val rep = operators.TextPipeline.q98(s, d).collect()
+    rep.foreach { r =>
+      val (n, dis, mx, dup) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(dis <= n && mx <= n && dup >= 0.0 && dup < 1.0)
+    }
+    val lp = operators.TextPipeline.q99(s, d).collect()
+    lp.foreach(r => assert(r.getDouble(2) < 0.0, "unigram log-prob must be negative"))
+    // q99's token count is the same whitespace tokenization q79 counts
+    val n79 = operators.TextPipeline.q79(s, d).select("doc_id", "n_words")
+    val n99 = operators.TextPipeline.q99(s, d).select(col("doc_id"), col("n_tokens"))
+    assert(n99.join(n79, "doc_id").filter(col("n_tokens") =!= col("n_words")).count() == 0)
+  }
+
   test("q96 packing: chunks are contiguous, start-aligned, and in budget order") {
     val rows = operators.Curation.q96(s, d)
       .select("source", "chunk_id", "doc_id", "tokens", "cum_tokens").collect()
