@@ -114,8 +114,10 @@ object Graft {
     * `(idCol, bucketCol)`: two ids are connected when they share any
     * bucket. Returns `(idCol, component)` where component = min id of the
     * cluster. Min-label propagation to the EXACT fixpoint (driver-side
-    * convergence check, `maxRounds` as a runaway bound), with a
-    * POINTER-JUMPING step each round — label(x) ← label(label(x)) — which
+    * convergence check, `maxRounds` as a runaway bound). From the third
+    * round on — i.e. only when plain propagation hasn't already converged,
+    * which it does for the star-shaped clusters dedup produces — each round
+    * adds a POINTER-JUMPING step, label(x) ← label(label(x)), which
     * compresses chain-shaped clusters exponentially, so a diameter-D
     * component converges in O(log D) rounds instead of D. Membership stays
     * linear in the input — never a pairwise edge list, which is quadratic
@@ -133,19 +135,22 @@ object Graft {
         .groupBy("__bucket").agg(min("__label").as("__bl"))
       val hopped = m.join(bmin, "__bucket")
         .groupBy(idCol).agg(min("__bl").as("__label"))
-        .cache() // referenced twice below (row side + label-lookup side)
-      // hop 2: pointer jumping — adopt the label OF the label (a label is
-      // itself an id, so its own, possibly smaller, label short-circuits
-      // chains; the invariant "label is a member of my component" holds
-      // transitively, and labels stay monotone non-increasing)
-      val next = hopped
-        .join(hopped.select(col(idCol).as("__label"),
-          col("__label").as("__ll")), Seq("__label"), "left")
-        .select(col(idCol), least(col("__label"), col("__ll")).as("__label"))
-        .cache()
+      // hop 2 (only once cheap propagation has had its chance): pointer
+      // jumping — adopt the label OF the label (a label is itself an id, so
+      // its own, possibly smaller, label short-circuits chains; "label is a
+      // member of my component" holds transitively and labels stay
+      // monotone non-increasing)
+      var jumpCache: Option[DataFrame] = None
+      val next = (if (round < 2) hopped else {
+        val h = hopped.cache() // referenced twice (row + label-lookup side)
+        jumpCache = Some(h)
+        h.join(h.select(col(idCol).as("__label"), col("__label").as("__ll")),
+            Seq("__label"), "left")
+          .select(col(idCol), least(col("__label"), col("__ll")).as("__label"))
+      }).cache()
       changed = next.join(labels.withColumnRenamed("__label", "__prev"), idCol)
         .filter(col("__label") =!= col("__prev")).limit(1).count() > 0
-      hopped.unpersist()
+      jumpCache.foreach(_.unpersist())
       labels.unpersist()
       labels = next
       round += 1
