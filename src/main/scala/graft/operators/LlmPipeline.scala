@@ -156,13 +156,48 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** Multimodal frame-sampling: from each opaque binary payload, extract a
+    * 64-byte "frame" every 4th block (stride 256) and fingerprint it —
+    * the media-pipeline shape (sample every Nth video frame / audio window,
+    * run a batched feature kernel, one input row → N frame rows). The
+    * kernel is the same mapPartitions batched surface as q75, emitting
+    * multiple rows per input; a real decoder's frame iterator drops
+    * straight into the flatMap.
+    *
+    * STUB NOTE (same disclosure as q75): no media codecs exist in this
+    * container, so frames are raw byte slices and the "feature" is SHA-256
+    * via one reused MessageDigest per partition. The oracle slices the
+    * source STRING — equivalent because the corpus is pure ASCII (verified:
+    * octet_length(encode(text)) == length(text) for every row at every SF). */
+  def q95(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.flatMap { case (id, bytes) =>
+          Iterator.range(0, bytes.length, 256).zipWithIndex.map { case (off, idx) =>
+            val len = math.min(64, bytes.length - off)
+            md.reset()
+            val sha = md.digest(java.util.Arrays.copyOfRange(bytes, off, off + len))
+              .map("%02x".format(_)).mkString
+            (id, idx.toLong, off.toLong, len.toLong, sha)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "offset", "n_frame_bytes", "frame_sha")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_dedup_near_minhash" -> q70,
     "q71_sim_search_topk" -> q71,
     "q72_text_stats" -> q72,
     "q73_label_centroids" -> q73,
     "q74_dedup_exact_docs" -> q74,
-    "q75_multimodal_meta" -> q75)
+    "q75_multimodal_meta" -> q75,
+    "q95_multimodal_frames" -> q95)
 
   val oracle: Map[String, String] = Map(
     "q71_sim_search_topk" ->
@@ -210,5 +245,15 @@ object LlmPipeline {
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha, lang
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q95_multimodal_frames" ->
+      """WITH p AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |f AS (SELECT doc_id, i AS frame_idx, i * 256 AS off,
+        |    substring(text, CAST(i * 256 + 1 AS BIGINT), 64) AS fb
+        |  FROM p, generate_series(0, 4095) AS t(i)
+        |  WHERE i * 256 < len)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(off AS BIGINT) AS offset,
+        |  CAST(length(fb) AS BIGINT) AS n_frame_bytes, sha256(fb) AS frame_sha
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin)
 }

@@ -67,6 +67,19 @@ class CurationSpec extends AnyFunSuite {
     assert(n99.join(n79, "doc_id").filter(col("n_tokens") =!= col("n_words")).count() == 0)
   }
 
+  test("q95 frames: stride-aligned offsets, bounded sizes, counts match doc lengths") {
+    val frames = operators.LlmPipeline.q95(s, d).collect()
+    frames.foreach { r =>
+      val (idx, off, n, sha) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      assert(off == idx * 256 && n >= 1 && n <= 64 && sha.length == 64)
+    }
+    val perDoc = frames.groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    val expected = Tables.documents(s, d)
+      .select(col("doc_id"), (floor((col("n_chars") - 1) / 256) + 1).as("nf"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc == expected)
+  }
+
   test("q96 packing: chunks are contiguous, start-aligned, and in budget order") {
     val rows = operators.Curation.q96(s, d)
       .select("source", "chunk_id", "doc_id", "tokens", "cum_tokens").collect()
