@@ -81,6 +81,17 @@ object Graft {
   def dedupFirst(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame =
     topKPerGroup(df, keys, orderBy, 1, "__dedup_rn").drop("__dedup_rn")
 
+  /** Latest-wins merge (the batch CDC/upsert shape): combine the base table
+    * with a change set carrying the same schema, keeping per key the single
+    * newest row by `versionBy` (ties broken by the remaining `tieBreak`
+    * columns — make the order total for determinism). One shuffle on the
+    * keys; at 100 TB pair it with bucketed storage on the same keys so the
+    * merge joins co-located (writeBucketed). */
+  def applyChanges(base: DataFrame, changes: DataFrame, keys: Seq[String],
+                   versionBy: Column, tieBreak: Seq[Column] = Nil): DataFrame =
+    dedupFirst(base.unionByName(changes), keys,
+      (versionBy.desc +: tieBreak.map(_.desc)))
+
   /** Content-stable bucket in [0, buckets) from any id column: the first 8
     * hex chars of sha256(id) — identical on every engine, partitioning and
     * rerun. The primitive behind reproducible sampling and A/B splits. */

@@ -69,6 +69,16 @@ class GraftApiSpec extends AnyFunSuite {
     assert(api.except(q96).isEmpty && q96.except(api).isEmpty)
   }
 
+  test("applyChanges: latest-wins upsert keeps newest version per key") {
+    val sp = TestSpark.spark
+    import sp.implicits._
+    val base = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)).toDF("k", "v", "ver")
+    val changes = Seq((2L, "b2", 2L), (4L, "d", 1L), (2L, "b3", 3L)).toDF("k", "v", "ver")
+    val merged = Graft.applyChanges(base, changes, Seq("k"), col("ver"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(merged == Map(1L -> ("a", 1L), 2L -> ("b3", 3L), 3L -> ("c", 1L), 4L -> ("d", 1L)))
+  }
+
   test("connectedComponents on a hand graph: two clusters, exact minima") {
     val sp = TestSpark.spark
     import sp.implicits._
