@@ -127,12 +127,24 @@ object Recommender {
       .orderBy("user_id", "item")
   }
 
-  private def alsOn(train: DataFrame): org.apache.spark.ml.recommendation.ALSModel =
+  private def alsOn(train: DataFrame): org.apache.spark.ml.recommendation.ALSModel = {
+    // Block counts sized to the data: ALS shuffles user-block × item-block
+    // pairs every iteration, so MLlib's default 10×10 grid is pure overhead
+    // when a side has only ~100 distinct keys (this corpus's item side) —
+    // while huge sides still get the full grid. ~500 keys per block, capped
+    // to [2, 10]; derived deterministically from the cached ratings, so
+    // fixed-seed reproducibility is unaffected.
+    val Array(nUsers, nItems) = train
+      .agg(countDistinct("user_id"), countDistinct("item"))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    def blocks(n: Long): Int = math.max(2, math.min(10, (n / 500).toInt)).toInt
     new ALS()
       .setUserCol("user_id").setItemCol("item").setRatingCol("rating")
       .setRank(8).setMaxIter(10).setRegParam(0.1).setSeed(42)
+      .setNumUserBlocks(blocks(nUsers)).setNumItemBlocks(blocks(nItems))
       .setColdStartStrategy("drop")
       .fit(train)
+  }
 
   /** MLlib ALS recommendations (no SQL oracle — fixed-seed + RMSE checks in
     * MlSpec; driver records a rows-only check). */
