@@ -171,6 +171,34 @@ object Graft {
     labels.withColumnRenamed("__label", "component")
   }
 
+  /** IVF-routed cosine top-k — the scale path for [[cosineTopK]]: corpus
+    * vectors are pre-assigned to cells (`cellCol`), each probe is routed to
+    * its nearest cell centroid and searches ONLY that cell (nprobe=1).
+    * Centroids are dimension-sized → broadcast twice (probe routing, cell
+    * assignment is already materialized in the corpus); the search join is
+    * an equi join on the cell id, so candidate generation is cell-local
+    * instead of corpus-wide. Approximate: a true neighbor in another cell
+    * is missed — recall rises with finer/overlapping cells. */
+  def ivfTopK(corpus: DataFrame, centroids: DataFrame, probes: DataFrame, k: Int,
+              corpusId: String = "id", corpusVec: String = "vec", cellCol: String = "cell",
+              centroidVec: String = "cvec",
+              probeId: String = "probe_id", probeVec: String = "probe_vec"): DataFrame = {
+    graft.plans.CosineSim.register(corpus.sparkSession)
+    val routed = probes.select(col(probeId), col(probeVec))
+      .crossJoin(broadcast(centroids.select(col(cellCol), col(centroidVec))))
+      .withColumn("__ccos", expr(s"cosine_sim($probeVec, $centroidVec)"))
+      .transform(df => topKPerGroup(df, Seq(probeId),
+        Seq(col("__ccos").desc, col(cellCol)), 1, "__crn"))
+      .select(col(probeId), col(probeVec), col(cellCol))
+    corpus.select(col(corpusId), col(corpusVec), col(cellCol))
+      .join(broadcast(routed), cellCol)
+      .filter(col(corpusId) =!= col(probeId))
+      .withColumn("cos", expr(s"cosine_sim($probeVec, $corpusVec)"))
+      .transform(df => topKPerGroup(df, Seq(probeId),
+        Seq(col("cos").desc, col(corpusId)), k))
+      .select(col(probeId), col(cellCol), col("rank"), col(corpusId), col("cos"))
+  }
+
   /** Brute-force cosine top-k: for each probe vector, the k most similar
     * corpus vectors (self-matches excluded when ids collide). Probes are
     * broadcast — the corpus streams map-side, so the scan is linear and

@@ -96,6 +96,29 @@ class GraftApiSpec extends AnyFunSuite {
     assert(chainGot == (1L to 12L).map(_ -> 1L).toMap)
   }
 
+  test("ivfTopK reproduces q85's cell routing and neighbor sets") {
+    val e = Tables.embeddings(s, d)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg(col("x").cast("double")).as("cx"))
+      .groupBy("label")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, cx))), s -> s.cx)").as("cvec"))
+      .withColumnRenamed("label", "cell")
+    val api = Graft.ivfTopK(
+        e.select(col("vec_id").as("id"), col("v").as("vec"), col("label").as("cell")),
+        cent,
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("v").as("probe_vec")),
+        k = 3)
+      .select(col("probe_id"), col("cell"), col("id").as("cand_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val q85 = operators.TextPipeline.q85(s, d)
+      .select("probe_id", "cell", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(api == q85)
+  }
+
   test("cosineTopK reproduces q71 (top-5 neighbors for the 10 probes)") {
     val e = Tables.embeddings(s, d)
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
