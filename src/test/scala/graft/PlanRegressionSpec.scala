@@ -54,14 +54,34 @@ class PlanRegressionSpec extends AnyFunSuite {
   }
 
   test("SimilarityBandRewrite fires on q77's all-pairs shape and preserves results exactly") {
-    val baseline = operators.TextPipeline.q77(s, d).collect().toSeq
+    // q77's own 0.5 threshold matches NOTHING at sf0.001 (max pairwise
+    // cosine 0.479) — run the identical shape at 0.4 so the parity check
+    // compares 66 real rows, not two empty sets
+    def shape(): org.apache.spark.sql.DataFrame = {
+      CosineSim.register(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+        .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")),
+          col("vec_a") < col("vec_b"))
+        .withColumn("cos", Tables.r5(expr("cosine_sim(va, vb)")))
+        .filter(col("cos") >= 0.4)
+        .select("vec_a", "vec_b", "cos")
+        .orderBy("vec_a", "vec_b")
+    }
+    val baseline = shape().collect().toSeq
+    assert(baseline.nonEmpty, "parity baseline must be non-trivial")
     s.experimental.extraOptimizations = Seq(SimilarityBandRewrite)
     s.conf.set(SimilarityBandRewrite.MinSideBytesKey, "1")
     try {
-      val df = operators.TextPipeline.q77(s, d)
+      val df = shape()
       val opt = df.queryExecution.optimizedPlan.toString
       assert(opt.contains("ref_angle"), s"rewrite did not fire:\n$opt")
       assert(df.collect().toSeq == baseline)
+      // and it fires on q77's exact production shape too
+      val q77opt = operators.TextPipeline.q77(s, d)
+        .queryExecution.optimizedPlan.toString
+      assert(q77opt.contains("ref_angle"))
     } finally {
       s.experimental.extraOptimizations = Nil
       s.conf.unset(SimilarityBandRewrite.MinSideBytesKey)
@@ -88,6 +108,41 @@ class PlanRegressionSpec extends AnyFunSuite {
     } finally {
       s.experimental.extraOptimizations = Nil
       s.conf.unset(SimilarityBandRewrite.MinSideBytesKey)
+    }
+  }
+
+  test("GraftExtensions wires functions AND the rewrite rule into a session (SQL path)") {
+    import org.apache.spark.sql.SparkSession
+    val base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // same SparkContext, fresh session built THROUGH the extensions hook —
+      // the production `spark.sql.extensions=graft.plans.GraftExtensions` path
+      val ext = SparkSession.builder()
+        .withExtensions(new graft.plans.GraftExtensions().apply(_))
+        .getOrCreate()
+      assert(ext ne base)
+      // functions registered without any manual register() call
+      val one = ext.sql(
+        "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) c, " +
+          "ref_angle(array(0.0d, 1.0d)) a").head()
+      assert(one.getDouble(0) == 1.0 && math.abs(one.getDouble(1) - math.Pi / 2) < 1e-12)
+      // and the optimizer rule fires on a pure-SQL all-pairs cosine join
+      ext.conf.set(graft.plans.SimilarityBandRewrite.MinSideBytesKey, "1")
+      Tables.embeddings(ext, d)
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .createOrReplaceTempView("emb")
+      val df = ext.sql(
+        """SELECT a.vec_id va, b.vec_id vb
+          |FROM emb a JOIN emb b
+          |ON a.vec_id < b.vec_id AND cosine_sim(a.v, b.v) >= 0.4""".stripMargin)
+      assert(df.queryExecution.optimizedPlan.toString.contains("ref_angle"),
+        "extensions-injected rewrite did not fire on the SQL path")
+      assert(df.count() == 66) // the exact pair count at this threshold/SF
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
     }
   }
 
