@@ -41,12 +41,18 @@ object Bench {
                  System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = outcomes.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // Times printed at 3 decimals: round 3's driver capture truncated the
+    // (~5 KB) line and failed to parse it, so keep the whole line well under
+    // 4 KB — millisecond precision is already below this VM's run-to-run
+    // noise floor.
+    def f3(v: Double): String = // Locale.ROOT: '.' decimal point regardless of host locale
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = outcomes.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val failed = outcomes.collect { case (k, _, false) => "\"" + k + "\"" }
       .toSeq.sorted.mkString("[", ",", "]")
     val total = outcomes.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

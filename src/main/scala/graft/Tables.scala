@@ -40,40 +40,64 @@ object Tables {
     * semantics. Each query function still stands alone — the memo is an
     * optimization, not a dependency.
     *
-    * Library hygiene: the outer map holds sessions WEAKLY, so in a
-    * long-lived service that creates and drops many sessions the cached
-    * plans are released with their session instead of accumulating forever;
-    * the per-session inner map is bounded by (#sfDirs × #shared tables).
-    * Keys never cross sessions — a cached DataFrame is bound to the session
-    * that planned it (PlanRegressionSpec asserts no cross-session reuse). */
-  private val memo = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
+    * Library hygiene: there is NO library-global map from sessions to plans.
+    * Each memoized relation is registered as a temp view in ITS OWN
+    * session's catalog (a `graft_memo_*` name), so the memo's lifetime is
+    * exactly the session's — drop the session and its views (and their
+    * plans) are unreachable. A previous design kept a
+    * `WeakHashMap[SparkSession, TrieMap[.., DataFrame]]`, which could never
+    * release anything: every cached Dataset strongly references its
+    * SparkSession, i.e. the map's own values pinned its weak keys.
+    *
+    * One caveat no session-local scheme can remove: `df.cache()` registers
+    * the plan in `SharedState.cacheManager`, which is shared by all
+    * sessions of a SparkContext and holds entries until unpersisted. A
+    * long-lived multi-session service should therefore call
+    * [[release]] (or `spark.catalog.clearCache()`) when done with a
+    * session; short-lived apps get everything back at context shutdown. */
+  private def memoName(sfDir: String, key: String): String = {
+    val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sfDir))
+    s"graft_memo_${key}_$h"
+  }
 
-  private def memoFor(spark: SparkSession) =
-    memo.computeIfAbsent(spark,
-      _ => new scala.collection.concurrent.TrieMap[(String, String), DataFrame]())
-
-  /** Session-scoped memo+cache for any shared derived relation (same
-    * lifecycle/hygiene as the built-in loaders above). */
+  /** Session-scoped memo+cache for any shared derived relation: builds (and
+    * `.cache()`s) at most once per (session, sfDir, key), then resolves
+    * through the session catalog — repeat calls get the cached plan via
+    * CacheManager's canonical-plan substitution. */
   private[graft] def memoized(spark: SparkSession, sfDir: String, key: String)(
-      build: => DataFrame): DataFrame =
-    memoFor(spark).getOrElseUpdate((sfDir, key), build.cache())
+      build: => DataFrame): DataFrame = {
+    val name = memoName(sfDir, key)
+    this.synchronized {
+      if (!spark.catalog.tableExists(name)) build.cache().createOrReplaceTempView(name)
+    }
+    spark.table(name)
+  }
+
+  /** Drop this session's memoized views and unpersist their cached data.
+    * Note Spark's CacheManager is context-shared: unpersisting here also
+    * evicts any other session's identical (same-plan) cache entry. */
+  def release(spark: SparkSession): Unit = this.synchronized {
+    spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_memo_"))
+      .foreach { n =>
+        try spark.catalog.uncacheTable(n) catch { case _: Exception => () }
+        spark.catalog.dropTempView(n)
+      }
+  }
 
   def events(spark: SparkSession, sfDir: String): DataFrame =
-    memoFor(spark).getOrElseUpdate((sfDir, "events"), {
+    memoized(spark, sfDir, "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       table(spark, sfDir, "events")
         .withColumn("tsc", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
-        .cache()
-    })
+    }
 
   /** The user–item interaction matrix (SURVEY.md §2.8 q60): item id comes from
     * the JSON `props.$k`, rating is the mean event value per (user, item).
     * Kept UNROUNDED here — each consumer rounds at its output edge (§2.9.2).
     */
   def ratings(spark: SparkSession, sfDir: String): DataFrame =
-    memoFor(spark).getOrElseUpdate((sfDir, "ratings"),
+    memoized(spark, sfDir, "ratings") {
       events(spark, sfDir)
         .select(
           col("user_id"),
@@ -81,7 +105,7 @@ object Tables {
           col("value"))
         .groupBy("user_id", "item")
         .agg(avg("value").as("rating"))
-        .cache())
+    }
 
   /** Ratings capped to each user's top-50 items (by 4dp-rounded rating,
     * item tiebreak) — the similarity-computation input for user-kNN (q64).
@@ -91,14 +115,13 @@ object Tables {
     * sf0.1). The cap itself is the 100 TB fan-out bound — see
     * Recommender.q64. */
   def cappedRatings(spark: SparkSession, sfDir: String): DataFrame =
-    memoFor(spark).getOrElseUpdate((sfDir, "capped50"), {
+    memoized(spark, sfDir, "capped50") {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy(r4(col("rating")).desc, col("item"))
       ratings(spark, sfDir)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 50).drop("rn")
-        .cache()
-    })
+    }
 
   /** DuckDB-side CTE mirroring `ratings` — splice into oracle SQL. */
   val ratingsSql: String =

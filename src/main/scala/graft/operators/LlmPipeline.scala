@@ -248,10 +248,12 @@ object LlmPipeline {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q95_multimodal_frames" ->
       """WITH p AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |ix AS (SELECT doc_id, text, len,
+        |    unnest(generate_series(0, CAST(greatest(ceil(len / 256.0) - 1, 0) AS BIGINT))) AS i
+        |  FROM p),
         |f AS (SELECT doc_id, i AS frame_idx, i * 256 AS off,
         |    substring(text, CAST(i * 256 + 1 AS BIGINT), 64) AS fb
-        |  FROM p, generate_series(0, 4095) AS t(i)
-        |  WHERE i * 256 < len)
+        |  FROM ix WHERE i * 256 < len)
         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |  CAST(off AS BIGINT) AS offset,
         |  CAST(length(fb) AS BIGINT) AS n_frame_bytes, sha256(fb) AS frame_sha

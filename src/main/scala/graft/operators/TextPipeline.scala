@@ -257,15 +257,18 @@ object TextPipeline {
   /** Unigram log-probability scoring: corpus word frequencies → per-doc
     * mean token log-prob (perplexity filtering's core statistic; very low
     * scores flag boilerplate-free gibberish, very high flag boilerplate).
-    * The frequency table is corpus-derived and dimension-sized → broadcast;
-    * the scan side stays linear. */
+    * The frequency table is corpus-DERIVED (vocabulary-sized, which grows
+    * with the corpus), so it gets NO forced broadcast hint — statistics/AQE
+    * decide at runtime, exactly the q64 discipline: a forced broadcast of a
+    * corpus-proportional relation is an executor OOM at 100 TB. The
+    * single-row grand total IS hinted. */
   def q99(s: SparkSession, d: String): DataFrame = {
     val words = docWords(s, d).select(col("doc_id"), explode(col("words")).as("w"))
     val freq = words.groupBy("w").agg(count(lit(1)).as("c"))
     val total = words.agg(count(lit(1)).as("n"))
     val logp = freq.crossJoin(broadcast(total))
       .select(col("w"), log(col("c") / col("n").cast("double")).as("lp"))
-    words.join(broadcast(logp), "w")
+    words.join(logp, "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), r4(avg("lp")).as("mean_logprob"))
       .orderBy("doc_id")

@@ -23,11 +23,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Semantics: dot(a,b) / (||a||·||b||), accumulated left-to-right in IEEE
   * doubles — bit-identical to the sequential HOF formulation it replaces.
   * Returns null if either side is null; mismatched lengths raise (vectors
-  * are schema-fixed 64-dim in this corpus). A zero-norm side yields 0.0, not
-  * NaN: Spark orders NaN above every double, so a NaN cosine would satisfy
-  * any `>= t` threshold and turn degenerate rows into universal matches in
-  * similarity joins — 0.0 ("no direction, no similarity") is the safe
-  * convention and what SimilarityBandRewrite's exactness proof assumes.
+  * are schema-fixed 64-dim in this corpus). A zero-norm side — and likewise
+  * any NaN/Inf-poisoned input whose ratio would come out NaN — yields 0.0,
+  * not NaN: Spark orders NaN above every double, so a NaN cosine would
+  * satisfy any `>= t` threshold and turn degenerate rows into universal
+  * matches in similarity joins — 0.0 ("no direction, no similarity") is the
+  * safe convention and what SimilarityBandRewrite's exactness proof assumes
+  * (a banded equi-join could otherwise drop NaN pairs the original
+  * `NaN >= t` predicate admitted).
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -54,7 +57,8 @@ case class CosineSim(left: Expression, right: Expression)
       i += 1
     }
     val denom = math.sqrt(nx) * math.sqrt(ny)
-    if (denom == 0.0) 0.0 else dot / denom
+    val r = if (denom == 0.0) 0.0 else dot / denom
+    if (java.lang.Double.isNaN(r)) 0.0 else r
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -78,6 +82,7 @@ case class CosineSim(left: Expression, right: Expression)
          |}
          |double $den = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
          |${ev.value} = $den == 0.0 ? 0.0 : $dot / $den;
+         |if (java.lang.Double.isNaN(${ev.value})) { ${ev.value} = 0.0; }
        """.stripMargin
     })
 

@@ -35,7 +35,10 @@ case class RefAngle(child: Expression) extends UnaryExpression {
     var ss = 0.0
     var i = 0
     while (i < n) { val x = a.getDouble(i); ss += x * x; i += 1 }
-    if (n == 0 || ss == 0.0) 0.0
+    // NaN/Inf-poisoned vectors fall back to 0.0 like zero-norm ones, matching
+    // CosineSim's convention (its value for such inputs is also 0.0, so the
+    // banding key being 0 is consistent with the pairs the residual keeps).
+    if (n == 0 || ss == 0.0 || java.lang.Double.isNaN(ss)) 0.0
     else {
       val c = a.getDouble(0) / math.sqrt(ss)
       math.acos(math.max(-1.0, math.min(1.0, c)))
@@ -54,7 +57,7 @@ case class RefAngle(child: Expression) extends UnaryExpression {
          |  double $x = $a.getDouble($i);
          |  $ss += $x * $x;
          |}
-         |if ($a.numElements() == 0 || $ss == 0.0) {
+         |if ($a.numElements() == 0 || $ss == 0.0 || java.lang.Double.isNaN($ss)) {
          |  ${ev.value} = 0.0;
          |} else {
          |  double $c = $a.getDouble(0) / java.lang.Math.sqrt($ss);
@@ -150,8 +153,24 @@ object SimilarityBandRewrite extends Rule[LogicalPlan] with PredicateHelper {
     case Subtract(l, _: Literal, _) => monotonePath(l)
     case Floor(c) => monotonePath(c)
     case Ceil(c) => monotonePath(c)
-    case c: Cast => monotonePath(c.child)
+    case c: Cast if monotoneCast(c) => monotonePath(c.child)
     case _ => false
+  }
+
+  /** Casts are NOT universally monotone — legacy-mode overflow-wrapping
+    * downcasts (e.g. long→int) and cast-to-boolean reorder values, which
+    * would make the bisection bound unsound. Whitelist only value-preserving
+    * or monotone-rounding numeric widenings. */
+  private def monotoneCast(c: Cast): Boolean = {
+    def rank(t: DataType): Int = t match {
+      case ByteType => 1; case ShortType => 2; case IntegerType => 3
+      case LongType => 4; case _ => 0
+    }
+    (c.child.dataType, c.dataType) match {
+      case (_: NumericType, DoubleType) => true // exact or round-to-nearest: monotone
+      // integral widening only (rank 0 = non-integral → rejected)
+      case (f, to) => rank(f) > 0 && rank(to) > 0 && rank(f) <= rank(to)
+    }
   }
 
   /** Smallest c ∈ [-1,1] (underestimated) such that the wrapped predicate can

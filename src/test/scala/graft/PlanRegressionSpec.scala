@@ -199,13 +199,28 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
-  test("Tables memo: no cross-session reuse; each session gets its own cached plan") {
+  test("Tables memo: session-scoped views, cached-plan reuse, release() cleans up") {
+    def memoViews(sess: org.apache.spark.sql.SparkSession): Seq[String] =
+      sess.catalog.listTables().collect().toSeq.map(_.name)
+        .filter(_.startsWith("graft_memo_"))
     val s2 = s.newSession()
     val e1 = Tables.events(s, d)
+    // the memo lives in s's own catalog, invisible to s2 (session-scoped)
+    assert(memoViews(s).nonEmpty, "memo view missing from owning session")
+    assert(memoViews(s2).isEmpty, "memo view leaked into a fresh session")
+    // within-session reuse: the second call resolves to the cached plan
+    assert(Tables.events(s, d).queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
+      "second lookup did not hit the session cache")
     val e2 = Tables.events(s2, d)
     assert(e1 ne e2, "cached DataFrame leaked across sessions")
-    assert(Tables.events(s, d) eq e1, "memo lost within-session reuse")
     assert(e2.count() == 1000)
+    // release() drops only the target session's views (+ their cache entries)
+    Tables.release(s2)
+    assert(memoViews(s2).isEmpty, "release left memo views behind")
+    assert(memoViews(s).nonEmpty, "release touched another session's views")
+    assert(Tables.events(s2, d).count() == 1000, "rebuild after release failed")
+    Tables.release(s2)
   }
 
   test("salted aggregation spreads a hot key over >1 reducer bucket and stays exact") {
