@@ -114,7 +114,50 @@ object Curation {
       .orderBy("source", "doc_id")
   }
 
+  /** Overlapping fixed-size chunking (the RAG / training-window shape):
+    * 64-word chunks at stride 48 (16-word overlap), one output row per
+    * chunk with its word count and content hash. Row-linear: chunk starts
+    * come from a per-doc `sequence` explode — fan-out is len/stride, no
+    * join, no shuffle beyond the final order. */
+  def q46(s: SparkSession, d: String): DataFrame =
+    TextPipeline.docWords(s, d)
+      .filter(size(col("words")) >= 1)
+      .select(col("doc_id"), col("words"),
+        explode(expr("sequence(0L, (size(words) - 1) div 48)")).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(64), size(col("words")) - col("chunk_idx") * 48)
+          .cast("long").as("n_chunk_words"),
+        sha2(expr("array_join(slice(words, cast(chunk_idx * 48 + 1 as int), 64), ' ')"),
+          256).as("chunk_sha"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Identifier/PII scrubbing: redact digit-run identifiers (≥4 digits) in
+    * free-text fields and count the redactions — the pre-training scrub
+    * pass. Row-local regex, codegen'd, no shuffle; the same
+    * `regexp_replace` chain takes email/phone/URL patterns at 100 TB. */
+  def q56(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_custkey"), col("c_name"),
+        regexp_replace(col("c_name"), "[0-9]{4,}", "<ID>").as("scrubbed"),
+        regexp_count(col("c_name"), lit("[0-9]{4,}")).cast("long").as("n_ids"))
+      .orderBy("c_custkey")
+
+  /** Corpus heavy hitters: top-20 tokens by frequency with corpus share —
+    * stopword discovery / vocabulary pruning. Two aggregations (map-side
+    * partial combine on the token key) + `TakeOrderedAndProject` for the
+    * top-k; the single-row total is the only broadcast. */
+  def q69(s: SparkSession, d: String): DataFrame = {
+    val words = TextPipeline.docWords(s, d).select(explode(col("words")).as("w"))
+    val freq = words.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = words.agg(count(lit(1)).as("n"))
+    freq.crossJoin(broadcast(total))
+      .select(col("w"), col("c"), r5(col("c") / col("n").cast("double")).as("share"))
+      .orderBy(col("c").desc, col("w")).limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_doc_chunk_overlap" -> q46,
+    "q56_scrub_ids" -> q56,
+    "q69_heavy_hitters" -> q69,
     "q92_minhash_kmv" -> q92,
     "q93_dedup_components" -> q93,
     "q94_sample_stratified" -> q94,
@@ -124,6 +167,28 @@ object Curation {
   private val shCte = s"sh AS (${TextPipeline.shinglesSql})"
 
   val oracle: Map[String, String] = Map(
+    "q46_doc_chunk_overlap" ->
+      s"""WITH $wordsCte,
+         |ix AS (SELECT doc_id, words,
+         |    unnest(generate_series(0, CAST(floor((len(words) - 1) / 48) AS BIGINT))) AS chunk_idx
+         |  FROM w WHERE len(words) >= 1)
+         |SELECT doc_id, chunk_idx,
+         |  CAST(least(64, len(words) - chunk_idx * 48) AS BIGINT) AS n_chunk_words,
+         |  sha256(array_to_string(
+         |    list_slice(words, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_sha
+         |FROM ix ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q56_scrub_ids" ->
+      """SELECT c_custkey, c_name,
+        |  regexp_replace(c_name, '[0-9]{4,}', '<ID>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(c_name, '[0-9]{4,}')) AS BIGINT) AS n_ids
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q69_heavy_hitters" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT unnest(words) AS w FROM w),
+         |f AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+         |t AS (SELECT count(*) AS n FROM tok)
+         |SELECT w, c, ${sr5("c / CAST(n AS DOUBLE)")} AS share
+         |FROM f, t ORDER BY c DESC, w LIMIT 20""".stripMargin,
     "q92_minhash_kmv" ->
       s"""WITH $wordsCte,
          |$shCte,

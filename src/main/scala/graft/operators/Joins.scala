@@ -105,6 +105,40 @@ object Joins {
       .select("r_regionkey", "r_name", "n_nationkey", "n_name")
       .orderBy("r_regionkey", "n_nationkey")
 
+  /** Interval self-join, shipped as the BUCKETED plan: same-user event pairs
+    * within 5 minutes of each other. The naive shape is a theta join
+    * (`|ts_a − ts_b| ≤ 300 s`) — per-user quadratic candidate generation
+    * that Spark can only plan as a nested loop. The scale plan bands time
+    * into 300 s cells: the build side keeps its single true cell, the probe
+    * side explodes to its 3 adjacent cells, and the join becomes an
+    * EQUI-join on (user, cell) with the full interval predicate kept as the
+    * residual — every qualifying pair has |cell diff| ≤ 1, so it is found
+    * exactly once, candidates are 3·|events| instead of quadratic, and the
+    * shuffle partitions on (user, cell). Same banding discipline as
+    * [[graft.plans.SimilarityBandRewrite]] applies to cosine joins.
+    * Gap arithmetic is done on PER-VALUE-truncated microseconds (`ts div
+    * 1000`): most raw ns values DO carry sub-microsecond digits (contrary
+    * to SURVEY §1.3's claim, which was measured through DuckDB's scan —
+    * DuckDB itself truncates each ns value to µs at read), and truncating
+    * the difference instead of the values would drift ±1 µs from the
+    * oracle. */
+  def q39(s: SparkSession, d: String): DataFrame = {
+    val W = 300L * 1000000L // 5 min in µs = the cell width
+    val e = events(s, d).select(col("event_id"), col("user_id"),
+      expr("ts div 1000").as("us"))
+    val probe = e.select(col("event_id").as("ev_a"), col("user_id"),
+      col("us").as("us_a"),
+      explode(expr(s"array(us div $W - 1, us div $W, us div $W + 1)")).as("cell"))
+    val build = e.select(col("event_id").as("ev_b"), col("user_id").as("user_b"),
+      col("us").as("us_b"), expr(s"us div $W").as("cell_b"))
+    probe.join(build,
+        col("user_id") === col("user_b") && col("cell") === col("cell_b") &&
+          col("ev_a") < col("ev_b") && abs(col("us_a") - col("us_b")) <= lit(W))
+      .select(col("user_id"), col("ev_a"), col("ev_b"),
+        abs(col("us_a") - col("us_b")).as("gap_us"))
+      .orderBy("ev_a", "ev_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_join_broadcast" -> q10,
     "q11_join_3way_revenue" -> q11,
@@ -114,7 +148,8 @@ object Joins {
     "q15_join_anti" -> q15,
     "q16_join_theta_band" -> q16,
     "q17_join_asof" -> q17,
-    "q18_join_cross" -> q18)
+    "q18_join_cross" -> q18,
+    "q39_join_interval_bucketed" -> q39)
 
   val oracle: Map[String, String] = Map(
     "q10_join_broadcast" ->
@@ -164,5 +199,15 @@ object Joins {
     "q18_join_cross" ->
       """SELECT r_regionkey, r_name, n_nationkey, n_name
         |FROM region CROSS JOIN nation
-        |ORDER BY r_regionkey, n_nationkey""".stripMargin)
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+    // the oracle states the NAIVE interval-join semantics the bucketed plan
+    // must reproduce exactly
+    "q39_join_interval_bucketed" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+        |SELECT a.user_id, a.event_id AS ev_a, b.event_id AS ev_b,
+        |  abs(a.us - b.us) AS gap_us
+        |FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(a.us - b.us) <= 300000000
+        |ORDER BY ev_a, ev_b""".stripMargin)
 }

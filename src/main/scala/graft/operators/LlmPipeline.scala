@@ -49,7 +49,10 @@ object LlmPipeline {
           .as("shingles"))
     val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)
-    val feats = tf.transform(shingled)
+    // The feature relation is referenced THREE times (LSH fit + both sides
+    // of the self-join); without the session memo each reference re-runs the
+    // shingle transform + hashing over the corpus.
+    val feats = memoized(s, d, "q70feats")(tf.transform(shingled))
     val model = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(5).setSeed(42).fit(feats)
     model.approxSimilarityJoin(feats, feats, 0.6, "jaccard_dist")

@@ -117,4 +117,33 @@ class PropertySpec extends AnyFunSuite {
     val t = operators.Joins.q17(s, d)
     assert(t.filter(col("o_orderdate") >= col("tsc")).count() == 0)
   }
+
+  test("CosineSim/RefAngle NaN convention: NaN inputs behave like zero-norm") {
+    plans.CosineSim.register(s)
+    val r = s.sql(
+      """SELECT cosine_sim(array(CAST('NaN' AS DOUBLE), 1D), array(1D, 1D)) a,
+        |       cosine_sim(array(1D, 2D), array(CAST('NaN' AS DOUBLE), 0D)) b""".stripMargin).head()
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0,
+      "NaN-poisoned vectors must map to 0.0, not NaN (NaN sorts above all doubles)")
+    val ang = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Seq(Double.NaN, 1.0), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+    assert(plans.RefAngle(ang).eval(null) == 0.0)
+  }
+
+  test("q39 bucketed interval join equals the naive theta join exactly") {
+    val bucketed = operators.Joins.q39(s, d).collect().toSeq
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"))
+    val a = e.toDF("ev_a", "user_a", "us_a")
+    val b = e.toDF("ev_b", "user_b", "us_b")
+    val naive = a.join(b,
+        col("user_a") === col("user_b") && col("ev_a") < col("ev_b") &&
+          abs(col("us_a") - col("us_b")) <= lit(300L * 1000000L))
+      .select(col("user_a").as("user_id"), col("ev_a"), col("ev_b"),
+        abs(col("us_a") - col("us_b")).as("gap_us"))
+      .orderBy("ev_a", "ev_b").collect().toSeq
+    assert(naive.nonEmpty, "fixture produced no close pairs — test is vacuous")
+    assert(bucketed == naive, "banding changed the interval-join result")
+  }
 }
