@@ -105,6 +105,14 @@ class PlanRegressionSpec extends AnyFunSuite {
         .join(e.select(col("label"), col("vec_id").as("ib"), col("v").as("vb")), "label")
         .filter(expr("cosine_sim(va, vb)") >= 0.5)
       assert(!equi.queryExecution.optimizedPlan.toString.contains("ref_angle"))
+      // a cast outside the monotone whitelist (double→int) in the wrapper
+      // must keep the rewrite off — only widening/to-double casts are
+      // provably monotone for the bisection bound
+      val nonMono = e.select(col("vec_id").as("ia"), col("v").as("va"))
+        .join(e.select(col("vec_id").as("ib"), col("v").as("vb")),
+          col("ia") < col("ib"))
+        .filter(expr("CAST(cosine_sim(va, vb) * 1000 AS INT)") >= 400)
+      assert(!nonMono.queryExecution.optimizedPlan.toString.contains("ref_angle"))
     } finally {
       s.experimental.extraOptimizations = Nil
       s.conf.unset(SimilarityBandRewrite.MinSideBytesKey)
@@ -197,6 +205,20 @@ class PlanRegressionSpec extends AnyFunSuite {
       s.sql("DROP TABLE IF EXISTS b_orders")
       s.sql("DROP TABLE IF EXISTS b_lineitem")
     }
+  }
+
+  test("q39 interval join is equi-planned on (user, cell): SMJ when broadcast is off") {
+    // At test SF the optimizer rightly broadcasts the small side (no hint in
+    // the query). The 100 TB shape is what matters: with broadcast disabled
+    // (= fact-sized stats), the SAME plan must become a shuffled equi join
+    // on (user, cell) — never a nested loop over the interval predicate.
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = operators.Joins.q39(s, d).queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"interval join lost its equi keys:\n$p")
+      assert(!p.contains("NestedLoop"), s"interval join fell back to a nested loop:\n$p")
+    } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("Tables memo: session-scoped views, cached-plan reuse, release() cleans up") {
