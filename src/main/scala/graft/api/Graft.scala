@@ -121,6 +121,47 @@ object Graft {
       .drop("__cum")
   }
 
+  /** Interval join: every (left, right) pair sharing `keys` whose numeric
+    * timestamps (`leftTs`/`rightTs`, same units, DISTINCT column names,
+    * non-negative) differ by at most `width`, plus any extra `cond`
+    * conjuncts (e.g. an id inequality to halve a self-join).
+    *
+    * Plan: band time into `width`-sized cells. The right side keeps its one
+    * true cell; the left side explodes to its 3 adjacent cells; the join
+    * becomes an EQUI join on (keys, cell) with the full interval predicate
+    * as residual. Every qualifying pair has |cell diff| ≤ 1, so it is
+    * emitted exactly once, candidate generation is 3·|left| instead of
+    * per-key quadratic, and the shuffle partitions on (keys, cell) — the
+    * same banding discipline [[graft.plans.SimilarityBandRewrite]] applies
+    * to cosine joins. Below broadcast thresholds the optimizer still picks
+    * a broadcast hash join; with fact-sized stats it degrades to a shuffled
+    * sort-merge join, never a nested loop (asserted in PlanRegressionSpec
+    * for the q39 instance). */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String, width: Long,
+                   cond: Column = lit(true)): DataFrame = {
+    require(leftTs != rightTs, "leftTs and rightTs must be distinct column names")
+    val lc = left.withColumn("__iv_cell", explode(expr(
+      s"array($leftTs div ${width}L - 1, $leftTs div ${width}L, $leftTs div ${width}L + 1)")))
+    val rc = right.withColumn("__iv_cell", expr(s"$rightTs div ${width}L"))
+    lc.join(rc, keys :+ "__iv_cell")
+      .filter(abs(col(leftTs) - col(rightTs)) <= width && cond)
+      .drop("__iv_cell")
+  }
+
+  /** Overlapping fixed-size chunking over an array column (the RAG /
+    * training-window shape): one output row per (input row, chunk), where
+    * chunk i covers elements [i·stride+1, i·stride+chunkSize] (1-based).
+    * Row-linear: the chunk starts come from a per-row `sequence` explode —
+    * fan-out ≈ len/stride, no join, no shuffle. */
+  def chunkOverlap(df: DataFrame, arrCol: String, chunkSize: Int, stride: Int,
+                   idxCol: String = "chunk_idx",
+                   chunkCol: String = "chunk"): DataFrame =
+    df.filter(size(col(arrCol)) >= 1)
+      .withColumn(idxCol, explode(expr(s"sequence(0L, (size($arrCol) - 1) div $stride)")))
+      .withColumn(chunkCol,
+        expr(s"slice($arrCol, cast($idxCol * $stride + 1 as int), $chunkSize)"))
+
   /** Connected components over a bipartite membership relation
     * `(idCol, bucketCol)`: two ids are connected when they share any
     * bucket. Returns `(idCol, component)` where component = min id of the

@@ -60,6 +60,31 @@ class GraftApiSpec extends AnyFunSuite {
     assert(api.except(q94).isEmpty && q94.except(api).isEmpty)
   }
 
+  test("intervalJoin reproduces q39 (same-user event pairs within 5 min)") {
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("us"))
+    val a = e.select(col("event_id").as("ev_a"), col("user_id"), col("us").as("us_a"))
+    val b = e.select(col("event_id").as("ev_b"), col("user_id"), col("us").as("us_b"))
+    val api = Graft.intervalJoin(a, b, Seq("user_id"), "us_a", "us_b",
+        300L * 1000000L, col("ev_a") < col("ev_b"))
+      .select(col("user_id"), col("ev_a"), col("ev_b"),
+        abs(col("us_a") - col("us_b")).as("gap_us"))
+    val q39 = operators.Joins.q39(s, d)
+    assert(api.count() > 0)
+    assert(api.except(q39).isEmpty && q39.except(api).isEmpty)
+  }
+
+  test("chunkOverlap reproduces q46's chunk windows and hashes") {
+    val words = Tables.documents(s, d).select(col("doc_id"),
+      expr("filter(split(lower(text), ' '), w -> w != '')").as("words"))
+    val api = Graft.chunkOverlap(words, "words", 64, 48)
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_chunk_words"),
+        sha2(array_join(col("chunk"), " "), 256).as("chunk_sha"))
+    val q46 = operators.Curation.q46(s, d)
+    assert(api.except(q46).isEmpty && q46.except(api).isEmpty)
+  }
+
   test("packSequences reproduces q96's chunk assignment") {
     val toks = Tables.documents(s, d).select(col("doc_id"), col("source"),
       regexp_count(col("text"), lit("[a-z0-9]+|[^a-z0-9\\s]")).cast("long").as("tokens"))

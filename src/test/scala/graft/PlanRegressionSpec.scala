@@ -221,6 +221,35 @@ class PlanRegressionSpec extends AnyFunSuite {
     } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The 100 TB scan-reduction path for shuffle joins (broadcast joins get
+    // DPP instead): a selective dim-side predicate should inject a
+    // bloom-filter semi-filter on the fact scan. Thresholds are sized for
+    // real clusters, so open the gates at test scale and assert the
+    // mechanism itself fires.
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+      val sel = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_totalprice")
+      val j = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") || opt.contains("bloom_filter"),
+        s"runtime bloom filter did not inject:\n$opt")
+      // and it must not change results
+      assert(j.count() ==
+        li.join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      s.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   test("Tables memo: session-scoped views, cached-plan reuse, release() cleans up") {
     def memoViews(sess: org.apache.spark.sql.SparkSession): Seq[String] =
       sess.catalog.listTables().collect().toSeq.map(_.name)
