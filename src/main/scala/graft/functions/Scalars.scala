@@ -68,6 +68,20 @@ object Scalars {
           .as("keys"))
       .orderBy("event_id")
 
+  /** Spark 4's VARIANT surface: parse the JSON props ONCE into the binary
+    * semi-structured type, then extract with `variant_get` — at scale the
+    * parse cost is paid once per row instead of once per `get_json_object`
+    * path, and the binary encoding pushes through shuffles untouched. The
+    * extraction feeds the same (item → count, mean value) aggregate shape
+    * as the ratings matrix, so the oracle stays pure SQL. */
+  def q08(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(expr("variant_get(parse_json(props), '$.k', 'bigint')").as("item"),
+        col("value"))
+      .groupBy("item")
+      .agg(count(lit(1)).as("n_events"), r4(avg("value")).as("avg_value"))
+      .orderBy("item")
+
   /** Array higher-order functions over the embedding column. Floats are cast
     * to double FIRST so both engines accumulate in double (float accumulation
     * would diverge beyond the 5-dp rounding guard). */
@@ -92,6 +106,7 @@ object Scalars {
       .orderBy("c_custkey")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q08_variant_extract" -> q08,
     "q50_string_funcs" -> q50,
     "q51_date_funcs" -> q51,
     "q52_math_funcs" -> q52,
@@ -100,6 +115,10 @@ object Scalars {
     "q55_null_conditional" -> q55)
 
   val oracle: Map[String, String] = Map(
+    "q08_variant_extract" ->
+      s"""SELECT CAST(json_extract(props, '$$.k') AS BIGINT) AS item,
+         |  count(*) AS n_events, ${sr4("avg(value)")} AS avg_value
+         |FROM events GROUP BY 1 ORDER BY item""".stripMargin,
     "q50_string_funcs" ->
       """SELECT p_partkey,
         |  upper(p_name) AS uname,

@@ -154,8 +154,23 @@ object Curation {
       .orderBy(col("c").desc, col("w")).limit(20)
   }
 
+  /** Sketch-based heavy hitters via Spark 4's `approx_top_k` — ONE
+    * partial-aggregating pass with bounded state (vs q69's exact two-agg
+    * formulation). With `maxItemsTracked` ≥ the true vocabulary (31 words
+    * here at every SF) the sketch is EXACT, which makes this the rare
+    * sketch key with a SQL oracle; when the vocabulary overflows the
+    * tracker at true corpus scale the same query degrades gracefully to
+    * approximate counts instead of blowing memory. */
+  def q49(s: SparkSession, d: String): DataFrame =
+    TextPipeline.docWords(s, d).select(explode(col("words")).as("w"))
+      .agg(expr("approx_top_k(w, 20, 10000)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("w"), col("e.count").cast("long").as("c"))
+      .orderBy(col("c").desc, col("w"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_doc_chunk_overlap" -> q46,
+    "q49_approx_topk_sketch" -> q49,
     "q56_scrub_ids" -> q56,
     "q69_heavy_hitters" -> q69,
     "q92_minhash_kmv" -> q92,
@@ -177,6 +192,11 @@ object Curation {
          |  sha256(array_to_string(
          |    list_slice(words, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_sha
          |FROM ix ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q49_approx_topk_sketch" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT unnest(words) AS w FROM w),
+         |f AS (SELECT w, count(*) AS c FROM tok GROUP BY 1)
+         |SELECT w, c FROM f ORDER BY c DESC, w LIMIT 20""".stripMargin,
     "q56_scrub_ids" ->
       """SELECT c_custkey, c_name,
         |  regexp_replace(c_name, '[0-9]{4,}', '<ID>', 'g') AS scrubbed,
