@@ -216,4 +216,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L))
     q.stop()
   }
+
+  test("transformWithState: per-user running max via the Spark 4 arbitrary-state API") {
+    // The modern replacement for mapGroupsWithState: typed per-key state
+    // handles (ValueState/ListState/MapState + timers + TTL) over the
+    // RocksDB state store — the API a 100 TB streaming pipeline would use
+    // for custom state. Here: a per-user running maximum across batches.
+    val sp = s
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val out = ms.toDS().groupByKey(_.user_id)
+        .transformWithState(new RunningMaxProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val q = out.toDF("user_id", "running_max")
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").start()
+      val base = LocalDateTime.of(2024, 1, 1, 10, 0, 0)
+      ms.addData(Seq(
+        Ev(1, 1, "click", 3.0, utcTs(base)),
+        Ev(2, 1, "click", 7.0, utcTs(base.plusMinutes(1))),
+        Ev(3, 2, "view", 5.0, utcTs(base.plusMinutes(2)))))
+      q.processAllAvailable()
+      ms.addData(Seq( // second batch: state must SURVIVE across batches
+        Ev(4, 1, "click", 4.0, utcTs(base.plusMinutes(3))), // below user 1's max
+        Ev(5, 2, "view", 9.0, utcTs(base.plusMinutes(4))))) // new max for user 2
+      q.processAllAvailable()
+      val last = s.table("tws_out").groupBy("user_id")
+        .agg(max("running_max").as("m")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(last == Map(1L -> 7.0, 2L -> 9.0),
+        s"running max wrong (state lost across batches?): $last")
+      q.stop()
+    } finally sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+}
+
+/** Per-key running max over [[org.apache.spark.sql.streaming.ValueState]] —
+  * the minimal transformWithState processor (no timers, no TTL). */
+class RunningMaxProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, (Long, Double)] {
+  @transient private var maxState: org.apache.spark.sql.streaming.ValueState[Double] = _
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    maxState = getHandle.getValueState[Double]("max",
+      org.apache.spark.sql.Encoders.scalaDouble,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      timers: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Double)] = {
+    val prev = if (maxState.exists()) maxState.get() else Double.NegativeInfinity
+    val m = rows.foldLeft(prev)((acc, e) => math.max(acc, e.value))
+    maxState.update(m)
+    Iterator.single((key, m))
+  }
 }
