@@ -80,6 +80,38 @@ class CurationSpec extends AnyFunSuite {
     assert(perDoc == expected)
   }
 
+  test("q46 chunking: full coverage, stride-spaced starts, only the last chunk short") {
+    val words = Tables.documents(s, d).select(col("doc_id"),
+      expr("size(filter(split(lower(text), ' '), w -> w != ''))")
+        .cast("long").as("n_words"))
+    val chunks = operators.Curation.q46(s, d)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_chunk_words") < 64, 1).otherwise(0)).as("n_short"),
+        max(col("chunk_idx")).as("max_idx"))
+    val j = words.join(chunks, "doc_id").collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      val (n, nc, nShort, maxIdx) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // chunk starts are 0, 48, 96, … while start < n → count = (n-1)/48 + 1,
+      // which covers every word index (start + 64 ≥ start + 48 > next start)
+      assert(nc == (n - 1) / 48 + 1, s"doc ${r.getLong(0)}: $nc chunks for $n words")
+      assert(maxIdx == nc - 1)
+      // at most the final chunk may be shorter than chunkSize... plus the
+      // penultimate when the tail overlaps (n - (nc-2)*48 < 64 possible only
+      // for the last TWO starts); never more
+      assert(nShort <= 2, s"doc ${r.getLong(0)}: $nShort short chunks")
+    }
+  }
+
+  test("q49 sketch heavy hitters equal q69's exact top-20 (vocab fits the tracker)") {
+    val sketch = operators.Curation.q49(s, d).select("w", "c")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = operators.Curation.q69(s, d).select("w", "c")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sketch == exact, "approx_top_k must be exact while vocab ≤ maxItemsTracked")
+  }
+
   test("q96 packing: chunks are contiguous, start-aligned, and in budget order") {
     val rows = operators.Curation.q96(s, d)
       .select("source", "chunk_id", "doc_id", "tokens", "cum_tokens").collect()
