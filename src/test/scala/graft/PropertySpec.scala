@@ -131,6 +131,27 @@ class PropertySpec extends AnyFunSuite {
     assert(plans.RefAngle(ang).eval(null) == 0.0)
   }
 
+  test("intervalJoin banding law: equals the naive theta join on random data") {
+    // 400 random (key, ts) rows with ts clustered tightly enough that cell
+    // boundaries are exercised on both sides (width 100, ts in [0, 5000))
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 400).map(i =>
+      (i.toLong, (rnd.nextInt(8)).toString, rnd.nextInt(5000).toLong))
+    val sp = s
+    import sp.implicits._
+    val df = rows.toDF("id", "k", "ts")
+    val a = df.select(col("id").as("ida"), col("k"), col("ts").as("tsa"))
+    val b = df.select(col("id").as("idb"), col("k"), col("ts").as("tsb"))
+    val banded = api.Graft.intervalJoin(a, b, Seq("k"), "tsa", "tsb", 100L,
+        col("ida") < col("idb"))
+      .select("k", "ida", "idb").orderBy("ida", "idb").collect().toSeq
+    val naive = a.join(b.withColumnRenamed("k", "k2"),
+        col("k") === col("k2") && col("ida") < col("idb") &&
+          abs(col("tsa") - col("tsb")) <= 100L)
+      .select("k", "ida", "idb").orderBy("ida", "idb").collect().toSeq
+    assert(naive.nonEmpty && banded == naive)
+  }
+
   test("q39 bucketed interval join equals the naive theta join exactly") {
     val bucketed = operators.Joins.q39(s, d).collect().toSeq
     val e = Tables.events(s, d)
