@@ -146,7 +146,7 @@ object Curation {
     * partial combine on the token key) + `TakeOrderedAndProject` for the
     * top-k; the single-row total is the only broadcast. */
   def q69(s: SparkSession, d: String): DataFrame = {
-    val words = TextPipeline.docWords(s, d).select(explode(col("words")).as("w"))
+    val words = TextPipeline.words1(s, d).select(col("w"))
     val freq = words.groupBy("w").agg(count(lit(1)).as("c"))
     val total = words.agg(count(lit(1)).as("n"))
     freq.crossJoin(broadcast(total))
@@ -162,7 +162,7 @@ object Curation {
     * tracker at true corpus scale the same query degrades gracefully to
     * approximate counts instead of blowing memory. */
   def q49(s: SparkSession, d: String): DataFrame =
-    TextPipeline.docWords(s, d).select(explode(col("words")).as("w"))
+    TextPipeline.words1(s, d).select(col("w"))
       .agg(expr("approx_top_k(w, 20, 10000)").as("tk"))
       .select(explode(col("tk")).as("e"))
       .select(col("e.item").as("w"), col("e.count").cast("long").as("c"))

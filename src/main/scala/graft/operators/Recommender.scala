@@ -204,9 +204,7 @@ object Recommender {
     * HashingTF, so the oracle can reproduce it exactly. */
   def q68(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val words = docs
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
-      .filter(col("w") =!= "")
+    val words = TextPipeline.words1(s, d).select(col("doc_id"), col("w"))
     val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n"))

@@ -35,6 +35,18 @@ object TextPipeline {
   private[operators] val wordsSql =
     "SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), w -> w != '') AS words FROM documents"
 
+  /** Exploded (doc_id, lang, w) token stream — shared by the word-frequency
+    * family (q68 TF-IDF, q69/q49 heavy hitters, q78 language-ID, q99
+    * log-prob). Memoized+cached like [[shingles5]]: each consumer references
+    * the stream 2–3 times inside ONE plan (tf agg + df/total agg + join
+    * probe), so without the cache every reference re-runs the
+    * scan+split+explode over the corpus. */
+  private[operators] def words1(s: SparkSession, d: String): DataFrame =
+    graft.Tables.memoized(s, d, "words1") {
+      docWords(s, d)
+        .select(col("doc_id"), col("lang"), explode(col("words")).as("w"))
+    }
+
   /** Distinct 5-word shingles per doc (docs with <5 words drop out) — the
     * shared unit of the shingle-based dedup family (q76/q84/q92/q93).
     * Memoized+cached: four queries re-derive it, and the distinct is a
@@ -94,8 +106,7 @@ object TextPipeline {
     * by frequency, classify each doc by distinct-word overlap (argmax score,
     * ties → alphabetical language). Deterministic n-gram-style heuristic. */
   def q78(s: SparkSession, d: String): DataFrame = {
-    val words = docWords(s, d)
-      .select(col("doc_id"), col("lang"), explode(col("words")).as("w"))
+    val words = words1(s, d)
     val prof = words.groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("lang").orderBy(col("cnt").desc, col("w"))))
@@ -263,7 +274,7 @@ object TextPipeline {
     * corpus-proportional relation is an executor OOM at 100 TB. The
     * single-row grand total IS hinted. */
   def q99(s: SparkSession, d: String): DataFrame = {
-    val words = docWords(s, d).select(col("doc_id"), explode(col("words")).as("w"))
+    val words = words1(s, d).select(col("doc_id"), col("w"))
     val freq = words.groupBy("w").agg(count(lit(1)).as("c"))
     val total = words.agg(count(lit(1)).as("n"))
     val logp = freq.crossJoin(broadcast(total))
