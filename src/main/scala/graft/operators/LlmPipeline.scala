@@ -130,6 +130,35 @@ object LlmPipeline {
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy("sha")
 
+  /** Multimodal feature extraction — the third member of the batched-kernel
+    * trio (q75 decode-meta, q95 frame-sample, q09 feature-extract): per
+    * payload, a fixed-dimension feature vector computed in partition
+    * batches — here a 16-bin byte-value histogram (bucket = byte >> 4),
+    * L1-normalized, the deterministic stand-in for an image/audio feature
+    * net (no media libs in-container; the kernel shape is what a real
+    * extractor drops into). One row in → one fixed-width feature row out,
+    * emitted as 16 scalar columns (the driver's comparer can't hash array
+    * cells — q27 lesson). ASCII payloads make the char-arithmetic oracle
+    * exact. */
+  def q09(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val feat = documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val h = new Array[Long](16)
+          var i = 0
+          while (i < bytes.length) { h((bytes(i) & 0xff) >> 4) += 1; i += 1 }
+          (id, bytes.length.toLong, h.toSeq)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "hist")
+    val buckets = (0 until 16).map(b =>
+      r5(col("hist").getItem(b) / col("n_bytes").cast("double")).as(s"b$b"))
+    feat.select(col("doc_id") +: col("n_bytes") +: buckets: _*).orderBy("doc_id")
+  }
+
   /** Multimodal-column plumbing: an opaque binary payload column + typed
     * metadata, processed in partition batches via mapPartitions (the Scala
     * analogue of batched pandas UDFs).
@@ -200,9 +229,22 @@ object LlmPipeline {
     "q73_label_centroids" -> q73,
     "q74_dedup_exact_docs" -> q74,
     "q75_multimodal_meta" -> q75,
-    "q95_multimodal_frames" -> q95)
+    "q95_multimodal_frames" -> q95,
+    "q09_multimodal_features" -> q09)
+
+  private val featureBuckets: String = (0 until 16).map(b =>
+    s"${sr5(s"sum(CASE WHEN bkt = $b THEN 1 ELSE 0 END) / CAST(any_value(n) AS DOUBLE)")} AS b$b")
+    .mkString(",\n  ")
 
   val oracle: Map[String, String] = Map(
+    "q09_multimodal_features" ->
+      s"""WITH ch AS (SELECT doc_id, text, length(text) AS n,
+         |    unnest(generate_series(1, CAST(length(text) AS BIGINT))) AS i
+         |  FROM documents),
+         |bk AS (SELECT doc_id, n, ascii(substring(text, i, 1)) // 16 AS bkt FROM ch)
+         |SELECT doc_id, CAST(any_value(n) AS BIGINT) AS n_bytes,
+         |  $featureBuckets
+         |FROM bk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q71_sim_search_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
