@@ -159,6 +159,32 @@ object LlmPipeline {
     feat.select(col("doc_id") +: col("n_bytes") +: buckets: _*).orderBy("doc_id")
   }
 
+  /** Multimodal resize — the fourth batched-kernel shape (with q75 decode,
+    * q09 feature-extract, q95 frame-sample): downsample each payload to a
+    * ≤64-byte "thumbnail" by nearest-neighbor striding (stride =
+    * ceil(len/64)) — the 1-D stand-in for image resize, which is exactly
+    * stride-sampling in each dimension. Output stays a BINARY column (the
+    * resized asset), plus its length and fingerprint. ASCII payloads make
+    * the string-striding oracle exact. */
+  def q06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, bytes) =>
+          val stride = math.max(1, (bytes.length + 63) / 64)
+          val thumb = bytes.indices.by(stride).map(bytes).toArray
+          md.reset()
+          (id, bytes.length.toLong, thumb.length.toLong,
+            md.digest(thumb).map("%02x".format(_)).mkString)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "thumb_bytes", "thumb_sha")
+      .orderBy("doc_id")
+  }
+
   /** Multimodal-column plumbing: an opaque binary payload column + typed
     * metadata, processed in partition batches via mapPartitions (the Scala
     * analogue of batched pandas UDFs).
@@ -230,13 +256,26 @@ object LlmPipeline {
     "q74_dedup_exact_docs" -> q74,
     "q75_multimodal_meta" -> q75,
     "q95_multimodal_frames" -> q95,
-    "q09_multimodal_features" -> q09)
+    "q09_multimodal_features" -> q09,
+    "q06_multimodal_resize" -> q06)
 
   private val featureBuckets: String = (0 until 16).map(b =>
     s"${sr5(s"sum(CASE WHEN bkt = $b THEN 1 ELSE 0 END) / CAST(any_value(n) AS DOUBLE)")} AS b$b")
     .mkString(",\n  ")
 
   val oracle: Map[String, String] = Map(
+    "q06_multimodal_resize" ->
+      """WITH p AS (SELECT doc_id, text, length(text) AS len,
+        |    greatest(1, (length(text) + 63) // 64) AS stride FROM documents),
+        |ix AS (SELECT doc_id, text, len, stride,
+        |    unnest(generate_series(0, (len - 1) // stride)) AS i
+        |  FROM p WHERE len >= 1),
+        |th AS (SELECT doc_id, len,
+        |    string_agg(substring(text, CAST(1 + i * stride AS BIGINT), 1), '' ORDER BY i) AS thumb
+        |  FROM ix GROUP BY doc_id, len)
+        |SELECT doc_id, CAST(len AS BIGINT) AS n_bytes,
+        |  CAST(length(thumb) AS BIGINT) AS thumb_bytes, sha256(thumb) AS thumb_sha
+        |FROM th ORDER BY doc_id""".stripMargin,
     "q09_multimodal_features" ->
       s"""WITH ch AS (SELECT doc_id, text, length(text) AS n,
          |    unnest(generate_series(1, CAST(length(text) AS BIGINT))) AS i
