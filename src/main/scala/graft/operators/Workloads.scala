@@ -37,6 +37,23 @@ object Workloads {
       .limit(10)
   }
 
+  /** Correlated scalar subquery through the SQL entry point: orders whose
+    * price exceeds 2× their customer's own average. Exercises Catalyst's
+    * `RewriteCorrelatedScalarSubquery` decorrelation — the planned shape is
+    * a per-customer aggregate joined back to orders (one shuffle on
+    * custkey), NOT a per-row subquery execution; at scale that is the only
+    * viable plan, and the optimizer produces it from the declarative form. */
+  def q07(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("graft_orders_v")
+    s.sql(s"""
+      SELECT o_orderkey, o_custkey, ${sr2("o_totalprice")} AS o_totalprice
+      FROM graft_orders_v o
+      WHERE o_totalprice > (SELECT 2 * avg(o2.o_totalprice)
+                            FROM graft_orders_v o2
+                            WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey""")
+  }
+
   /** TPC-H Q5 shape: revenue by nation where customer and supplier share the
     * nation, one order-year. */
   def q47(s: SparkSession, d: String): DataFrame = {
@@ -127,6 +144,7 @@ object Workloads {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q07_correlated_subquery" -> q07,
     "q19_tpch_q3_shipping" -> q19,
     "q47_tpch_q5_local" -> q47,
     "q48_tpch_q10_returns" -> q48,
@@ -135,6 +153,13 @@ object Workloads {
     "q37_retention_cohorts" -> q37)
 
   val oracle: Map[String, String] = Map(
+    "q07_correlated_subquery" ->
+      s"""SELECT o_orderkey, o_custkey, ${sr2("o_totalprice")} AS o_totalprice
+         |FROM orders o
+         |WHERE o_totalprice > (SELECT 2 * avg(o2.o_totalprice)
+         |                      FROM orders o2
+         |                      WHERE o2.o_custkey = o.o_custkey)
+         |ORDER BY o_orderkey""".stripMargin,
     "q19_tpch_q3_shipping" ->
       s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
          |  ${sr2("sum(l_extendedprice * (1.0 - l_discount))")} AS revenue
