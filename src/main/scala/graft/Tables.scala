@@ -55,23 +55,34 @@ object Tables {
     * long-lived multi-session service should therefore call
     * [[release]] (or `spark.catalog.clearCache()`) when done with a
     * session; short-lived apps get everything back at context shutdown. */
+  /** Sanitized sfDir + a 32-bit hash: the readable part disambiguates the
+    * common case and the hash covers paths that sanitize identically — two
+    * sfDirs collide only if BOTH agree, i.e. effectively never (the hash
+    * alone would give a 2⁻³² birthday risk per session-lifetime pair). */
   private def memoName(sfDir: String, key: String): String = {
+    val sane = sfDir.replaceAll("[^A-Za-z0-9]", "_").takeRight(40)
     val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sfDir))
-    s"graft_memo_${key}_$h"
+    s"graft_memo_${key}_${sane}_$h"
   }
 
   /** Session-scoped memo+cache for any shared derived relation: builds (and
     * `.cache()`s) at most once per (session, sfDir, key), then resolves
     * through the session catalog — repeat calls get the cached plan via
-    * CacheManager's canonical-plan substitution. */
-  private[graft] def memoized(spark: SparkSession, sfDir: String, key: String)(
-      build: => DataFrame): DataFrame = {
+    * CacheManager's canonical-plan substitution. Returns the VIEW NAME so
+    * SQL-entry queries can reference the memo by name; [[release]] drops it
+    * with the rest. */
+  private[graft] def memoizedView(spark: SparkSession, sfDir: String, key: String)(
+      build: => DataFrame): String = {
     val name = memoName(sfDir, key)
     this.synchronized {
       if (!spark.catalog.tableExists(name)) build.cache().createOrReplaceTempView(name)
     }
-    spark.table(name)
+    name
   }
+
+  private[graft] def memoized(spark: SparkSession, sfDir: String, key: String)(
+      build: => DataFrame): DataFrame =
+    spark.table(memoizedView(spark, sfDir, key)(build))
 
   /** Drop this session's memoized views and unpersist their cached data.
     * Note Spark's CacheManager is context-shared: unpersisting here also

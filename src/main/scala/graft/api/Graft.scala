@@ -141,6 +141,8 @@ object Graft {
                    leftTs: String, rightTs: String, width: Long,
                    cond: Column = lit(true)): DataFrame = {
     require(leftTs != rightTs, "leftTs and rightTs must be distinct column names")
+    require(width > 0, s"width must be positive, got $width (a zero width would " +
+      "divide by zero in the cell key; for exact-timestamp matching use an equi join)")
     val lc = left.withColumn("__iv_cell", explode(expr(
       s"array($leftTs div ${width}L - 1, $leftTs div ${width}L, $leftTs div ${width}L + 1)")))
     val rc = right.withColumn("__iv_cell", expr(s"$rightTs div ${width}L"))
@@ -156,11 +158,14 @@ object Graft {
     * fan-out ≈ len/stride, no join, no shuffle. */
   def chunkOverlap(df: DataFrame, arrCol: String, chunkSize: Int, stride: Int,
                    idxCol: String = "chunk_idx",
-                   chunkCol: String = "chunk"): DataFrame =
+                   chunkCol: String = "chunk"): DataFrame = {
+    require(chunkSize > 0 && stride > 0,
+      s"chunkSize and stride must be positive, got ($chunkSize, $stride)")
     df.filter(size(col(arrCol)) >= 1)
       .withColumn(idxCol, explode(expr(s"sequence(0L, (size($arrCol) - 1) div $stride)")))
       .withColumn(chunkCol,
         expr(s"slice($arrCol, cast($idxCol * $stride + 1 as int), $chunkSize)"))
+  }
 
   /** Connected components over a bipartite membership relation
     * `(idCol, bucketCol)`: two ids are connected when they share any

@@ -163,10 +163,15 @@ object Curation {
     * approximate counts instead of blowing memory. */
   def q49(s: SparkSession, d: String): DataFrame =
     TextPipeline.words1(s, d).select(col("w"))
-      .agg(expr("approx_top_k(w, 20, 10000)").as("tk"))
+      // fetch the sketch's FULL tracked set, then take the top 20 with a
+      // deterministic (count desc, word) sort on our side: a count tie at
+      // the rank-20/21 boundary inside approx_top_k would otherwise pick an
+      // arbitrary tied item and break oracle parity
+      .agg(expr("approx_top_k(w, 10000, 10000)").as("tk"))
       .select(explode(col("tk")).as("e"))
       .select(col("e.item").as("w"), col("e.count").cast("long").as("c"))
       .orderBy(col("c").desc, col("w"))
+      .limit(20)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_doc_chunk_overlap" -> q46,

@@ -143,6 +143,7 @@ object LlmPipeline {
   def q09(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val feat = documents(s, d)
+      .filter(length(col("text")) >= 1) // empty payloads: match the oracle's row set
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -169,6 +170,7 @@ object LlmPipeline {
   def q06(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d)
+      .filter(length(col("text")) >= 1) // empty payloads: match the oracle's row set
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>

@@ -44,12 +44,14 @@ object Workloads {
     * custkey), NOT a per-row subquery execution; at scale that is the only
     * viable plan, and the optimizer produces it from the declarative form. */
   def q07(s: SparkSession, d: String): DataFrame = {
-    orders(s, d).createOrReplaceTempView("graft_orders_v")
+    // per-(session, sfDir) memo view — no fixed-name clobbering across
+    // sfDirs, and Tables.release cleans it up with the other memos
+    val v = graft.Tables.memoizedView(s, d, "orders_sql")(orders(s, d))
     s.sql(s"""
       SELECT o_orderkey, o_custkey, ${sr2("o_totalprice")} AS o_totalprice
-      FROM graft_orders_v o
+      FROM $v o
       WHERE o_totalprice > (SELECT 2 * avg(o2.o_totalprice)
-                            FROM graft_orders_v o2
+                            FROM $v o2
                             WHERE o2.o_custkey = o.o_custkey)
       ORDER BY o_orderkey""")
   }

@@ -38,7 +38,8 @@ case class RefAngle(child: Expression) extends UnaryExpression {
     // NaN/Inf-poisoned vectors fall back to 0.0 like zero-norm ones, matching
     // CosineSim's convention (its value for such inputs is also 0.0, so the
     // banding key being 0 is consistent with the pairs the residual keeps).
-    if (n == 0 || ss == 0.0 || java.lang.Double.isNaN(ss)) 0.0
+    if (n == 0 || ss == 0.0 || java.lang.Double.isNaN(ss) ||
+      java.lang.Double.isInfinite(ss)) 0.0
     else {
       val c = a.getDouble(0) / math.sqrt(ss)
       math.acos(math.max(-1.0, math.min(1.0, c)))
@@ -57,7 +58,8 @@ case class RefAngle(child: Expression) extends UnaryExpression {
          |  double $x = $a.getDouble($i);
          |  $ss += $x * $x;
          |}
-         |if ($a.numElements() == 0 || $ss == 0.0 || java.lang.Double.isNaN($ss)) {
+         |if ($a.numElements() == 0 || $ss == 0.0 || java.lang.Double.isNaN($ss)
+         |    || java.lang.Double.isInfinite($ss)) {
          |  ${ev.value} = 0.0;
          |} else {
          |  double $c = $a.getDouble(0) / java.lang.Math.sqrt($ss);

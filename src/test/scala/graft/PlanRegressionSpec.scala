@@ -263,8 +263,10 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(Tables.events(s, d).queryExecution.optimizedPlan.exists(
       _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
       "second lookup did not hit the session cache")
+    // (no `e1 ne e2` object-identity check: memoized() returns a fresh
+    // DataFrame per call, so reference inequality can never fail — the
+    // memoViews(s2).isEmpty assertion above is the real leak detector)
     val e2 = Tables.events(s2, d)
-    assert(e1 ne e2, "cached DataFrame leaked across sessions")
     assert(e2.count() == 1000)
     // release() drops only the target session's views (+ their cache entries)
     Tables.release(s2)
