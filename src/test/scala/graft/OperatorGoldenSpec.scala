@@ -140,4 +140,21 @@ class OperatorGoldenSpec extends AnyFunSuite {
     val expected = o.filter(col("o_year") === 1997).count()
     assert(pruned.count() == expected && expected > 0)
   }
+
+  test("r4 additions: scrub/variant/interval-join golden properties at sf0.001") {
+    // q56: every customer name is 'Customer#<9 digits>' → exactly one
+    // redaction, and the scrubbed form is the literal 'Customer#<ID>'
+    val scrub = operators.Curation.q56(s, d)
+    assert(scrub.count() == 150)
+    assert(scrub.filter(col("n_ids") =!= 1L).count() == 0)
+    assert(scrub.filter(col("scrubbed") =!= "Customer#<ID>").count() == 0)
+    // q08: VARIANT extraction sees the same 100 items as the JSON-string
+    // path, and the per-item event counts sum back to the corpus size
+    val v = functions.Scalars.q08(s, d)
+    assert(v.count() == 100)
+    assert(v.agg(sum("n_events")).head.getLong(0) == 1000L)
+    // q39: every reported pair respects the 5-minute bound and the id order
+    val iv = operators.Joins.q39(s, d)
+    assert(iv.filter(col("gap_us") > 300000000L || col("ev_a") >= col("ev_b")).count() == 0)
+  }
 }
