@@ -85,6 +85,28 @@ class GraftApiSpec extends AnyFunSuite {
     assert(api.except(q46).isEmpty && q46.except(api).isEmpty)
   }
 
+  test("asofJoin strict=false admits exact-timestamp matches; intervalJoin width=1 edges") {
+    val sp = s
+    import sp.implicits._
+    val left = Seq((1L, "k", 100L)).toDF("id", "sym", "ts")
+    val right = Seq(("k", 100L, 9.5), ("k", 99L, 9.0)).toDF("sym", "rts", "px")
+    val strict = Graft.asofJoin(left, right, Seq("sym"), "ts", "rts",
+      Seq("id"), Seq("px"), strict = true).select("asof_px").head.getDouble(0)
+    val atOrBefore = Graft.asofJoin(left, right, Seq("sym"), "ts", "rts",
+      Seq("id"), Seq("px"), strict = false).select("asof_px").head.getDouble(0)
+    assert(strict == 9.0, "strict as-of must take the row BEFORE the timestamp")
+    assert(atOrBefore == 9.5, "non-strict as-of must admit the equal-timestamp row")
+    // width=1: only timestamps differing by ≤1 pair up, including equals
+    val a = Seq((1L, "g", 10L), (2L, "g", 12L)).toDF("ida", "grp", "ta")
+    val b = Seq((3L, "g", 10L), (4L, "g", 11L), (5L, "g", 14L)).toDF("idb", "grp", "tb")
+    val pairs = Graft.intervalJoin(a, b, Seq("grp"), "ta", "tb", 1L)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L), (1L, 4L), (2L, 4L)))
+    intercept[IllegalArgumentException] {
+      Graft.intervalJoin(a, b, Seq("grp"), "ta", "tb", 0L)
+    }
+  }
+
   test("packSequences reproduces q96's chunk assignment") {
     val toks = Tables.documents(s, d).select(col("doc_id"), col("source"),
       regexp_count(col("text"), lit("[a-z0-9]+|[^a-z0-9\\s]")).cast("long").as("tokens"))
