@@ -221,6 +221,17 @@ class PlanRegressionSpec extends AnyFunSuite {
     } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("AQE coalesces shuffle partitions at runtime on a small aggregation") {
+    // The runtime re-plan path the 100 TB configs rely on: the static plan
+    // asks for the session's shuffle-partition count; after the map stage
+    // reports actual sizes, AQE merges the tiny partitions into fewer reads.
+    val df = Tables.orders(s, d).groupBy("o_orderpriority").count()
+    df.collect() // adaptive plan finalizes only after execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+      s"AQE did not coalesce the shuffle read:\n$plan")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // The 100 TB scan-reduction path for shuffle joins (broadcast joins get
     // DPP instead): a selective dim-side predicate should inject a
