@@ -46,6 +46,11 @@ case class RefAngle(child: Expression) extends UnaryExpression {
     }
   }
 
+  // Template constraint: no generated line may BEGIN with '|' (e.g. a
+  // continuation line starting with "||"): Spark's codegen Block applies
+  // stripMargin('|') again downstream, which silently eats the operator and
+  // leaves unparseable Java — the whole plan then falls back to interpreted
+  // evaluation (hit in round 5; CodegenCompileSpec guards it).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val i = ctx.freshName("i")
@@ -58,8 +63,8 @@ case class RefAngle(child: Expression) extends UnaryExpression {
          |  double $x = $a.getDouble($i);
          |  $ss += $x * $x;
          |}
-         |if ($a.numElements() == 0 || $ss == 0.0 || java.lang.Double.isNaN($ss)
-         |    || java.lang.Double.isInfinite($ss)) {
+         |if ($a.numElements() == 0 || $ss == 0.0 || java.lang.Double.isNaN($ss) ||
+         |    java.lang.Double.isInfinite($ss)) {
          |  ${ev.value} = 0.0;
          |} else {
          |  double $c = $a.getDouble(0) / java.lang.Math.sqrt($ss);

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GreaterThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.{GeneratePredicate, GenerateUnsafeProjection}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{CosineSim, RefAngle}
+
+/** The custom expressions' `doGenCode` must actually COMPILE — a Janino
+  * parse error does not fail any query (UnsafeProjection/Predicate fall
+  * back to interpreted mode with only a WARN), so without this suite a
+  * template typo silently de-optimizes every plan the expression appears
+  * in. `Generate*.generate` has no fallback: it throws on compile failure.
+  *
+  * Round-5 regression: RefAngle's template continued an `if` condition on
+  * a line STARTING with `||`; Spark's codegen Block re-applies
+  * stripMargin('|') downstream, ate the operator, and produced unparseable
+  * Java — the banded similarity plan ran fully interpreted. */
+class CodegenCompileSpec extends AnyFunSuite {
+
+  private val arr0 = BoundReference(0, ArrayType(DoubleType), nullable = true)
+  private val arr1 = BoundReference(1, ArrayType(DoubleType), nullable = true)
+  private def row(a: Array[Double], b: Array[Double]): InternalRow =
+    InternalRow(ArrayData.toArrayData(a), ArrayData.toArrayData(b))
+
+  test("RefAngle codegen compiles and agrees with the interpreted path") {
+    val proj = GenerateUnsafeProjection.generate(Seq(RefAngle(arr0)))
+    val in = row(Array(1.0, 1.0), Array(1.0, 0.0))
+    val got = proj(in).getDouble(0)
+    val interp = RefAngle(arr0).eval(in).asInstanceOf[Double]
+    assert(math.abs(got - interp) == 0.0)
+    assert(math.abs(got - math.Pi / 4) < 1e-12) // angle of (1,1) to e0
+    // NaN/zero-norm convention holds in the COMPILED path too
+    val degenerate = row(Array(Double.NaN, 1.0), Array(0.0, 0.0))
+    assert(proj(degenerate).getDouble(0) == 0.0)
+  }
+
+  test("CosineSim codegen compiles in projection AND predicate position") {
+    val proj = GenerateUnsafeProjection.generate(Seq(CosineSim(arr0, arr1)))
+    val in = row(Array(1.0, 0.0), Array(1.0, 0.0))
+    assert(proj(in).getDouble(0) == 1.0)
+    assert(proj(row(Array(1.0, 0.0), Array(0.0, 1.0))).getDouble(0) == 0.0)
+    // predicate position is what the banded join's residual compiles into
+    val pred = GeneratePredicate.generate(
+      GreaterThanOrEqual(CosineSim(arr0, arr1), Literal(0.5, DoubleType)))
+    pred.initialize(0)
+    assert(pred.eval(in))
+    assert(!pred.eval(row(Array(1.0, 0.0), Array(0.0, 1.0))))
+  }
+}
