@@ -85,6 +85,23 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Duplicate-cluster RESOLUTION to keep/drop decisions: within each q93
+    * connected component, keep the single best document by q79's quality
+    * score (ties → lowest doc_id) and mark the rest for dropping — the step
+    * that turns near-dup clusters into an actual curated corpus. One extra
+    * join + a component-partitioned window over q93's output; components
+    * are near-dup clusters (tiny), so the window partitions are bounded. */
+  def q101(s: SparkSession, d: String): DataFrame = {
+    val comp = components(s, d, maxRounds = 20) // doc_id, component, csize
+    val qual = TextPipeline.q79(s, d).select(col("doc_id"), col("quality"))
+    comp.join(qual, "doc_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("component").orderBy(col("quality").desc, col("doc_id"))))
+      .select(col("doc_id"), col("component"), col("csize"), col("quality"),
+        (col("rn") === 1).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Reproducible stratified sampling: keep a doc when its content-stable
     * hash bucket (sha256(doc_id) mod 100) falls under the stratum's rate —
     * 10% for the dominant 'en', 30% for the rest. No RNG state anywhere. */
@@ -180,6 +197,7 @@ object Curation {
     "q69_heavy_hitters" -> q69,
     "q92_minhash_kmv" -> q92,
     "q93_dedup_components" -> q93,
+    "q101_dedup_cluster_keep" -> q101,
     "q94_sample_stratified" -> q94,
     "q96_pack_sequences" -> q96)
 
@@ -246,6 +264,27 @@ object Curation {
          |SELECT c.doc_id, c.component, s.csize
          |FROM comp c JOIN sizes s ON c.component = s.component
          |ORDER BY doc_id""".stripMargin,
+    "q101_dedup_cluster_keep" ->
+      s"""WITH RECURSIVE $wordsCte,
+         |$shCte,
+         |fp AS (SELECT doc_id, min(sha256(sh)) AS fp_min, max(sha256(sh)) AS fp_max
+         |  FROM sh GROUP BY 1),
+         |mem AS (SELECT doc_id, fp_min AS bucket FROM fp
+         |  UNION ALL SELECT doc_id, fp_max FROM fp),
+         |edges AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM mem a JOIN mem b ON a.bucket = b.bucket),
+         |reach(src, dst) AS (SELECT doc_id, doc_id FROM fp
+         |  UNION SELECT r.src, e.db FROM reach r JOIN edges e ON r.dst = e.da),
+         |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY 1),
+         |sizes AS (SELECT component, count(*) AS csize FROM comp GROUP BY 1),
+         |qual AS (SELECT doc_id, quality FROM
+         |  (${TextPipeline.oracle("q79_text_quality")}) q79full)
+         |SELECT c.doc_id, c.component, s.csize, q.quality,
+         |  (row_number() OVER (PARTITION BY c.component
+         |     ORDER BY q.quality DESC, c.doc_id)) = 1 AS keep
+         |FROM comp c JOIN sizes s ON c.component = s.component
+         |JOIN qual q ON c.doc_id = q.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
     "q94_sample_stratified" ->
       """WITH b AS (SELECT doc_id, lang, source,
         |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,

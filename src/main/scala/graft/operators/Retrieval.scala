@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Retrieval / vector-infrastructure operators for the training-data
+  * pipeline: lexical ranking (BM25), embedding storage quantization, and a
+  * second ANN bucketing scheme (signed random projections) alongside q85's
+  * IVF cells.
+  *
+  * Scale notes:
+  * - q100 (BM25): the two corpus statistics (doc count, mean doc length)
+  *   are a ONE-ROW relation and the per-term document frequencies are
+  *   |query| rows — both broadcast; everything else is partial-aggregated
+  *   on (doc_id, term) then joined on doc_id. Linear in corpus size, and
+  *   the term filter runs BEFORE any shuffle, so the shuffled volume is
+  *   proportional to query-term hits, not the corpus.
+  * - q102 (int8 quantization): entirely row-local (fold + map over the
+  *   vector), zero shuffles beyond the output order — at 100 TB this is a
+  *   pure map stage that cuts vector storage 4x before any downstream
+  *   similarity pass.
+  * - q103 (random-projection LSH): the 16x64 sign matrix is a determinstic
+  *   pure function of (plane, dim) via sha256 — reproducible on any
+  *   cluster, no RNG state, no fit step (vs MinHashLSH's fitted model).
+  *   It collapses to a single broadcast row; bucket assignment is then
+  *   row-local integer arithmetic (components pre-quantized to ints so the
+  *   signed sums are exact in BOTH engines — float sums would be
+  *   order-sensitive). The only shuffle is the bucket-size count. This is
+  *   the cosine-true LSH scale path: candidate pairs share a 16-bit
+  *   bucket, never all-pairs.
+  */
+object Retrieval {
+
+  /** BM25 ranking (k1=1.2, b=0.75, Lucene idf) for the fixed query
+    * {hash, join, dup} — top-20 docs. Per-term scores are summed in FIXED
+    * term order via conditional aggregation: a plain sum(score) over terms
+    * would be order-nondeterministic in IEEE doubles across engines. */
+  def q100(s: SparkSession, d: String): DataFrame = {
+    val words = TextPipeline.words1(s, d).select(col("doc_id"), col("w"))
+    val dl = TextPipeline.docWords(s, d)
+      .filter(size(col("words")) >= 1)
+      .select(col("doc_id"), size(col("words")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tf = words.filter(col("w").isin("hash", "join", "dup"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val sc = tf.join(broadcast(df), "w").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("sc",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          ((col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))))
+    sc.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        (coalesce(sum(when(col("w") === "hash", col("sc"))), lit(0.0)) +
+          coalesce(sum(when(col("w") === "join", col("sc"))), lit(0.0)) +
+          coalesce(sum(when(col("w") === "dup", col("sc"))), lit(0.0))).as("score"))
+      .select(col("doc_id"), col("n_terms"), r4(col("score")).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+  }
+
+  /** Symmetric int8 embedding quantization: scale = max|x|/127, q_i =
+    * round-half-up(x_i/scale), plus the reconstruction RMSE. The round is
+    * the §2.9.2 floor(x+0.5) formula and the RMSE fold is sequential
+    * (Spark `aggregate` ≡ DuckDB `list_reduce`), so both engines produce
+    * bit-identical output. */
+  def q102(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("amax", expr("aggregate(v, 0e0, (a, x) -> greatest(a, abs(x)))"))
+      .withColumn("scale", col("amax") / lit(127.0))
+      .withColumn("q", expr(
+        "transform(v, x -> IF(scale = 0e0, 0L, " +
+          "greatest(-127L, least(127L, CAST(floor(x / scale + 0.5e0) AS BIGINT)))))"))
+      .select(col("vec_id"), col("scale"),
+        expr("array_join(transform(q, qi -> CAST(qi AS STRING)), ',')").as("qsig"),
+        rnd(sqrt(expr(
+          "aggregate(zip_with(v, q, (x, qi) -> " +
+            "(x - CAST(qi AS DOUBLE) * scale) * (x - CAST(qi AS DOUBLE) * scale)), " +
+            "0e0, (a, x) -> a + x)") / lit(64.0)), 6).as("rmse"))
+      .orderBy("vec_id")
+
+  /** Signed-random-projection LSH buckets: 16 hyperplanes whose ±1 signs
+    * come from sha256(plane, dim); bucket bit p = sign of the plane-p dot
+    * product over milli-quantized components (exact integer arithmetic).
+    * Output: each vector's 16-bit bucket and its bucket's population. */
+  def q103(s: SparkSession, d: String): DataFrame = {
+    val planes = s.range(16).toDF("p").crossJoin(s.range(64).toDF("i"))
+      .select(col("p"), col("i"), expr(
+        "IF(substring(sha2(concat(CAST(p AS STRING), '_', CAST(i AS STRING)), 256), 1, 1) <= '7', 1L, -1L)")
+        .as("sgn"))
+      .groupBy("p")
+      .agg(expr("transform(sort_array(collect_list(struct(i, sgn))), x -> x.sgn)").as("sv"))
+      .agg(expr("transform(sort_array(collect_list(struct(p, sv))), x -> x.sv)").as("planes"))
+    // qv is hoisted out of the plane loop (16x fewer float->int quantize
+    // steps), and the bucket population comes from a window count — a
+    // groupBy+join back would re-evaluate the whole HOF pipeline for the
+    // second reference (measured 2x the query's time).
+    val bk = embeddings(s, d)
+      .crossJoin(broadcast(planes))
+      .withColumn("qv", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000e0 + 0.5e0) AS BIGINT))"))
+      .select(col("vec_id"), expr(
+        """aggregate(sequence(0, 15), 0L, (acc, p) -> acc + IF(
+          |  aggregate(sequence(1, 64), 0L, (a, i) ->
+          |    a + element_at(element_at(planes, p + 1), i) * element_at(qv, i)
+          |  ) >= 0L, shiftleft(1L, p), 0L))""".stripMargin).as("bucket"))
+    bk.withColumn("bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+      .select("vec_id", "bucket", "bsize").orderBy("vec_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_bm25_rank" -> q100,
+    "q102_embed_quantize" -> q102,
+    "q103_lsh_rp_buckets" -> q103)
+
+  private val wordsCte = s"w AS (${TextPipeline.wordsSql})"
+
+  val oracle: Map[String, String] = Map(
+    "q100_bm25_rank" ->
+      s"""WITH $wordsCte,
+         |d2 AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM w WHERE len(words) >= 1),
+         |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d2),
+         |tok AS (SELECT doc_id, unnest(words) AS wd FROM w),
+         |tf AS (SELECT doc_id, wd, count(*) AS tf FROM tok
+         |  WHERE wd IN ('hash', 'join', 'dup') GROUP BY 1, 2),
+         |dfq AS (SELECT wd, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, tf.wd,
+         |    ln(1e0 + (st.n_docs - dfq.df + 0.5e0) / (dfq.df + 0.5e0)) *
+         |      ((tf.tf * 2.2e0) /
+         |        (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * (d2.dl / st.avgdl)))) AS sc
+         |  FROM tf JOIN dfq USING (wd) JOIN d2 USING (doc_id), st),
+         |ag AS (SELECT doc_id, count(*) AS n_terms,
+         |    coalesce(sum(CASE WHEN wd = 'hash' THEN sc END), 0e0)
+         |      + coalesce(sum(CASE WHEN wd = 'join' THEN sc END), 0e0)
+         |      + coalesce(sum(CASE WHEN wd = 'dup' THEN sc END), 0e0) AS score
+         |  FROM sc GROUP BY 1)
+         |SELECT doc_id, n_terms, ${sr4("score")} AS bm25
+         |FROM ag ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q102_embed_quantize" ->
+      s"""WITH b AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |a AS (SELECT vec_id, v,
+         |    list_max(list_transform(v, x -> abs(x))) AS amax FROM b),
+         |s2 AS (SELECT vec_id, v, amax / 127e0 AS scale FROM a),
+         |qq AS (SELECT vec_id, v, scale,
+         |    list_transform(v, x -> CASE WHEN scale = 0e0 THEN CAST(0 AS BIGINT)
+         |      ELSE greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+         |        CAST(floor(x / scale + 0.5e0) AS BIGINT))) END) AS q FROM s2)
+         |SELECT vec_id, scale,
+         |  array_to_string(list_transform(q, qi -> CAST(qi AS VARCHAR)), ',') AS qsig,
+         |  ${sqlRnd("sqrt(list_reduce(list_transform(generate_series(1, 64), i -> " +
+          "(v[i] - CAST(q[i] AS DOUBLE) * scale) * (v[i] - CAST(q[i] AS DOUBLE) * scale)), " +
+          "(acc, x) -> acc + x) / 64e0)", 6)} AS rmse
+         |FROM qq ORDER BY vec_id""".stripMargin,
+    "q103_lsh_rp_buckets" ->
+      s"""WITH s AS (SELECT p, i,
+         |    CASE WHEN substr(sha256(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1) <= '7'
+         |      THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS sgn
+         |  FROM generate_series(0, 15) t1(p), generate_series(0, 63) t2(i)),
+         |q2 AS (SELECT vec_id, j,
+         |    CAST(floor(CAST(embedding[j] AS DOUBLE) * 1000e0 + 0.5e0) AS BIGINT) AS qv
+         |  FROM embeddings, generate_series(1, 64) t(j)),
+         |d2 AS (SELECT q2.vec_id, s.p, sum(s.sgn * q2.qv) AS dot
+         |  FROM q2 JOIN s ON s.i = q2.j - 1 GROUP BY 1, 2),
+         |bk AS (SELECT vec_id, CAST(sum(CASE WHEN dot >= 0
+         |    THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+         |  FROM d2 GROUP BY 1),
+         |sz AS (SELECT bucket, count(*) AS bsize FROM bk GROUP BY 1)
+         |SELECT b.vec_id, b.bucket, sz.bsize
+         |FROM bk b JOIN sz USING (bucket) ORDER BY vec_id""".stripMargin)
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Invariants for the retrieval/vector family (q100-q103) beyond the DuckDB
+  * oracle: ranking sanity, quantization error bounds, cluster resolution
+  * keep-exactly-one, LSH bucket well-formedness. */
+class RetrievalSpec extends AnyFunSuite {
+  private def s = TestSpark.spark
+  private val d = TestSpark.sf001 // sf0.01 — the driver's verification SF
+
+  test("q100 BM25: scores sorted, every hit matches a query term, rare term outranks") {
+    val rows = operators.Retrieval.q100(s, d).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.sameElements(scores.sortBy(-_)), "bm25 must be sorted descending")
+    rows.foreach { r =>
+      val t = r.getLong(1)
+      assert(t >= 1 && t <= 3, s"n_terms $t out of range")
+    }
+    // every returned doc really contains at least one query term
+    val ids = rows.map(_.getLong(0)).toSeq
+    val withTerm = Tables.documents(s, d)
+      .filter(col("doc_id").isin(ids: _*))
+      .filter(col("text").rlike("\\b(hash|join|dup)\\b"))
+      .count()
+    assert(withTerm == ids.length, "a ranked doc contains no query term")
+    // 'dup' is ~30x rarer than 'hash'/'join' → its idf dominates: the top
+    // hit must contain it (rank cannot be bought with common terms alone)
+    val topText = Tables.documents(s, d)
+      .filter(col("doc_id") === rows.head.getLong(0))
+      .select("text").collect().head.getString(0)
+    assert(topText.split(" ").contains("dup"), "top BM25 hit lacks the rare term")
+  }
+
+  test("q101 cluster keep: exactly one keeper per component, and it has max quality") {
+    val out = operators.Curation.q101(s, d).cache()
+    try {
+      val perComp = out.groupBy("component")
+        .agg(sum(when(col("keep"), 1).otherwise(0)).as("keeps"),
+          count(lit(1)).as("n"))
+        .collect()
+      assert(perComp.nonEmpty)
+      perComp.foreach(r => assert(r.getLong(1) == 1L,
+        s"component ${r.get(0)} has ${r.getLong(1)} keepers"))
+      // the keeper's quality is the component max (ties broken by doc_id,
+      // which can only pick a doc with the same, equal-max quality)
+      val bad = out.groupBy("component").agg(
+        max("quality").as("maxq"),
+        max(when(col("keep"), col("quality"))).as("keptq"))
+        .filter(col("maxq") =!= col("keptq")).count()
+      assert(bad == 0, s"$bad components kept a non-best doc")
+      // resolution is consistent with q93: same components, same sizes
+      assert(out.select("doc_id", "component", "csize").collect().toSet ==
+        operators.Curation.q93(s, d).collect().toSet)
+    } finally out.unpersist()
+  }
+
+  test("q102 quantization: 64 int8 codes per vector, RMSE within half a step") {
+    val rows = operators.Retrieval.q102(s, d).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      val codes = r.getString(2).split(",").map(_.toLong)
+      assert(codes.length == 64)
+      assert(codes.forall(q => q >= -127 && q <= 127))
+      // per-element |error| <= scale/2 (round-half-up) → RMSE <= scale/2
+      assert(r.getDouble(3) <= scale / 2 + 1e-9,
+        s"vec ${r.getLong(0)}: rmse ${r.getDouble(3)} exceeds scale/2 ${scale / 2}")
+    }
+  }
+
+  test("q103 RP-LSH: 16-bit buckets, sizes consistent, assignment deterministic") {
+    val out = operators.Retrieval.q103(s, d).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val b = r.getLong(1)
+      assert(b >= 0L && b < 65536L, s"bucket $b outside 16 bits")
+    }
+    // bsize really is the bucket's population in this output
+    val byBucket = out.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    out.foreach(r => assert(r.getLong(2) == byBucket(r.getLong(1)).toLong))
+    // pure function of the data: a second evaluation is identical
+    assert(operators.Retrieval.q103(s, d).collect().toSeq == out.toSeq)
+  }
+}
