@@ -66,24 +66,28 @@ object Curation {
 
   /** The propagation behind q93 — delegates to the generic
     * [[graft.api.Graft.connectedComponents]] (exact fixpoint, linear
-    * membership) over the fingerprint-bucket membership relation. */
-  private[graft] def components(s: SparkSession, d: String, maxRounds: Int): DataFrame = {
-    // fp is referenced by both membership branches — cache it so the
-    // shingle+sha256 pass runs once
-    val fp = TextPipeline.shingles5(s, d)
-      .groupBy("doc_id")
-      .agg(min(sha2(col("sh"), 256)).as("fp_min"),
-        max(sha2(col("sh"), 256)).as("fp_max"))
-      .cache()
-    val mem = fp.select(col("doc_id"), col("fp_min").as("bucket"))
-      .union(fp.select(col("doc_id"), col("fp_max").as("bucket")))
-    val labels = graft.api.Graft.connectedComponents(mem, "doc_id", "bucket", maxRounds)
-    fp.unpersist()
-    val sizes = labels.groupBy("component").agg(count(lit(1)).as("csize"))
-    labels.join(sizes, "component")
-      .select(col("doc_id"), col("component"), col("csize"))
-      .orderBy("doc_id")
-  }
+    * membership) over the fingerprint-bucket membership relation.
+    * Session-memoized like [[TextPipeline.shingles5]]: the driver-side
+    * fixpoint loop is the most expensive derivation in the curation family
+    * and TWO keys consume its output (q93 labels, q101 resolution). */
+  private[graft] def components(s: SparkSession, d: String, maxRounds: Int): DataFrame =
+    memoized(s, d, s"comp$maxRounds") {
+      // fp is referenced by both membership branches — cache it so the
+      // shingle+sha256 pass runs once
+      val fp = TextPipeline.shingles5(s, d)
+        .groupBy("doc_id")
+        .agg(min(sha2(col("sh"), 256)).as("fp_min"),
+          max(sha2(col("sh"), 256)).as("fp_max"))
+        .cache()
+      val mem = fp.select(col("doc_id"), col("fp_min").as("bucket"))
+        .union(fp.select(col("doc_id"), col("fp_max").as("bucket")))
+      val labels = graft.api.Graft.connectedComponents(mem, "doc_id", "bucket", maxRounds)
+      fp.unpersist()
+      val sizes = labels.groupBy("component").agg(count(lit(1)).as("csize"))
+      labels.join(sizes, "component")
+        .select(col("doc_id"), col("component"), col("csize"))
+        .orderBy("doc_id")
+    }
 
   /** Duplicate-cluster RESOLUTION to keep/drop decisions: within each q93
     * connected component, keep the single best document by q79's quality
