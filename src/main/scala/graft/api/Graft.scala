@@ -264,4 +264,83 @@ object Graft {
         Seq(col("cos").desc, col(corpusId)), k))
       .select(col(probeId), col("rank"), col(corpusId), col("cos"))
   }
+
+  /** BM25 ranking of documents for a fixed `query` term set, over an
+    * exploded `(idCol, termCol)` token stream plus a `(idCol, lenCol)`
+    * document-length relation.
+    *
+    * Plan: the term filter runs BEFORE any shuffle (shuffled volume is
+    * proportional to query-term hits, not the corpus); document
+    * frequencies (|query| rows) and the corpus stats (one row) broadcast;
+    * per-term scores are summed in the FIXED order of `query` via
+    * conditional aggregation — a bare sum(score) would make the result
+    * depend on IEEE addition order. Returns `(idCol, n_terms, score)`,
+    * top `topK` by (score desc, idCol). */
+  def bm25Rank(tokens: DataFrame, docLens: DataFrame, idCol: String,
+               termCol: String, lenCol: String, query: Seq[String],
+               k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    require(query.nonEmpty && query.distinct == query, "query must be distinct terms")
+    val stats = docLens.agg(count(lit(1)).as("__n_docs"), avg(lenCol).as("__avgdl"))
+    val tf = tokens.filter(col(termCol).isin(query: _*))
+      .groupBy(col(idCol), col(termCol)).agg(count(lit(1)).as("__tf"))
+    val df = tf.groupBy(termCol).agg(count(lit(1)).as("__df"))
+    val sc = tf.join(broadcast(df), termCol)
+      .join(docLens.select(col(idCol), col(lenCol).cast("long").as("__dl")), idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("__s",
+        log(lit(1.0) + (col("__n_docs") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))) *
+          ((col("__tf") * lit(k1 + 1)) /
+            (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("__dl") / col("__avgdl"))))))
+    sc.groupBy(idCol)
+      .agg(count(lit(1)).as("n_terms"),
+        query.map(t => coalesce(sum(when(col(termCol) === t, col("__s"))), lit(0.0)))
+          .reduce(_ + _).as("score"))
+      .orderBy(col("score").desc, col(idCol)).limit(topK)
+  }
+
+  /** Symmetric integer quantization of an `array<double>` column: per-row
+    * scale = max|x|/`levels`, codes = round-half-up(x/scale) clamped to
+    * ±`levels`, plus the reconstruction RMSE. Entirely row-local (fold +
+    * map over the vector) — a pure map stage at any scale. Appends
+    * `scale`, `codes` (array<long>) and `rmse`. */
+  def quantizeInt(df: DataFrame, vecCol: String, levels: Int = 127): DataFrame =
+    df.withColumn("__amax", expr(s"aggregate($vecCol, 0e0, (a, x) -> greatest(a, abs(x)))"))
+      .withColumn("scale", col("__amax") / lit(levels.toDouble))
+      .withColumn("codes", expr(
+        s"transform($vecCol, x -> IF(scale = 0e0, 0L, " +
+          s"greatest(${-levels}L, least(${levels}L, CAST(floor(x / scale + 0.5e0) AS BIGINT)))))"))
+      .withColumn("rmse", sqrt(expr(
+        s"aggregate(zip_with($vecCol, codes, (x, qi) -> " +
+          "(x - CAST(qi AS DOUBLE) * scale) * (x - CAST(qi AS DOUBLE) * scale)), " +
+          s"0e0, (a, x) -> a + x)") / size(col(vecCol)).cast("double")))
+      .drop("__amax")
+
+  /** Signed-random-projection LSH bucket for an `array` vector column:
+    * `nPlanes` hyperplanes whose ±1 signs derive from sha256(plane, dim) —
+    * reproducible on any cluster, no RNG state, no fit step. Components
+    * are pre-quantized to integers (×`quantScale`) so the signed dot
+    * products are exact integer arithmetic. The sign matrix collapses to a
+    * ONE-ROW broadcast; bucket assignment is then row-local. Vectors whose
+    * planewise dot is ≥ 0 set that bucket bit. Appends `bucket`. */
+  def rpLshBucket(df: DataFrame, vecCol: String, dims: Int,
+                  nPlanes: Int = 16, quantScale: Int = 1000): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 62, "nPlanes must fit a long's bits")
+    val s = df.sparkSession
+    val planes = s.range(nPlanes).toDF("p").crossJoin(s.range(dims).toDF("i"))
+      .select(col("p"), col("i"), expr(
+        "IF(substring(sha2(concat(CAST(p AS STRING), '_', CAST(i AS STRING)), 256), 1, 1) <= '7', 1L, -1L)")
+        .as("sgn"))
+      .groupBy("p")
+      .agg(expr("transform(sort_array(collect_list(struct(i, sgn))), x -> x.sgn)").as("sv"))
+      .agg(expr("transform(sort_array(collect_list(struct(p, sv))), x -> x.sv)").as("__planes"))
+    df.crossJoin(broadcast(planes))
+      .withColumn("__qv", expr(
+        s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * ${quantScale}e0 + 0.5e0) AS BIGINT))"))
+      .withColumn("bucket", expr(
+        s"""aggregate(sequence(0, ${nPlanes - 1}), 0L, (acc, p) -> acc + IF(
+           |  aggregate(sequence(1, $dims), 0L, (a, i) ->
+           |    a + element_at(element_at(__planes, p + 1), i) * element_at(__qv, i)
+           |  ) >= 0L, shiftleft(1L, p), 0L))""".stripMargin))
+      .drop("__planes", "__qv")
+  }
 }

@@ -178,4 +178,38 @@ class GraftApiSpec extends AnyFunSuite {
     val q71 = operators.LlmPipeline.q71(s, d).select("probe_id", "rnk", "cand_id")
     assert(api.except(q71).isEmpty && q71.except(api).isEmpty)
   }
+
+  test("bm25Rank reproduces q100 for the {hash, join, dup} query") {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), w -> w != '')").as("words"))
+    val tokens = words.select(col("doc_id"), explode(col("words")).as("w"))
+    val lens = words.filter(size(col("words")) >= 1)
+      .select(col("doc_id"), size(col("words")).cast("long").as("dl"))
+    val api = Graft.bm25Rank(tokens, lens, "doc_id", "w", "dl",
+        query = Seq("hash", "join", "dup"))
+      .select(col("doc_id"), col("n_terms"), Tables.r4(col("score")).as("bm25"))
+    val q100 = operators.Retrieval.q100(s, d)
+    assert(api.collect().toSeq == q100.collect().toSeq) // order matters (ranking)
+  }
+
+  test("quantizeInt reproduces q102's codes, scale and rmse") {
+    val api = Graft.quantizeInt(
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")),
+        "v", levels = 127)
+      .select(col("vec_id"), col("scale"),
+        expr("array_join(transform(codes, qi -> CAST(qi AS STRING)), ',')").as("qsig"),
+        Tables.rnd(col("rmse"), 6).as("rmse"))
+    val q102 = operators.Retrieval.q102(s, d)
+    assert(api.except(q102).isEmpty && q102.except(api).isEmpty)
+  }
+
+  test("rpLshBucket reproduces q103's bucket assignment") {
+    val api = Graft.rpLshBucket(Tables.embeddings(s, d), "embedding",
+        dims = 64, nPlanes = 16, quantScale = 1000)
+      .select("vec_id", "bucket")
+    val q103 = operators.Retrieval.q103(s, d).select("vec_id", "bucket")
+    assert(api.except(q103).isEmpty && q103.except(api).isEmpty)
+  }
 }
