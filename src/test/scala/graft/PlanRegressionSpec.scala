@@ -53,6 +53,23 @@ class PlanRegressionSpec extends AnyFunSuite {
     finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("q100: term filter reaches the token scan; only query-sized sides forced broadcast") {
+    val plan = planOf(operators.Retrieval.q100(s, d))
+    // the IN(query terms) predicate must apply AT the (cached) token scan,
+    // before any shuffle — shuffled volume is term hits, not the corpus
+    assert(plan.contains("hash,join,dup"), s"term filter not pushed:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"))
+    // with auto-broadcast off, the only surviving broadcasts are the
+    // EXPLICIT hints on the |query|-row df and 1-row stats relations; the
+    // doc-length side (fact-proportional) must shuffle, not broadcast
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p2 = planOf(operators.Retrieval.q100(s, d))
+      val nBroadcast = "BroadcastExchange".r.findAllIn(p2).length
+      assert(nBroadcast == 2, s"expected exactly df+stats broadcasts, got $nBroadcast:\n$p2")
+    } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("SimilarityBandRewrite fires on q77's all-pairs shape and preserves results exactly") {
     // q77's own 0.5 threshold matches NOTHING at sf0.001 (max pairwise
     // cosine 0.479) — run the identical shape at 0.4 so the parity check
