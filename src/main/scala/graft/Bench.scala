@@ -37,6 +37,9 @@ object Bench {
     try // word-frequency family — fills words1, used by q49/q68/q69/q78/q99
       SparkEntry.queries("q69_heavy_hitters")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    try // component-labels family — fills comp20, used by q93/q101
+      SparkEntry.queries("q93_dedup_components")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     // A failed query must be VISIBLE in the output line, not silently timed:
     // it keeps its wall time (so the total stays honest) and lands in
     // "failed" so a red query can't hide in a green-looking bench line.

@@ -119,6 +119,24 @@ object Curation {
       .select("doc_id", "lang", "source", "bucket", "rate")
       .orderBy("doc_id")
 
+  /** Quality-WEIGHTED reproducible sampling: keep a doc with probability
+    * proportional to its q79 quality score (here quality*0.5), decided by
+    * the same content-stable hash bucket as q94 — the "sample good data
+    * more" mixing primitive, with zero RNG state: reruns, repartitions and
+    * other engines keep exactly the same rows. Quality is r4-rounded
+    * before the threshold compare, so the kept set is cross-engine exact.
+    * At 100 TB the quality column would be precomputed once and stored;
+    * the sampling itself is row-local. */
+  def q104(s: SparkSession, d: String): DataFrame = {
+    val qual = TextPipeline.q79(s, d).select(col("doc_id"), col("quality"))
+    documents(s, d).select(col("doc_id"), col("lang")).join(qual, "doc_id")
+      .withColumn("bucket", expr(
+        "CAST(conv(substring(sha2(CAST(doc_id AS STRING), 256), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .filter(col("bucket") < col("quality") * lit(50.0))
+      .select("doc_id", "lang", "quality", "bucket")
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing: assign docs (ordered by doc_id within source) to
     * fixed 2048-token training chunks by running token count; a doc's chunk
     * is floor(tokens-before-it / 2048) — the streaming-greedy packing. */
@@ -203,6 +221,7 @@ object Curation {
     "q93_dedup_components" -> q93,
     "q101_dedup_cluster_keep" -> q101,
     "q94_sample_stratified" -> q94,
+    "q104_sample_weighted" -> q104,
     "q96_pack_sequences" -> q96)
 
   private val wordsCte = s"w AS (${TextPipeline.wordsSql})"
@@ -296,6 +315,14 @@ object Curation {
         |  FROM documents)
         |SELECT doc_id, lang, source, bucket, CAST(rate AS BIGINT) AS rate
         |FROM b WHERE bucket < rate ORDER BY doc_id""".stripMargin,
+    "q104_sample_weighted" ->
+      s"""WITH qual AS (SELECT doc_id, quality FROM
+         |  (${TextPipeline.oracle("q79_text_quality")}) q79full),
+         |b AS (SELECT d.doc_id, d.lang, q.quality,
+         |    ('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+         |  FROM documents d JOIN qual q ON d.doc_id = q.doc_id)
+         |SELECT doc_id, lang, quality, bucket
+         |FROM b WHERE bucket < quality * 50e0 ORDER BY doc_id""".stripMargin,
     "q96_pack_sequences" ->
       """WITH t AS (SELECT doc_id, source,
         |    CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS tokens

@@ -128,4 +128,20 @@ class CurationSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q104 weighted sampling: reproducible, biased toward quality, threshold-exact") {
+    val kept = operators.Curation.q104(s, d).collect()
+    assert(kept.nonEmpty)
+    // every kept row satisfies its own threshold (bucket < quality*50)
+    kept.foreach(r => assert(r.getLong(3) < r.getDouble(2) * 50.0))
+    // selection is biased toward quality: mean kept quality exceeds corpus mean
+    val meanKept = kept.map(_.getDouble(2)).sum / kept.length
+    val all = operators.TextPipeline.q79(s, d).select("quality")
+      .collect().map(_.getDouble(0))
+    val meanAll = all.sum / all.length
+    assert(meanKept > meanAll,
+      f"no quality bias: kept $meanKept%.4f vs corpus $meanAll%.4f")
+    // reproducible: a second evaluation keeps exactly the same rows
+    assert(operators.Curation.q104(s, d).collect().toSeq == kept.toSeq)
+  }
 }

@@ -212,4 +212,29 @@ class GraftApiSpec extends AnyFunSuite {
     val q103 = operators.Retrieval.q103(s, d).select("vec_id", "bucket")
     assert(api.except(q103).isEmpty && q103.except(api).isEmpty)
   }
+
+  test("retrieval facade edges: zero vector, single plane, empty query") {
+    val sp = s
+    import sp.implicits._
+    // all-zero vector: scale 0 → all codes 0, rmse 0 (no divide-by-zero)
+    val z = Graft.quantizeInt(
+        Seq((1L, Array(0.0, 0.0, 0.0))).toDF("id", "v"), "v")
+      .select("scale", "codes", "rmse").collect().head
+    assert(z.getDouble(0) == 0.0 && z.getDouble(2) == 0.0)
+    assert(z.getSeq[Long](1) == Seq(0L, 0L, 0L))
+    // one hyperplane → buckets are exactly the sign bit {0, 1}
+    val b1 = Graft.rpLshBucket(Tables.embeddings(s, d), "embedding",
+      dims = 64, nPlanes = 1).select("bucket").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(b1.subsetOf(Set(0L, 1L)) && b1.nonEmpty)
+    // empty / duplicate query terms are rejected up front
+    val toks = Seq((1L, "a")).toDF("id", "w")
+    val lens = Seq((1L, 1L)).toDF("id", "dl")
+    intercept[IllegalArgumentException] {
+      Graft.bm25Rank(toks, lens, "id", "w", "dl", query = Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Graft.bm25Rank(toks, lens, "id", "w", "dl", query = Seq("a", "a"))
+    }
+  }
 }
