@@ -46,6 +46,19 @@ object Sources {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Raw-file ingestion for the multimodal pipeline: each file becomes one
+    * row of (path, modificationTime, length, content binary) — the entry
+    * point that turns a directory of images/audio/video into the binary
+    * column the q06/q09/q75/q95 kernels consume. `pathGlobFilter` prunes
+    * by extension at LISTING time (no content read for filtered files);
+    * at 100 TB pair it with `spark.sql.files.maxPartitionBytes` so many
+    * small payloads pack into one task. */
+  def readBinaryFiles(spark: SparkSession, path: String,
+                      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+
   /** Bucketed table sink: persist with `bucketBy(n, cols)` so future joins
     * and aggregations on the bucket columns need NO shuffle — both sides
     * arrive pre-partitioned on disk. At 100 TB this is the difference

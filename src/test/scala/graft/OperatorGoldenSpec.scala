@@ -128,6 +128,32 @@ class OperatorGoldenSpec extends AnyFunSuite {
     assert(back.except(sup).count() == 0 && sup.except(back).count() == 0)
   }
 
+  test("binaryFile source: files become binary rows, glob prunes at listing time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin")
+    val payloads = Map("a.img" -> Array[Byte](1, 2, 3, 4),
+      "b.img" -> Array[Byte](9, 8), "skip.txt" -> Array[Byte](0))
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(dir.resolve(name), bytes) }
+    val rows = sources.Sources.readBinaryFiles(s, dir.toString, glob = "*.img")
+      .select(element_at(split(col("path"), "/"), -1).as("name"),
+        col("length"), col("content"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getAs[Array[Byte]](2)))
+      .toMap
+    assert(rows.keySet == Set("a.img", "b.img"), "glob must exclude skip.txt")
+    payloads.filterKeys(_.endsWith(".img")).foreach { case (name, bytes) =>
+      assert(rows(name)._1 == bytes.length && rows(name)._2.sameElements(bytes))
+    }
+    // the ingested binary column feeds the q09-style batched kernels directly
+    val sp = s
+    import sp.implicits._
+    val sums = sources.Sources.readBinaryFiles(s, dir.toString, glob = "*.img")
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .mapPartitions(it => it.map { case (_, bytes) =>
+        bytes.map(b => (b & 0xff).toLong).sum })
+      .collect().sorted.toSeq
+    assert(sums == Seq(10L, 17L))
+  }
+
   test("partitioned parquet sink + partition pruning on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val o = Tables.orders(s, d).withColumn("o_year", year(col("o_orderdate")))
