@@ -137,6 +137,31 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The END-TO-END curation pipeline in one query — the composition a
+    * real training-data build runs: near-dup resolution (keep each
+    * cluster's best doc, q101) → quality floor (q79 score ≥ 0.4) →
+    * context-window packing of the survivors (q96's streaming-greedy
+    * chunks). Output is the training manifest: (source, chunk_id, doc_id,
+    * tokens). Every stage is the already-verified operator — this key
+    * exists to prove the operators COMPOSE without re-deriving anything
+    * (components and quality both come from session memos). */
+  def q105(s: SparkSession, d: String): DataFrame = {
+    val surv = q101(s, d)
+      .filter(col("keep") && col("quality") >= lit(0.4))
+      .select("doc_id")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        regexp_count(col("text"), lit("[a-z0-9]+|[^a-z0-9\\s]")).cast("long").as("tokens"))
+      .join(surv, "doc_id")
+      .withColumn("cum_tokens", sum("tokens").over(w))
+      .withColumn("chunk_id",
+        floor((col("cum_tokens") - col("tokens")) / lit(2048)).cast("long"))
+      .select("source", "chunk_id", "doc_id", "tokens")
+      .orderBy("source", "doc_id")
+  }
+
   /** Sequence packing: assign docs (ordered by doc_id within source) to
     * fixed 2048-token training chunks by running token count; a doc's chunk
     * is floor(tokens-before-it / 2048) — the streaming-greedy packing. */
@@ -222,6 +247,7 @@ object Curation {
     "q101_dedup_cluster_keep" -> q101,
     "q94_sample_stratified" -> q94,
     "q104_sample_weighted" -> q104,
+    "q105_curation_pipeline" -> q105,
     "q96_pack_sequences" -> q96)
 
   private val wordsCte = s"w AS (${TextPipeline.wordsSql})"
@@ -315,6 +341,34 @@ object Curation {
         |  FROM documents)
         |SELECT doc_id, lang, source, bucket, CAST(rate AS BIGINT) AS rate
         |FROM b WHERE bucket < rate ORDER BY doc_id""".stripMargin,
+    "q105_curation_pipeline" ->
+      s"""WITH RECURSIVE $wordsCte,
+         |$shCte,
+         |fp AS (SELECT doc_id, min(sha256(sh)) AS fp_min, max(sha256(sh)) AS fp_max
+         |  FROM sh GROUP BY 1),
+         |mem AS (SELECT doc_id, fp_min AS bucket FROM fp
+         |  UNION ALL SELECT doc_id, fp_max FROM fp),
+         |edges AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM mem a JOIN mem b ON a.bucket = b.bucket),
+         |reach(src, dst) AS (SELECT doc_id, doc_id FROM fp
+         |  UNION SELECT r.src, e.db FROM reach r JOIN edges e ON r.dst = e.da),
+         |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY 1),
+         |qual AS (SELECT doc_id, quality FROM
+         |  (${TextPipeline.oracle("q79_text_quality")}) q79full),
+         |keeprn AS (SELECT c.doc_id, q.quality, row_number() OVER (
+         |    PARTITION BY c.component ORDER BY q.quality DESC, c.doc_id) AS rn
+         |  FROM comp c JOIN qual q ON c.doc_id = q.doc_id),
+         |surv AS (SELECT doc_id FROM keeprn WHERE rn = 1 AND quality >= 0.4e0),
+         |t AS (SELECT d.doc_id, d.source,
+         |    CAST(len(regexp_extract_all(d.text, '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS tokens
+         |  FROM documents d JOIN surv USING (doc_id)),
+         |c2 AS (SELECT doc_id, source, tokens,
+         |    CAST(sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM t)
+         |SELECT source, CAST(floor((cum_tokens - tokens) / 2048) AS BIGINT) AS chunk_id,
+         |  doc_id, tokens
+         |FROM c2 ORDER BY source, doc_id""".stripMargin,
     "q104_sample_weighted" ->
       s"""WITH qual AS (SELECT doc_id, quality FROM
          |  (${TextPipeline.oracle("q79_text_quality")}) q79full),

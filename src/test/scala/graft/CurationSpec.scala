@@ -144,4 +144,22 @@ class CurationSpec extends AnyFunSuite {
     // reproducible: a second evaluation keeps exactly the same rows
     assert(operators.Curation.q104(s, d).collect().toSeq == kept.toSeq)
   }
+
+  test("q105 pipeline: survivors are the quality-floored keepers, packing law holds") {
+    val out = operators.Curation.q105(s, d).collect()
+    assert(out.nonEmpty)
+    val expected = operators.Curation.q101(s, d)
+      .filter(col("keep") && col("quality") >= 0.4)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(2)).toSet == expected,
+      "pipeline survivors must be exactly q101's keepers above the floor")
+    // streaming-greedy packing: chunk = floor(tokens-before-it / 2048) per source
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_.getLong(2)).foreach { r =>
+        assert(r.getLong(1) == cum / 2048, "chunk assignment law violated")
+        cum += r.getLong(3)
+      }
+    }
+  }
 }
