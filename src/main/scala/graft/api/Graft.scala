@@ -315,6 +315,22 @@ object Graft {
           s"0e0, (a, x) -> a + x)") / size(col(vecCol)).cast("double")))
       .drop("__amax")
 
+  /** The q79 [0,1] text-quality heuristic as a single reusable column
+    * expression (length, punctuation and stopword ratios combined) — usable
+    * in BATCH and STREAMING plans alike since it is fully row-local; all
+    * ratios are exact int/int divisions. GraftApiSpec asserts it matches
+    * the oracle-verified q79 score exactly. */
+  def qualityScore(text: Column): Column = {
+    val words = filter(split(lower(text), " "), w => w =!= "")
+    val nWords = size(words)
+    val punct = length(regexp_replace(text, "[a-z0-9 ]", ""))
+      .cast("double") / length(text)
+    val stops = size(filter(words,
+      w => w.isin("the", "a", "of", "in", "and", "to"))).cast("double") / nWords
+    least(lit(1.0), nWords / lit(100.0)) * (lit(1.0) - punct) *
+      (lit(0.5) + least(lit(0.5), stops * lit(5.0)))
+  }
+
   /** Signed-random-projection LSH bucket for an `array` vector column:
     * `nPlanes` hyperplanes whose ±1 signs derive from sha256(plane, dim) —
     * reproducible on any cluster, no RNG state, no fit step. Components

@@ -213,6 +213,13 @@ class GraftApiSpec extends AnyFunSuite {
     assert(api.except(q103).isEmpty && q103.except(api).isEmpty)
   }
 
+  test("qualityScore reproduces q79's oracle-verified quality column") {
+    val api = Tables.documents(s, d)
+      .select(col("doc_id"), Tables.r4(Graft.qualityScore(col("text"))).as("quality"))
+    val q79 = operators.TextPipeline.q79(s, d).select("doc_id", "quality")
+    assert(api.except(q79).isEmpty && q79.except(api).isEmpty)
+  }
+
   test("retrieval facade edges: zero vector, single plane, empty query") {
     val sp = s
     import sp.implicits._

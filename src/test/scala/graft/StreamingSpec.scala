@@ -254,7 +254,47 @@ class StreamingSpec extends AnyFunSuite {
       q.stop()
     } finally sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("streaming curation: quality filter + content dedup run identically on a stream") {
+    // The q105 pipeline's row-local stages (quality floor, exact content
+    // dedup) applied to a document STREAM: the same facade expression
+    // drives both, and the stream keeps exactly the batch-kept rows.
+    val sp = s
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val base = LocalDateTime.of(2024, 1, 1, 10, 0, 0)
+    val good = ("the " + "scan of the table in a fast query order " * 5).trim
+    val bad = "zzz!!! ###"
+    val docs = Seq( // (doc_id, text, arrival)
+      Doc(1, good, utcTs(base)),
+      Doc(2, good, utcTs(base.plusMinutes(1))), // exact dup of 1 → dropped
+      Doc(3, bad, utcTs(base.plusMinutes(2))), // below the quality floor
+      Doc(4, good + " big data join", utcTs(base.plusMinutes(3))))
+    val curate = (df: DataFrame) => df
+      .withColumn("quality", Tables.r4(graft.api.Graft.qualityScore(col("text"))))
+      .filter(col("quality") >= 0.4)
+      .withColumn("chash", sha2(col("text"), 256))
+    val ms = MemoryStream[Doc]
+    val q = curate(ms.toDF)
+      .withWatermark("tsc", "10 minutes")
+      .dropDuplicatesWithinWatermark("chash")
+      .writeStream.format("memory").queryName("curate_out")
+      .outputMode("append").start()
+    ms.addData(docs)
+    q.processAllAvailable()
+    val streamKept = s.table("curate_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    q.stop()
+    val batchKept = curate(docs.toDF)
+      .groupBy("chash").agg(min("doc_id").as("doc_id"))
+      .collect().map(_.getLong(1)).toSet
+    assert(streamKept == Set(1L, 4L), s"stream kept $streamKept")
+    assert(streamKept == batchKept, "stream and batch curation disagree")
+  }
 }
+
+/** Document row for the streaming-curation test. */
+case class Doc(doc_id: Long, text: String, tsc: Timestamp)
 
 /** Per-key running max over [[org.apache.spark.sql.streaming.ValueState]] —
   * the minimal transformWithState processor (no timers, no TTL). */
