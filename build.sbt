@@ -13,6 +13,10 @@ Test / fork := true
 // suites share one SparkSession (TestSpark) — run them sequentially
 Test / parallelExecution := false
 run / fork := true
+// Forked run output must reach stdout UNPREFIXED: the driver parses the
+// Bench JSON line from the process tail, and sbt's default LoggedOutput
+// prepends "[info] " (rounds 1-4 all recorded parsed:null because of it).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

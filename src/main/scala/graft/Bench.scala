@@ -50,14 +50,20 @@ object Bench {
                  System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    // Times printed at 3 decimals: round 3's driver capture truncated the
-    // (~5 KB) line and failed to parse it, so keep the whole line well under
-    // 4 KB — millisecond precision is already below this VM's run-to-run
-    // noise floor.
+    // The driver archives only the LAST 2000 chars of the run's output and
+    // parses the JSON line out of that tail (BENCH_r2-r4 recorded
+    // parsed:null once the full-name line grew past it). Keep the whole
+    // line comfortably under that: per-query keys are shortened to their
+    // unique "qNN" prefix (~1.4 KB for ~100 queries) and times printed at
+    // 3 decimals — millisecond precision is already below this VM's
+    // run-to-run noise floor.
     def f3(v: Double): String = // Locale.ROOT: '.' decimal point regardless of host locale
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = outcomes.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
+    def shortKey(k: String): String = k.takeWhile(_ != '_')
+    val collide = outcomes.groupBy { case (k, _, _) => shortKey(k) }.exists(_._2.size > 1)
+    val qs = outcomes.map { case (k, v, _) =>
+      "\"" + (if (collide) k else shortKey(k)) + "\":" + f3(v)
+    }.mkString("{", ",", "}")
     val failed = outcomes.collect { case (k, _, false) => "\"" + k + "\"" }
       .toSeq.sorted.mkString("[", ",", "]")
     val total = outcomes.map(_._2).sum
