@@ -162,6 +162,47 @@ object Curation {
       .orderBy("source", "doc_id")
   }
 
+  /** Benchmark DECONTAMINATION: flag corpus documents that share any 5-word
+    * shingle with a held-out benchmark set (here: doc_id < 10 stands in for
+    * the eval suite) — the overlap check every training-data build runs
+    * before shipping. Inverted-index shape: join on the shingle key, never
+    * doc-to-doc; the benchmark side is eval-suite-sized (thousands of docs,
+    * not corpus-sized) so it is the one side that genuinely qualifies for a
+    * forced broadcast, making the whole check a map-side pass over the
+    * corpus shingle stream. Reuses the [[TextPipeline.shingles5]] memo. */
+  def q106(s: SparkSession, d: String): DataFrame = {
+    val sh = TextPipeline.shingles5(s, d)
+    val bench = sh.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("bench_id"), col("sh"))
+    sh.filter(col("doc_id") >= 10)
+      .join(broadcast(bench), "sh")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("sh")).as("n_shared"),
+        countDistinct(col("bench_id")).as("n_bench"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-budget MIXTURE sampling: fill a fixed per-source token budget
+    * (1024 tokens — binding at every test SF) greedily, taking docs in
+    * content-stable-hash order — the
+    * "give me this many tokens from each domain" primitive of training-mix
+    * construction. The hash order is a reproducible shuffle (no RNG state,
+    * stable across engines/partitionings, same discipline as q94); the
+    * greedy fill admits the doc that crosses the budget line, like q96's
+    * packer. One window per source partition; linear. */
+  def q109(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("hb", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        regexp_count(col("text"), lit("[a-z0-9]+|[^a-z0-9\\s]")).cast("long").as("tokens"),
+        substring(sha2(col("doc_id").cast("string"), 256), 1, 8).as("hb"))
+      .withColumn("cum_tokens", sum("tokens").over(w))
+      .filter(col("cum_tokens") - col("tokens") < lit(1024L))
+      .select("source", "doc_id", "hb", "tokens", "cum_tokens")
+      .orderBy("source", "doc_id")
+  }
+
   /** Sequence packing: assign docs (ordered by doc_id within source) to
     * fixed 2048-token training chunks by running token count; a doc's chunk
     * is floor(tokens-before-it / 2048) — the streaming-greedy packing. */
@@ -248,6 +289,8 @@ object Curation {
     "q94_sample_stratified" -> q94,
     "q104_sample_weighted" -> q104,
     "q105_curation_pipeline" -> q105,
+    "q106_decontaminate" -> q106,
+    "q109_token_budget_mix" -> q109,
     "q96_pack_sequences" -> q96)
 
   private val wordsCte = s"w AS (${TextPipeline.wordsSql})"
@@ -377,6 +420,25 @@ object Curation {
          |  FROM documents d JOIN qual q ON d.doc_id = q.doc_id)
          |SELECT doc_id, lang, quality, bucket
          |FROM b WHERE bucket < quality * 50e0 ORDER BY doc_id""".stripMargin,
+    "q106_decontaminate" ->
+      s"""WITH $wordsCte,
+         |$shCte,
+         |b AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id < 10),
+         |c AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 10)
+         |SELECT c.doc_id, count(DISTINCT c.sh) AS n_shared,
+         |  count(DISTINCT b.bench_id) AS n_bench
+         |FROM c JOIN b USING (sh) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q109_token_budget_mix" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS tokens,
+        |    substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) AS hb
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, hb, tokens,
+        |    CAST(sum(tokens) OVER (PARTITION BY source ORDER BY hb, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT source, doc_id, hb, tokens, cum_tokens
+        |FROM c WHERE cum_tokens - tokens < 1024 ORDER BY source, doc_id""".stripMargin,
     "q96_pack_sequences" ->
       """WITH t AS (SELECT doc_id, source,
         |    CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS tokens

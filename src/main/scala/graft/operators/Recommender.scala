@@ -293,7 +293,57 @@ object Recommender {
       .orderBy("c_mktsegment", "rnk")
   }
 
+  /** Item co-occurrence PMI: for item pairs interacted-with by the same
+    * user, pointwise mutual information ln(c_ab·N / (c_a·c_b)) — the
+    * association-rule / "users who liked X also liked Y" statistic, and the
+    * matrix behind item2vec-style embeddings. The pair fan-out is the q63
+    * shape (self-join on user), bounded by the capped top-50 rating lists;
+    * partial aggregation collapses pairs map-side before the (a,b)-keyed
+    * shuffle. The per-item marginals are vocabulary-sized — NO forced
+    * broadcast (q64 discipline), statistics/AQE decide; only the one-row
+    * user count is broadcast. */
+  def q107(s: SparkSession, d: String): DataFrame = {
+    val r = cappedRatings(s, d).select(col("user_id"), col("item"))
+    val n = r.agg(countDistinct(col("user_id")).as("n_users"))
+    val ci = r.groupBy("item").agg(count(lit(1)).as("c"))
+    val pairs = r.select(col("user_id"), col("item").as("item_a"))
+      .join(r.select(col("user_id"), col("item").as("item_b")), "user_id")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("c_ab"))
+    pairs
+      .join(ci.select(col("item").as("item_a"), col("c").as("c_a")), "item_a")
+      .join(ci.select(col("item").as("item_b"), col("c").as("c_b")), "item_b")
+      .crossJoin(broadcast(n))
+      .select(col("item_a"), col("item_b"), col("c_ab"),
+        r4(log((col("c_ab") * col("n_users")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double"))).as("pmi"))
+      .orderBy(col("c_ab").desc, col("item_a"), col("item_b"))
+      .limit(20)
+  }
+
+  /** Next-item transition matrix (session-based / Markov recommender):
+    * consecutive items per user's event-time sequence → transition counts
+    * and per-source-item probabilities, top-20 transitions. One window per
+    * user partition (bounded history) + two aggregations — linear, and the
+    * lag never leaves the user partition. */
+  def q108(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"), col("event_id"), col("tsc"),
+      get_json_object(col("props"), "$.k").cast("long").as("item"))
+    val w = Window.partitionBy("user_id").orderBy("tsc", "event_id")
+    val tr = e.withColumn("prev_item", lag("item", 1).over(w))
+      .filter(col("prev_item").isNotNull)
+      .groupBy("prev_item", "item").agg(count(lit(1)).as("c"))
+    val tot = tr.groupBy("prev_item").agg(sum("c").as("t"))
+    tr.join(tot, "prev_item")
+      .select(col("prev_item"), col("item").as("next_item"), col("c"),
+        r4(col("c").cast("double") / col("t").cast("double")).as("prob"))
+      .orderBy(col("c").desc, col("prev_item"), col("next_item"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_item_cooccur_pmi" -> q107,
+    "q108_next_item_transition" -> q108,
     "q87_ranking_mrr_map" -> q87,
     "q88_item_knn_predict" -> q88,
     "q89_segment_recs" -> q89,
@@ -308,6 +358,35 @@ object Recommender {
     "q68_tfidf_terms" -> q68)
 
   val oracle: Map[String, String] = Map(
+    "q107_item_cooccur_pmi" ->
+      s"""WITH r AS ($ratingsSql),
+         |capped AS (SELECT user_id, item FROM (
+         |    SELECT user_id, item, row_number() OVER (
+         |      PARTITION BY user_id ORDER BY ${sr4("rating")} DESC, item) AS rn
+         |    FROM r) WHERE rn <= 50),
+         |n AS (SELECT count(DISTINCT user_id) AS n_users FROM capped),
+         |ci AS (SELECT item, count(*) AS c FROM capped GROUP BY 1),
+         |p AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS c_ab
+         |  FROM capped a JOIN capped b
+         |    ON a.user_id = b.user_id AND a.item < b.item
+         |  GROUP BY 1, 2)
+         |SELECT p.item_a, p.item_b, p.c_ab,
+         |  ${sr4("ln(CAST(p.c_ab * n.n_users AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE))")} AS pmi
+         |FROM p JOIN ci ca ON p.item_a = ca.item
+         |JOIN ci cb ON p.item_b = cb.item CROSS JOIN n
+         |ORDER BY c_ab DESC, item_a, item_b LIMIT 20""".stripMargin,
+    "q108_next_item_transition" ->
+      s"""WITH e AS (SELECT user_id, event_id, ts,
+         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),
+         |l AS (SELECT user_id, item, lag(item) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id) AS prev_item FROM e),
+         |tr AS (SELECT prev_item, item AS next_item, count(*) AS c
+         |  FROM l WHERE prev_item IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT prev_item, CAST(sum(c) AS BIGINT) AS t FROM tr GROUP BY 1)
+         |SELECT tr.prev_item, tr.next_item, tr.c,
+         |  ${sr4("CAST(tr.c AS DOUBLE) / CAST(tot.t AS DOUBLE)")} AS prob
+         |FROM tr JOIN tot USING (prev_item)
+         |ORDER BY c DESC, prev_item, next_item LIMIT 20""".stripMargin,
     "q87_ranking_mrr_map" ->
       s"""WITH ev AS (SELECT user_id, event_type,
          |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),

@@ -162,4 +162,40 @@ class CurationSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q106 decontamination: flags exactly the corpus docs sharing a benchmark shingle") {
+    val flagged = operators.Curation.q106(s, d).collect()
+    assert(flagged.nonEmpty, "fixture has no contaminated docs — test is vacuous")
+    flagged.foreach { r =>
+      assert(r.getLong(0) >= 10, "benchmark docs must never be flagged")
+      assert(r.getLong(1) >= 1 && r.getLong(2) >= 1)
+    }
+    // independent recomputation of the overlap set straight from the corpus
+    val sh = s.read.parquet(s"$d/documents.parquet")
+      .selectExpr("doc_id", "filter(split(lower(text), ' '), w -> w != '') AS words")
+      .filter("size(words) >= 5")
+      .selectExpr("doc_id",
+        "explode(transform(sequence(1, size(words) - 4), i -> array_join(slice(words, i, 5), ' '))) AS sh")
+      .distinct()
+    val expected = sh.filter("doc_id >= 10")
+      .join(sh.filter("doc_id < 10").select("sh").distinct(), "sh")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(flagged.map(_.getLong(0)).toSet == expected)
+  }
+
+  test("q109 token budget: binding, greedy-feasible, and reproducible") {
+    val rows = operators.Curation.q109(s, d).collect()
+    assert(rows.nonEmpty)
+    // kept docs start strictly inside the budget, and the budget BINDS here
+    rows.foreach(r => assert(r.getLong(4) - r.getLong(3) < 1024))
+    val total = s.read.parquet(s"$d/documents.parquet").count()
+    assert(rows.length < total, "budget not binding at this SF — filter is vacuous")
+    // greedy fill admits at most ONE budget-crossing doc per source
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      assert(rs.count(_.getLong(4) >= 1024) <= 1,
+        s"source $src kept more than one doc past the budget line")
+    }
+    val again = operators.Curation.q109(s, d).collect()
+    assert(rows.toSeq == again.toSeq, "hash-ordered fill must be bit-reproducible")
+  }
 }

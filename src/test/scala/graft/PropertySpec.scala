@@ -152,6 +152,43 @@ class PropertySpec extends AnyFunSuite {
     assert(naive.nonEmpty && banded == naive)
   }
 
+  test("q107 PMI matches a direct marginal recomputation for every returned pair") {
+    val rows = operators.Recommender.q107(s, d).collect()
+    assert(rows.length == 20)
+    val r = Tables.cappedRatings(s, d).select("user_id", "item")
+    val n = r.select(countDistinct(col("user_id"))).first().getLong(0).toDouble
+    val ci = r.groupBy("item").count().collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    rows.foreach { row =>
+      val (a, b, cab, pmi) =
+        (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+      assert(a < b, "pairs must be canonical (item_a < item_b)")
+      assert(cab <= math.min(ci(a), ci(b)),
+        "co-occurrence count cannot exceed either marginal")
+      val expected = math.log(cab * n / (ci(a) * ci(b)))
+      assert(math.abs(pmi - math.floor(expected * 1e4 + 0.5) / 1e4) < 1e-9,
+        s"PMI($a,$b) drifted from its own marginals")
+    }
+  }
+
+  test("q108 transitions: counts and probabilities consistent with the event stream") {
+    val rows = operators.Recommender.q108(s, d).collect()
+    assert(rows.length == 20)
+    val counts = rows.map(_.getLong(2))
+    assert(counts.sameElements(counts.sorted.reverse), "output must rank by count")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1L)
+      val p = r.getDouble(3)
+      assert(p > 0.0 && p <= 1.0)
+    }
+    // every user's first event has no predecessor, so the whole transition
+    // matrix holds exactly (events - users) entries; the visible top-20 can
+    // never exceed that
+    val ev = Tables.events(s, d)
+    val total = ev.count() - ev.select("user_id").distinct().count()
+    assert(counts.sum <= total)
+  }
+
   test("q39 bucketed interval join equals the naive theta join exactly") {
     val bucketed = operators.Joins.q39(s, d).collect().toSeq
     val e = Tables.events(s, d)
