@@ -121,6 +121,70 @@ object Graft {
       .drop("__cum")
   }
 
+  /** Benchmark decontamination: rows of `corpus` sharing at least one
+    * `keyCol` value (shingle, n-gram hash, url, …) with `probe`, with the
+    * count of distinct shared keys per corpus id. The probe side is the
+    * eval suite — genuinely dimension-sized — so it broadcasts and the
+    * check is a map-side pass over the corpus key stream (the q106 shape). */
+  def decontaminate(corpus: DataFrame, probe: DataFrame,
+                    keyCol: String, idCol: String): DataFrame =
+    corpus.join(broadcast(probe.select(keyCol).distinct()), keyCol)
+      .groupBy(idCol)
+      .agg(countDistinct(col(keyCol)).as("n_shared"))
+
+  /** Greedy token-budget fill: keep rows (ordered by `orderCol` within
+    * `groupCol`) while the tokens BEFORE each row stay under `budget` — the
+    * per-domain mixture-sampling primitive (q109). Pass a content-stable
+    * hash as `orderCol` for a reproducible shuffle. Admits the one row that
+    * crosses the budget line, like [[packSequences]]. */
+  def tokenBudgetFill(df: DataFrame, groupCol: String, orderCol: String,
+                      tokenCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .filter(col("__cum") - col(tokenCol) < budget)
+      .drop("__cum")
+  }
+
+  /** Item co-occurrence PMI over a (user, item) interaction relation:
+    * canonical pairs (item_a < item_b) with their co-count and
+    * ln(c_ab·N / (c_a·c_b)). Cap each user's item list BEFORE calling (see
+    * `Tables.cappedRatings`) — the self-join fans out per-user degree².
+    * Marginals stay un-hinted (vocabulary-sized; AQE decides), only the
+    * one-row user count broadcasts (the q107 shape). */
+  def cooccurrencePmi(df: DataFrame, userCol: String, itemCol: String): DataFrame = {
+    val r = df.select(col(userCol).as("__u"), col(itemCol).as("__i")).distinct()
+    val n = r.agg(countDistinct(col("__u")).as("__n"))
+    val ci = r.groupBy("__i").agg(count(lit(1)).as("__c"))
+    r.select(col("__u"), col("__i").as("item_a"))
+      .join(r.select(col("__u"), col("__i").as("item_b")), "__u")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("c_ab"))
+      .join(ci.select(col("__i").as("item_a"), col("__c").as("__ca")), "item_a")
+      .join(ci.select(col("__i").as("item_b"), col("__c").as("__cb")), "item_b")
+      .crossJoin(broadcast(n))
+      .select(col("item_a"), col("item_b"), col("c_ab"),
+        log((col("c_ab") * col("__n")).cast("double") /
+          (col("__ca") * col("__cb")).cast("double")).as("pmi"))
+  }
+
+  /** Next-item transition matrix: consecutive `itemCol` values per `keyCol`
+    * sequence (ordered by `orderBy`) → (prev_item, next_item, count, prob).
+    * One window per key partition plus two aggregations — linear (q108). */
+  def nextTransitions(df: DataFrame, keyCol: String, orderBy: Seq[Column],
+                      itemCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderBy: _*)
+    val tr = df
+      .withColumn("__prev", lag(col(itemCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_item"), col(itemCol).as("next_item"))
+      .agg(count(lit(1)).as("c"))
+    val tot = tr.groupBy("prev_item").agg(sum("c").as("__t"))
+    tr.join(tot, "prev_item")
+      .select(col("prev_item"), col("next_item"), col("c"),
+        (col("c").cast("double") / col("__t").cast("double")).as("prob"))
+  }
+
   /** Interval join: every (left, right) pair sharing `keys` whose numeric
     * timestamps (`leftTs`/`rightTs`, same units, DISTINCT column names,
     * non-negative) differ by at most `width`, plus any extra `cond`

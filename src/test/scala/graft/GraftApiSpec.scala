@@ -244,4 +244,53 @@ class GraftApiSpec extends AnyFunSuite {
       Graft.bm25Rank(toks, lens, "id", "w", "dl", query = Seq("a", "a"))
     }
   }
+
+  test("decontaminate reproduces q106's flagged set on the shingle relation") {
+    val sh = s.read.parquet(s"$d/documents.parquet")
+      .selectExpr("doc_id", "filter(split(lower(text), ' '), w -> w != '') AS words")
+      .filter("size(words) >= 5")
+      .selectExpr("doc_id",
+        "explode(transform(sequence(1, size(words) - 4), i -> array_join(slice(words, i, 5), ' '))) AS sh")
+      .distinct()
+    val api = Graft.decontaminate(
+        sh.filter("doc_id >= 10"), sh.filter("doc_id < 10"), "sh", "doc_id")
+      .select("doc_id", "n_shared")
+    val q106 = operators.Curation.q106(s, d).select("doc_id", "n_shared")
+    assert(api.except(q106).isEmpty && q106.except(api).isEmpty)
+  }
+
+  test("tokenBudgetFill reproduces q109's kept set") {
+    val t = s.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        regexp_count(col("text"), lit("[a-z0-9]+|[^a-z0-9\\s]")).cast("long").as("tokens"),
+        substring(sha2(col("doc_id").cast("string"), 256), 1, 8).as("hb"))
+      // orderCol is a single column: hb ties are broken by appending the id
+      .withColumn("ord", concat(col("hb"), lpad(col("doc_id").cast("string"), 12, "0")))
+    val api = Graft.tokenBudgetFill(t, "source", "ord", "tokens", 1024L)
+      .select("source", "doc_id", "tokens")
+    val q109 = operators.Curation.q109(s, d).select("source", "doc_id", "tokens")
+    assert(api.except(q109).isEmpty && q109.except(api).isEmpty)
+  }
+
+  test("cooccurrencePmi reproduces q107 after rounding and ranking") {
+    val api = Graft.cooccurrencePmi(
+        Tables.cappedRatings(s, d), "user_id", "item")
+      .select(col("item_a"), col("item_b"), col("c_ab"),
+        Tables.r4(col("pmi")).as("pmi"))
+      .orderBy(col("c_ab").desc, col("item_a"), col("item_b")).limit(20)
+    val q107 = operators.Recommender.q107(s, d)
+    assert(api.collect().toSeq == q107.collect().toSeq)
+  }
+
+  test("nextTransitions reproduces q108 after rounding and ranking") {
+    val e = Tables.events(s, d).select(col("user_id"), col("event_id"), col("tsc"),
+      get_json_object(col("props"), "$.k").cast("long").as("item"))
+    val api = Graft.nextTransitions(e, "user_id",
+        Seq(col("tsc"), col("event_id")), "item")
+      .select(col("prev_item"), col("next_item"), col("c"),
+        Tables.r4(col("prob")).as("prob"))
+      .orderBy(col("c").desc, col("prev_item"), col("next_item")).limit(20)
+    val q108 = operators.Recommender.q108(s, d)
+    assert(api.collect().toSeq == q108.collect().toSeq)
+  }
 }
