@@ -246,8 +246,17 @@ object Graft {
   def connectedComponents(mem: DataFrame, idCol: String, bucketCol: String,
                           maxRounds: Int = 50): DataFrame = {
     val m = mem.select(col(idCol), col(bucketCol).as("__bucket")).cache()
+    // Each round's labels are LOCALCHECKPOINTED (eager), not merely cached:
+    // an iterative join loop otherwise accumulates every prior round inside
+    // its logical plan — observed as ~1000 Exchange nodes in q93's final
+    // plan before this fix. Caching truncates EXECUTION but not the plan,
+    // so per-round analysis/optimization cost kept growing and any cache
+    // eviction would have recomputed the whole cascade. The checkpoint
+    // pins round R's labels as a materialized scan (the label relation is
+    // one row per id — small); on a real cluster the same call becomes
+    // reliable checkpointing to the cluster FS.
     var labels = m.select(col(idCol)).distinct()
-      .withColumn("__label", col(idCol)).cache()
+      .withColumn("__label", col(idCol)).localCheckpoint()
     var changed = true
     var round = 0
     while (changed && round < maxRounds) {
@@ -268,15 +277,13 @@ object Graft {
         h.join(h.select(col(idCol).as("__label"), col("__label").as("__ll")),
             Seq("__label"), "left")
           .select(col(idCol), least(col("__label"), col("__ll")).as("__label"))
-      }).cache()
+      }).localCheckpoint() // eager — materialized here, lineage truncated
       changed = next.join(labels.withColumnRenamed("__label", "__prev"), idCol)
         .filter(col("__label") =!= col("__prev")).limit(1).count() > 0
       jumpCache.foreach(_.unpersist())
-      labels.unpersist()
       labels = next
       round += 1
     }
-    labels.count() // pin before dropping the membership cache
     m.unpersist()
     labels.withColumnRenamed("__label", "component")
   }
