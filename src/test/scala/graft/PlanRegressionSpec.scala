@@ -304,6 +304,17 @@ class PlanRegressionSpec extends AnyFunSuite {
     Tables.release(s2)
   }
 
+  test("components fixpoint keeps its plan truncated (no per-round lineage pile-up)") {
+    // Before the localCheckpoint fix the final labels plan embedded every
+    // prior round (~1000 Exchange nodes at 20 rounds); with per-round
+    // truncation it must stay a small constant regardless of round count.
+    Tables.release(s) // drop any memoized comp20 so the loop really runs
+    val plan = planOf(operators.Curation.components(s, d, maxRounds = 20))
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+    assert(exchanges < 15,
+      s"components plan carries $exchanges shuffles — per-round lineage is accumulating again")
+  }
+
   test("salted aggregation spreads a hot key over >1 reducer bucket and stays exact") {
     // 50k-row hot key + uniform tail, deliberately skewed
     val hot = s.range(50000).select(lit("hot").as("k"), lit(1.0).as("v"))

@@ -152,6 +152,33 @@ class PropertySpec extends AnyFunSuite {
     assert(naive.nonEmpty && banded == naive)
   }
 
+  test("connectedComponents equals a driver-side union-find on a random bipartite graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 300
+    val mem = (0 until 600)
+      .map(_ => (rnd.nextInt(n).toLong, s"b${rnd.nextInt(120)}")).distinct
+    val sp = s
+    import sp.implicits._
+    val got = api.Graft.connectedComponents(mem.toDF("id", "bucket"), "id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: classic union-find with path compression over the same graph
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    mem.groupBy(_._2).values.foreach { ms =>
+      val ids = ms.map(_._1).distinct
+      ids.tail.foreach { b =>
+        val (ra, rb) = (find(ids.head), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val expected = mem.map(_._1).distinct.groupBy(find)
+      .flatMap { case (_, members) => val m = members.min; members.map(_ -> m) }
+    assert(got == expected, "distributed label propagation disagrees with union-find")
+  }
+
   test("q107 PMI matches a direct marginal recomputation for every returned pair") {
     val rows = operators.Recommender.q107(s, d).collect()
     assert(rows.length == 20)
