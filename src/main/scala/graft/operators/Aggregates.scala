@@ -124,6 +124,21 @@ object Aggregates {
         coalesce(col("error"), lit(0L)).as("error"))
       .orderBy("user_id")
 
+  /** Wide→long reshaping via the `unpivot`/`melt` operator (q28's inverse):
+    * the three lineitem price components become (metric, v) rows, then a
+    * per-(flag, metric) aggregate. Unpivot plans as a row-local Expand —
+    * a 3× fan-out with NO shuffle of its own; the single exchange is the
+    * partial-aggregated (flag, metric) shuffle, 9 groups total. */
+  def q110(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "v")
+      .groupBy("l_returnflag", "metric")
+      .agg(count(lit(1)).as("n"), r2(sum("v")).as("sum_v"), r4(avg("v")).as("avg_v"))
+      .orderBy("l_returnflag", "metric")
+
   /** Exact interpolated quantiles — Spark `percentile` and DuckDB
     * `quantile_cont` share the linear-interpolation definition. At 100 TB
     * prefer `approx_percentile` (t-digest, mergeable); `percentile` holds
@@ -178,9 +193,20 @@ object Aggregates {
     "q25_agg_grouping_sets" -> q25,
     "q26_agg_stats" -> q26,
     "q27_agg_collect" -> q27,
-    "q28_agg_pivot" -> q28)
+    "q28_agg_pivot" -> q28,
+    "q110_unpivot_metrics" -> q110)
 
   val oracle: Map[String, String] = Map(
+    "q110_unpivot_metrics" ->
+      s"""WITH u AS (
+         |  SELECT l_returnflag, 'l_extendedprice' AS metric, l_extendedprice AS v FROM lineitem
+         |  UNION ALL
+         |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+         |  UNION ALL
+         |  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+         |SELECT l_returnflag, metric, count(*) AS n,
+         |  ${sr2("sum(v)")} AS sum_v, ${sr4("avg(v)")} AS avg_v
+         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q29_agg_quantiles" ->
       s"""SELECT o_orderpriority,
          |  ${sr4("quantile_cont(o_totalprice, 0.5)")} AS p50,

@@ -56,6 +56,26 @@ object Workloads {
       ORDER BY o_orderkey""")
   }
 
+  /** Correlated LATERAL top-k through the SQL entry point: each nation's
+    * top-2 customers by account balance. Exercises Catalyst's lateral-join
+    * decorrelation (`DecorrelateInnerQuery` handles the correlated
+    * ORDER BY ... LIMIT): the planned shape is a per-nation window top-k
+    * over ONE shuffle of customer — never a per-nation re-execution of the
+    * inner query, which is the only viable plan when the outer side is
+    * large. The declarative LATERAL form and q30's window form converge on
+    * the same physical strategy. */
+  def q111(s: SparkSession, d: String): DataFrame = {
+    val nv = graft.Tables.memoizedView(s, d, "nation_sql")(nation(s, d))
+    val cv = graft.Tables.memoizedView(s, d, "customer_sql")(customer(s, d))
+    s.sql(s"""
+      SELECT n.n_name, t.c_name, ${sr2("t.c_acctbal")} AS acctbal
+      FROM $nv n JOIN LATERAL (
+        SELECT c_name, c_acctbal FROM $cv c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      ORDER BY n.n_name, acctbal DESC, t.c_name""")
+  }
+
   /** TPC-H Q5 shape: revenue by nation where customer and supplier share the
     * nation, one order-year. */
   def q47(s: SparkSession, d: String): DataFrame = {
@@ -146,6 +166,7 @@ object Workloads {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_lateral_topk" -> q111,
     "q07_correlated_subquery" -> q07,
     "q19_tpch_q3_shipping" -> q19,
     "q47_tpch_q5_local" -> q47,
@@ -155,6 +176,13 @@ object Workloads {
     "q37_retention_cohorts" -> q37)
 
   val oracle: Map[String, String] = Map(
+    "q111_lateral_topk" ->
+      s"""SELECT n.n_name, t.c_name, ${sr2("t.c_acctbal")} AS acctbal
+         |FROM nation n JOIN LATERAL (
+         |  SELECT c_name, c_acctbal FROM customer c
+         |  WHERE c.c_nationkey = n.n_nationkey
+         |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t ON true
+         |ORDER BY n.n_name, acctbal DESC, t.c_name""".stripMargin,
     "q07_correlated_subquery" ->
       s"""SELECT o_orderkey, o_custkey, ${sr2("o_totalprice")} AS o_totalprice
          |FROM orders o

@@ -304,6 +304,14 @@ class PlanRegressionSpec extends AnyFunSuite {
     Tables.release(s2)
   }
 
+  test("q111 LATERAL decorrelates to a window top-k, never per-row re-execution") {
+    val plan = planOf(operators.Workloads.q111(s, d))
+    assert(plan.contains("WindowGroupLimit"),
+      "correlated LATERAL LIMIT should plan as a rank-pushdown window top-k")
+    assert(!plan.contains("CartesianProduct"),
+      "lateral join must not fall back to a cartesian re-execution")
+  }
+
   test("components fixpoint keeps its plan truncated (no per-round lineage pile-up)") {
     // Before the localCheckpoint fix the final labels plan embedded every
     // prior round (~1000 Exchange nodes at 20 rounds); with per-round
