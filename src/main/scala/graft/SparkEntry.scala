@@ -22,7 +22,7 @@ object SparkEntry {
       Recommender.queries ++ Udfs.queries ++
       LlmPipeline.queries ++ TextPipeline.queries ++
       Workloads.queries ++ Analytics.queries ++
-      Curation.queries ++ Retrieval.queries ++
+      Curation.queries ++ Retrieval.queries ++ Graph.queries ++
       graft.streaming.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -33,6 +33,6 @@ object SparkEntry {
       Recommender.oracle ++ Udfs.oracle ++
       LlmPipeline.oracle ++ TextPipeline.oracle ++
       Workloads.oracle ++ Analytics.oracle ++
-      Curation.oracle ++ Retrieval.oracle ++
+      Curation.oracle ++ Retrieval.oracle ++ Graph.oracle ++
       graft.streaming.Streaming.oracle
 }

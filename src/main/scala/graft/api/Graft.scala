@@ -430,4 +430,51 @@ object Graft {
            |  ) >= 0L, shiftleft(1L, p), 0L))""".stripMargin))
       .drop("__planes", "__qv")
   }
+
+  /** Weighted PageRank by power iteration over an edge list
+    * `(srcCol, dstCol, weightCol)`: rank(j) ← (1−d) + d·Σᵢ rank(i)·wᵢⱼ/outᵢ
+    * for a fixed `iters` rounds. Returns `(id, rank)` over every node that
+    * appears as a source or destination.
+    *
+    * Plan: the out-degree-normalized edge relation is computed ONCE and
+    * cached (it is reused every round); each round is one equi join on the
+    * source id + one (dst)-keyed partial+final aggregation + a left join
+    * back to the node set — all hash-partitionable on the node id, no
+    * driver-side state, no collect. Each round's rank relation (one row
+    * per node — small) is eagerly localCheckpointed, truncating the plan
+    * lineage exactly like [[connectedComponents]]; without it round R's
+    * plan embeds all R−1 predecessors.
+    *
+    * Cross-engine determinism: each round's rank is pinned to 10 decimal
+    * places with the Tables.rnd floor formula. The per-node contribution
+    * sum is order-sensitive in IEEE doubles at ~1e-16 relative; pinning
+    * each round keeps that drift far below the half-ulp of the pin, so two
+    * engines (or two partitionings of the same cluster) stay BIT-IDENTICAL
+    * round over round instead of compounding — same trick as q102's
+    * sequential fold, chosen here because a fixed addition order cannot be
+    * imposed on a distributed aggregation. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               weightCol: String, iters: Int = 5,
+               damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+      col(weightCol).cast("double").as("__w"))
+    val deg = e.groupBy("__src").agg(sum("__w").as("__t"))
+    val ew = e.join(deg, "__src")
+      .select(col("__src"), col("__dst"), (col("__w") / col("__t")).as("__p"))
+      .cache()
+    val nodes = e.select(col("__src").as("__id"))
+      .union(e.select(col("__dst").as("__id")))
+      .distinct().localCheckpoint()
+    var ranks = nodes.select(col("__id"), lit(1.0).as("__r"))
+    for (_ <- 1 to iters) {
+      val contrib = ew.join(ranks.withColumnRenamed("__id", "__src"), "__src")
+        .groupBy("__dst").agg(sum(col("__r") * col("__p")).as("__c"))
+      ranks = nodes.join(contrib.withColumnRenamed("__dst", "__id"), Seq("__id"), "left")
+        .select(col("__id"), graft.Tables.rnd(
+          lit(1.0 - damping) + lit(damping) * coalesce(col("__c"), lit(0.0)), 10).as("__r"))
+        .localCheckpoint()
+    }
+    ew.unpersist()
+    ranks.select(col("__id").as("id"), col("__r").as("rank"))
+  }
 }

@@ -55,6 +55,34 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** Session path mining (clickstream analysis): top-20 event-type
+    * TRIGRAMS occurring inside one 30-minute session — which 3-step flows
+    * dominate. Builds on q32's sessionization; the trigram leads run over
+    * the SAME (user_id | ts, event_id) window spec, so the session pass
+    * and the lead pass share one shuffle+sort (the second WindowExec sees
+    * its required ordering already satisfied — no new Exchange). Staying
+    * inside a session is enforced by leading the session id alongside the
+    * event type and filtering equality — cheaper than re-partitioning by
+    * (user, session), which WOULD be a second shuffle. */
+  def q115(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("new_sess",
+        when(lag("ts", 1).over(w).isNull ||
+          (col("ts") - lag("ts", 1).over(w)) > lit(1800000000000L), 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_sess").over(wc))
+      .withColumn("e2", lead("event_type", 1).over(w))
+      .withColumn("s2", lead("session_id", 1).over(w))
+      .withColumn("e3", lead("event_type", 2).over(w))
+      .withColumn("s3", lead("session_id", 2).over(w))
+      .filter(col("s2") === col("session_id") && col("s3") === col("session_id"))
+      .select(concat_ws(" > ", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
   /** rank/dense_rank get real ties via a coarse bucket key (floor(bal/1000));
     * ntile/row_number need a total order, so they run over a fully-tiebroken
     * window — mixing the two on one window would make ntile nondeterministic. */
@@ -102,9 +130,30 @@ object Windows {
     "q32_window_sessionize" -> q32,
     "q33_window_rank_kinds" -> q33,
     "q34_window_moving_avg" -> q34,
-    "q35_window_lead_lag_frame" -> q35)
+    "q35_window_lead_lag_frame" -> q35,
+    "q115_session_paths" -> q115)
 
   val oracle: Map[String, String] = Map(
+    "q115_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |se AS (SELECT user_id, event_id, ts, event_type,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM e),
+        |tri AS (SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(session_id, 1) OVER w AS s2,
+        |    lead(event_type, 2) OVER w AS e3,
+        |    lead(session_id, 2) OVER w AS s3,
+        |    session_id
+        |  FROM se WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path, count(*) AS n
+        |FROM tri WHERE s2 = session_id AND s3 = session_id
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "q30_window_topk_per_group" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

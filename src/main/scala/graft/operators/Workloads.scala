@@ -76,6 +76,39 @@ object Workloads {
       ORDER BY n.n_name, acctbal DESC, t.c_name""")
   }
 
+  /** RFM customer segmentation (the classic marketing/recommender cohort
+    * primitive): per customer, Recency (days since last order, vs the
+    * corpus max date), Frequency (order count), Monetary (total spend) —
+    * each cut into quartiles — then segment sizes and average spend per
+    * (R,F,M) cell. The per-customer aggregate is one shuffle; the three
+    * ntile windows run over the CUSTOMER-sized relation (dimension-sized;
+    * at fact scale pre-aggregate first — this shape is already the
+    * aggregate). Determinism: monetary is pinned to 2 dp BEFORE the ntile
+    * ordering — Spark's and DuckDB's per-customer double sums differ at
+    * ~1e-9, and an unpinned orderBy(m) could flip near-equal customers
+    * across a quartile boundary. */
+  def q114(s: SparkSession, d: String): DataFrame = {
+    val maxd = orders(s, d).agg(max("o_orderdate").as("maxd"))
+    val rfm = orders(s, d)
+      .groupBy("o_custkey")
+      .agg(max("o_orderdate").as("lastd"), count(lit(1)).as("f"),
+        r2(sum("o_totalprice")).as("rm"))
+      .crossJoin(broadcast(maxd))
+      .select(col("o_custkey"),
+        datediff(col("maxd"), col("lastd")).cast("long").as("rec"),
+        col("f"), col("rm"))
+    val wr = Window.orderBy(col("rec").asc, col("o_custkey"))
+    val wf = Window.orderBy(col("f").desc, col("o_custkey"))
+    val wm = Window.orderBy(col("rm").desc, col("o_custkey"))
+    rfm.select(col("rm"),
+        ntile(4).over(wr).cast("long").as("r_q"),
+        ntile(4).over(wf).cast("long").as("f_q"),
+        ntile(4).over(wm).cast("long").as("m_q"))
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_customers"), r2(avg("rm")).as("avg_monetary"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
   /** TPC-H Q5 shape: revenue by nation where customer and supplier share the
     * nation, one order-year. */
   def q47(s: SparkSession, d: String): DataFrame = {
@@ -167,6 +200,7 @@ object Workloads {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_lateral_topk" -> q111,
+    "q114_rfm_segments" -> q114,
     "q07_correlated_subquery" -> q07,
     "q19_tpch_q3_shipping" -> q19,
     "q47_tpch_q5_local" -> q47,
@@ -176,6 +210,20 @@ object Workloads {
     "q37_retention_cohorts" -> q37)
 
   val oracle: Map[String, String] = Map(
+    "q114_rfm_segments" ->
+      s"""WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+         |rfm AS (SELECT o_custkey,
+         |    date_diff('day', max(o_orderdate), (SELECT maxd FROM mx)) AS rec,
+         |    count(*) AS f, ${sr2("sum(o_totalprice)")} AS rm
+         |  FROM orders GROUP BY 1),
+         |q AS (SELECT rm,
+         |    ntile(4) OVER (ORDER BY rec ASC, o_custkey) AS r_q,
+         |    ntile(4) OVER (ORDER BY f DESC, o_custkey) AS f_q,
+         |    ntile(4) OVER (ORDER BY rm DESC, o_custkey) AS m_q
+         |  FROM rfm)
+         |SELECT r_q, f_q, m_q, count(*) AS n_customers,
+         |  ${sr2("avg(rm)")} AS avg_monetary
+         |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q111_lateral_topk" ->
       s"""SELECT n.n_name, t.c_name, ${sr2("t.c_acctbal")} AS acctbal
          |FROM nation n JOIN LATERAL (

@@ -293,4 +293,29 @@ class GraftApiSpec extends AnyFunSuite {
     val q108 = operators.Recommender.q108(s, d)
     assert(api.collect().toSeq == q108.collect().toSeq)
   }
+
+  test("pageRank matches hand-computed fixpoints on tiny graphs") {
+    val sp = s
+    import sp.implicits._
+    // 2-cycle: each node feeds the other its whole rank — 1.0 is stationary
+    // from round 0, so every iteration returns exactly (0.15 + 0.85·1) = 1.
+    val cyc = Seq((1L, 2L, 1.0), (2L, 1L, 1.0)).toDF("src", "dst", "w")
+    val cycRanks = Graft.pageRank(cyc, "src", "dst", "w", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(cycRanks == Map(1L -> 1.0, 2L -> 1.0))
+
+    // chain 1→2: node 1 has no inbound edges, so it drops to the 0.15 base
+    // after round 1 and stays; node 2 then converges to 0.15 + 0.85·0.15.
+    val chain = Seq((1L, 2L, 3.0)).toDF("src", "dst", "w")
+    val got = Graft.pageRank(chain, "src", "dst", "w", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 0.15) < 1e-9, s"dangling-source rank: $got")
+    assert(math.abs(got(2L) - (0.15 + 0.85 * 0.15)) < 1e-9, s"sink rank: $got")
+
+    // rank mass flows: a node with two inbound paths outranks single-inbound
+    val vee = Seq((1L, 3L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0)).toDF("src", "dst", "w")
+    val v = Graft.pageRank(vee, "src", "dst", "w", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(v(3L) > v(1L) && v(1L) > v(2L), s"mass-flow ordering violated: $v")
+  }
 }
