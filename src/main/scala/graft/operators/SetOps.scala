@@ -54,7 +54,11 @@ object SetOps {
   }
 
   def q44(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    // Order on the µs-truncated ts (`div 1000`), not the raw ns value: the
+    // oracle's scan is already µs, so an ns-refined ordering could pick a
+    // different "first" row on a same-µs tie (SURVEY §1.3).
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(expr("ts div 1000").asc, col("event_id").asc)
     events(s, d)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

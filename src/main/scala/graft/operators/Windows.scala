@@ -40,16 +40,20 @@ object Windows {
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
-  /** Sessionization on the raw ns-long `ts` (exact integer arithmetic; the
-    * DuckDB twin compares µs timestamps — equivalent because no row carries
-    * sub-µs precision, SURVEY §1.3). Gap > 30 min starts a new session. */
+  /** Sessionization in exact µs-integer arithmetic. The gap compare and the
+    * in-user ordering both run on `ts div 1000` — TRUNCATE-THEN-SUBTRACT,
+    * never the raw ns values: DuckDB's scan truncates each timestamp to µs,
+    * so an ns-domain gap compare (or ns-refined ordering) can disagree with
+    * the oracle within ±1 µs of the 30-min boundary / on same-µs ties
+    * (SURVEY §1.3, the r4 interval-join lesson). Gap > 30 min starts a new
+    * session. */
   def q32(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val e = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events(s, d)
-      .withColumn("new_sess",
-        when(lag("ts", 1).over(w).isNull ||
-          (col("ts") - lag("ts", 1).over(w)) > lit(1800000000000L), 1L).otherwise(0L))
+    e.withColumn("new_sess",
+        when(lag("ts_us", 1).over(w).isNull ||
+          (col("ts_us") - lag("ts_us", 1).over(w)) > lit(1800000000L), 1L).otherwise(0L))
       .withColumn("session_id", sum("new_sess").over(wc))
       .select("user_id", "event_id", "tsc", "session_id")
       .orderBy("event_id")
@@ -65,12 +69,12 @@ object Windows {
     * event type and filtering equality — cheaper than re-partitioning by
     * (user, session), which WOULD be a second shuffle. */
   def q115(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val e = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events(s, d)
-      .withColumn("new_sess",
-        when(lag("ts", 1).over(w).isNull ||
-          (col("ts") - lag("ts", 1).over(w)) > lit(1800000000000L), 1L).otherwise(0L))
+    e.withColumn("new_sess",
+        when(lag("ts_us", 1).over(w).isNull ||
+          (col("ts_us") - lag("ts_us", 1).over(w)) > lit(1800000000L), 1L).otherwise(0L))
       .withColumn("session_id", sum("new_sess").over(wc))
       .withColumn("e2", lead("event_type", 1).over(w))
       .withColumn("s2", lead("session_id", 1).over(w))

@@ -171,13 +171,16 @@ object Workloads {
     * row: distinct clickers, distinct converters, and their ratio (null when
     * there are no clickers — nullif guards the division). */
   def q36(s: SparkSession, d: String): DataFrame = {
+    // µs-truncated comparisons (truncate-then-subtract, SURVEY §1.3): the
+    // oracle's timestamps are already µs, so an ns-domain window compare
+    // could disagree within ±1 µs of the 30-min boundary.
     val ev = events(s, d)
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts").as("ct"))
+      .select(col("user_id"), expr("ts div 1000").as("ct"))
     val buys = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts").as("pt"))
+      .select(col("user_id"), expr("ts div 1000").as("pt"))
     val converted = clicks.join(buys, Seq("user_id"))
-      .filter(col("pt") >= col("ct") && col("pt") - col("ct") <= lit(1800000000000L))
+      .filter(col("pt") >= col("ct") && col("pt") - col("ct") <= lit(1800000000L))
       .select("user_id").distinct()
     val clickers = clicks.select("user_id").distinct()
     clickers.agg(count(lit(1)).as("n_clickers"))

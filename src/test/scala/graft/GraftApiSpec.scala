@@ -37,8 +37,10 @@ class GraftApiSpec extends AnyFunSuite {
   }
 
   test("sessionize reproduces q32's session assignment") {
-    val api = Graft.sessionize(Tables.events(s, d), "user_id", "ts",
-        gap = 1800000000000L, tieBreak = Seq("event_id"))
+    // same µs domain as q32 (truncate-then-subtract, SURVEY §1.3)
+    val api = Graft.sessionize(
+        Tables.events(s, d).withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "ts_us", gap = 1800000000L, tieBreak = Seq("event_id"))
       .select("user_id", "event_id", "session_id")
     val q32 = operators.Windows.q32(s, d).select("user_id", "event_id", "session_id")
     assert(api.except(q32).isEmpty && q32.except(api).isEmpty)
@@ -46,7 +48,7 @@ class GraftApiSpec extends AnyFunSuite {
 
   test("dedupFirst reproduces q44 (first event per user+type)") {
     val api = Graft.dedupFirst(Tables.events(s, d),
-        Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))
+        Seq("user_id", "event_type"), Seq(expr("ts div 1000"), col("event_id")))
       .select("user_id", "event_type", "event_id")
     val q44 = operators.SetOps.q44(s, d).select("user_id", "event_type", "event_id")
     assert(api.except(q44).isEmpty && q44.except(api).isEmpty)
