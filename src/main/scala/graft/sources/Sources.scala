@@ -34,6 +34,33 @@ object Sources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Malformed-record-tolerant JSON ingestion (real feeds are never clean):
+    * PERMISSIVE mode parses what it can and routes each unparseable line
+    * into `_corrupt_record` instead of failing the job — the caller splits
+    * good rows from a quarantine stream and neither a single bad line nor
+    * a bad FILE kills a 100 TB ingest. Row-local, no extra pass. */
+  def readJsonTolerant(spark: SparkSession, path: String,
+                       schema: StructType): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", "string"))
+      .json(path)
+
+  /** Range-clustered parquet sink: `repartitionByRange` + an in-partition
+    * sort on `keys` before writing. Every output file then covers a
+    * DISJOINT key range, so parquet's per-file/row-group min-max statistics
+    * let a key-range scan skip everything else — the zone-map/clustering
+    * complement to [[writePartitioned]] (coarse directory pruning) and
+    * [[writeBucketed]] (join co-location): use THIS when the hot predicate
+    * is a range, not equality. OperatorGoldenSpec asserts the written
+    * files' key ranges are pairwise disjoint. */
+  def writeRangeClustered(df: DataFrame, path: String, files: Int,
+                          keys: Seq[String]): Unit =
+    df.repartitionByRange(files, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 

@@ -167,6 +167,50 @@ class OperatorGoldenSpec extends AnyFunSuite {
     assert(pruned.count() == expected && expected > 0)
   }
 
+  test("range-clustered parquet sink: output files cover disjoint key ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_range").toString
+    val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+    sources.Sources.writeRangeClustered(o, dir, files = 4, keys = Seq("o_orderkey"))
+    // per-FILE key ranges must be pairwise disjoint — that is what lets a
+    // key-range predicate skip whole files via parquet min-max statistics
+    val ranges = s.read.parquet(dir)
+      .select(col("o_orderkey"), input_file_name().as("f"))
+      .groupBy("f").agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length >= 2, s"expected multiple files, got ${ranges.length}")
+    assert(ranges.sliding(2).forall(p => p.length < 2 || p(0)._2 < p(1)._1),
+      s"file key ranges overlap: ${ranges.toSeq}")
+    // and the clustered copy still answers a range scan exactly
+    val lo = ranges(1)._1
+    val expected = o.filter(col("o_orderkey") >= lo).count()
+    assert(s.read.parquet(dir).filter(col("o_orderkey") >= lo).count() == expected)
+  }
+
+  test("tolerant JSON ingestion quarantines malformed lines instead of failing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_badjson")
+    val lines = Seq(
+      """{"id": 1, "v": "ok"}""",
+      """{"id": 2, "v": "also ok"}""",
+      """{"id": 3, "v": BROKEN""",
+      """not json at all""")
+    java.nio.file.Files.write(dir.resolve("feed.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("v", "string")
+    // cache first: Spark disallows JSON queries whose required schema is
+    // ONLY the internal corrupt-record column
+    val df = sources.Sources.readJsonTolerant(s, dir.toString, schema).cache()
+    try {
+      val good = df.filter(col("_corrupt_record").isNull)
+      val bad = df.filter(col("_corrupt_record").isNotNull)
+      assert(good.count() == 2 && bad.count() == 2,
+        "2 parsed rows + 2 quarantined lines expected")
+      assert(good.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+      assert(bad.select("_corrupt_record").collect().map(_.getString(0)).toSet ==
+        Set("""{"id": 3, "v": BROKEN""", "not json at all"))
+    } finally df.unpersist()
+  }
+
   test("r4 additions: scrub/variant/interval-join golden properties at sf0.001") {
     // q56: every customer name is 'Customer#<9 digits>' → exactly one
     // redaction, and the scrubbed form is the literal 'Customer#<ID>'
