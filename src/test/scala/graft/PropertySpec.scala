@@ -231,4 +231,27 @@ class PropertySpec extends AnyFunSuite {
     assert(naive.nonEmpty, "fixture produced no close pairs — test is vacuous")
     assert(bucketed == naive, "banding changed the interval-join result")
   }
+
+  test("pageRank conserves rank mass when every node has out-degree >= 1") {
+    // On a dangling-free graph each round redistributes ALL rank mass:
+    // Σ r' = Σ (1−d) + d·Σᵢ rᵢ·(Σⱼ wᵢⱼ/outᵢ) = (1−d)·N + d·Σ r, and from
+    // Σ r₀ = N the sum stays N every round (up to the 10 dp pin). A ring
+    // with random chords keeps out-degree ≥ 1 for every node.
+    val sp = s
+    import sp.implicits._
+    val rng = new scala.util.Random(42)
+    val n = 40
+    val ring = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong,
+      1.0 + rng.nextInt(5)))
+    val chords = (1 to 60).map { _ =>
+      (rng.nextInt(n).toLong, rng.nextInt(n).toLong, 1.0 + rng.nextInt(5))
+    }
+    val edges = (ring ++ chords).toDF("src", "dst", "w")
+    val ranks = graft.api.Graft.pageRank(edges, "src", "dst", "w", iters = 5)
+      .collect().map(_.getDouble(1))
+    assert(ranks.length == n)
+    assert(ranks.forall(_ > 0.0), "every node keeps positive rank")
+    assert(math.abs(ranks.sum - n) < 1e-6 * n,
+      s"rank mass not conserved: ${ranks.sum} vs $n")
+  }
 }
