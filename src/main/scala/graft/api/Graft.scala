@@ -431,6 +431,42 @@ object Graft {
       .drop("__planes", "__qv")
   }
 
+  /** One-pass multi-column table profile: per column, row count, non-null
+    * count, exact distinct count, and (numeric columns only) min/max cast
+    * to double. ALL columns are profiled in a SINGLE scan — the multiple
+    * `count(DISTINCT ...)` aggregates plan as one Expand feeding one
+    * partial+final aggregation, never a per-column loop of scans, which is
+    * the naive profiler's 100 TB failure mode. The wide one-row aggregate
+    * is reshaped to long with `stack` (row-local). At extreme cardinality
+    * swap the exact distinct for `approx_count_distinct`. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.NumericType
+    val byName = df.schema.fields.map(f => f.name -> f).toMap
+    val fields = cols.map(c => byName.getOrElse(c,
+      throw new IllegalArgumentException(s"no such column: $c")))
+    def isNum(f: org.apache.spark.sql.types.StructField) =
+      f.dataType.isInstanceOf[NumericType]
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ fields.zipWithIndex.flatMap {
+      case (f, i) =>
+        Seq(count(col(f.name)).as(s"__nn$i"),
+          countDistinct(col(f.name)).as(s"__nd$i")) ++
+          (if (isNum(f)) Seq(min(col(f.name)).cast("double").as(s"__mn$i"),
+            max(col(f.name)).cast("double").as(s"__mx$i"))
+          else Nil)
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = fields.zipWithIndex.map { case (f, i) =>
+      val mm = if (isNum(f)) s"__mn$i, __mx$i"
+               else "cast(null as double), cast(null as double)"
+      s"'${f.name}', __nn$i, __nd$i, $mm"
+    }.mkString(", ")
+    wide.selectExpr("n_rows", s"stack(${fields.length}, $stackArgs) AS " +
+        "(column_name, n_nonnull, n_distinct, min_v, max_v)")
+      .select(col("column_name"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"), col("min_v"), col("max_v"))
+      .orderBy("column_name")
+  }
+
   /** Weighted PageRank by power iteration over an edge list
     * `(srcCol, dstCol, weightCol)`: rank(j) ← (1−d) + d·Σᵢ rank(i)·wᵢⱼ/outᵢ
     * for a fixed `iters` rounds. Returns `(id, rank)` over every node that

@@ -296,6 +296,20 @@ class GraftApiSpec extends AnyFunSuite {
     assert(api.collect().toSeq == q108.collect().toSeq)
   }
 
+  test("profile reproduces q112 and plans a single scan") {
+    val api = Graft.profile(Tables.customer(s, d),
+      Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+    val q112 = operators.Analytics.q112(s, d)
+    assert(api.collect().toSeq == q112.collect().toSeq)
+    // one Expand over one scan — never a per-column loop of scans
+    // (AQE's plan string repeats the tree under "== Initial Plan ==";
+    // count only the final section)
+    val plan = api.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.split("Scan parquet").length - 1 == 1,
+      s"profile must read the table exactly once:\n$plan")
+  }
+
   test("pageRank matches hand-computed fixpoints on tiny graphs") {
     val sp = s
     import sp.implicits._
