@@ -146,6 +146,76 @@ object Graft {
       .drop("__cum")
   }
 
+  /** Calendar gap-fill (dense resample): given an already-aggregated
+    * relation keyed by `keyCols` + `timeCol`, emit one row for EVERY
+    * (key, time step) cell between the observed min and max of `timeCol`,
+    * filling absent cells from `fills`. The time spine is a single
+    * one-row aggregate exploded by `sequence` — calendar-sized, so it
+    * BROADCASTS against the (potentially fact-sized) key set, which stays
+    * partitioned; the fill join then shuffles on (keys, time) only once.
+    * `step` is an interval expression (e.g. `expr("interval 1 hour")`);
+    * works for timestamp and date spines alike. The input must already be
+    * aggregated to one row per (keys, time) — gapFill densifies, it does
+    * not combine duplicates. */
+  def gapFill(df: DataFrame, keyCols: Seq[String], timeCol: String,
+              step: Column, fills: Map[String, Column]): DataFrame = {
+    val span = df.agg(min(col(timeCol)).as("__t0"), max(col(timeCol)).as("__t1"))
+    val spine = span.select(explode(sequence(col("__t0"), col("__t1"), step)).as(timeCol))
+    val dense = df.select(keyCols.map(col): _*).distinct().crossJoin(broadcast(spine))
+    val out = dense.join(df, keyCols :+ timeCol, "left")
+    fills.foldLeft(out) { case (acc, (c, fill)) =>
+      acc.withColumn(c, coalesce(col(c), fill)) }
+  }
+
+  /** Per-key exponentially-weighted moving average over an ordered series:
+    * ewma₁ = x₁, ewmaᵢ = (1−α)·ewmaᵢ₋₁ + α·xᵢ, returning the final value
+    * per key plus the series length. The recurrence is inherently
+    * sequential, so each key's series is collected to ONE row and folded
+    * with `aggregate` — correct at scale because the fold input is the
+    * PRE-AGGREGATED series (calendar-sized per key: |days| or |hours|),
+    * never the fact rows; the fact-scale work is the caller's groupBy that
+    * built the series. Cross-engine determinism: every fold step is pinned
+    * to 10 dp with the Tables.rnd floor formula (the q113 trick), and the
+    * decay is written `(1 − α)` so both engines derive it from the same
+    * literal — DuckDB's `list_reduce` (accumulator-first, first element as
+    * init) reproduces the fold bit-for-bit. */
+  def ewma(df: DataFrame, keyCols: Seq[String], orderCol: String,
+           valCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    // plain-decimal form of the (round-trip-exact) shortest repr — a
+    // scientific-notation toString like 1.0E-4 would not splice into SQL
+    val aStr = new java.math.BigDecimal(alpha.toString).toPlainString
+    df.groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        col(orderCol).as("o"), col(valCol).cast("double").as("v")))).as("__xs"))
+      .withColumn("n_points", size(col("__xs")).cast("long"))
+      .withColumn("ewma", expr(
+        s"""aggregate(slice(__xs, 2, greatest(size(__xs) - 1, 0)),
+           |  element_at(__xs, 1).v,
+           |  (acc, x) -> floor((acc * (1e0 - ${aStr}e0) + ${aStr}e0 * x.v) * 1e10 + 0.5e0) / 1e10)""".stripMargin))
+      .drop("__xs")
+  }
+
+  /** Referential-integrity audit of one foreign-key edge: child rows,
+    * orphaned child rows (no matching parent key), distinct parent keys,
+    * and unreferenced parent keys — the data-quality gate run before any
+    * join-dependent pipeline. One row out. Plan: two aggregated outer
+    * joins on the key; the dimension side broadcasts when small and the
+    * counts combine map-side, so each edge costs one pass over child and
+    * parent regardless of scale. */
+  def refIntegrity(child: DataFrame, childKey: String,
+                   parent: DataFrame, parentKey: String): DataFrame = {
+    val c = child.select(col(childKey).as("__k"))
+    val p = parent.select(col(parentKey).as("__k")).distinct()
+    val orphan = c.join(p.withColumn("__hit", lit(1)), Seq("__k"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        count(when(col("__hit").isNull, 1)).as("n_orphan"))
+    val unref = p.join(c.distinct().withColumn("__used", lit(1)), Seq("__k"), "left")
+      .agg(count(lit(1)).as("n_parent"),
+        count(when(col("__used").isNull, 1)).as("n_unref_parent"))
+    orphan.crossJoin(unref)
+  }
+
   /** Item co-occurrence PMI over a (user, item) interaction relation:
     * canonical pairs (item_a < item_b) with their co-count and
     * ln(c_ab·N / (c_a·c_b)). Cap each user's item list BEFORE calling (see

@@ -91,6 +91,80 @@ object Analytics {
       .limit(20)
   }
 
+  /** Calendar gap-fill: dense hourly activity series per event_type — every
+    * (type, hour) cell between the corpus's first and last hour, absent
+    * cells filled with zeros (215 of 3600 cells at sf0.01). The time-series
+    * resample primitive: downstream window/EWMA math needs a DENSE series
+    * or its frames silently skip gaps. Spine is calendar-sized → broadcast;
+    * the key set stays partitioned; one (type, hour) shuffle fills. */
+  def q117(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("tsc")).as("hour"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("__sv"))
+    graft.api.Graft.gapFill(hourly, Seq("event_type"), "hour",
+        expr("interval 1 hour"),
+        Map("n_events" -> lit(0L), "__sv" -> lit(0.0)))
+      .select(col("event_type"), col("hour"), col("n_events"),
+        r2(col("__sv")).as("sum_value"))
+      .orderBy("event_type", "hour")
+  }
+
+  /** EWMA smoothing (α = 0.3) of per-returnflag daily revenue — the
+    * time-series denoising primitive. The fact-scale work is the daily
+    * pre-aggregation (one shuffle over lineitem); the sequential fold then
+    * runs over the calendar-sized series per key, each step pinned to
+    * 10 dp so DuckDB's `list_reduce` reproduces it bit-for-bit (see
+    * Graft.ewma). */
+  def q118(s: SparkSession, d: String): DataFrame = {
+    val daily = lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_shipdate").as("day"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev"))
+    graft.api.Graft.ewma(daily, Seq("l_returnflag"), "day", "rev", 0.3)
+      .select(col("l_returnflag"), col("n_points"), col("ewma"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Winsorized robust statistics: per event_type, exact p05/p95 of value,
+    * then the mean before and after clipping to that band — the outlier-
+    * robust companion to q116's z-scores (which a heavy tail corrupts; the
+    * winsorized mean does not). The 5-row quantile relation broadcasts
+    * back over the fact side; clipping is row-local. At extreme group
+    * sizes swap `percentile` for the mergeable `approx_percentile` (q59). */
+  def q119(s: SparkSession, d: String): DataFrame = {
+    val pct = events(s, d).groupBy("event_type")
+      .agg(expr("percentile(value, 0.05e0)").as("__p05"),
+        expr("percentile(value, 0.95e0)").as("__p95"))
+    events(s, d).join(pct, "event_type")
+      .select(col("event_type"), col("value"),
+        least(greatest(col("value"), col("__p05")), col("__p95")).as("__w"),
+        col("__p05"), col("__p95"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        r4(avg(col("value"))).as("mean_raw"),
+        r4(avg(col("__w"))).as("mean_winsor"),
+        r4(min(col("__p05"))).as("p05"),
+        r4(max(col("__p95"))).as("p95"))
+      .orderBy("event_type")
+  }
+
+  /** Referential-integrity audit of the star schema's five FK edges —
+    * child rows, orphans, parent keys, unreferenced parents per edge — the
+    * pre-pipeline data-quality gate (a silently-orphaned fact row becomes
+    * silently-dropped revenue in every inner join downstream). Each edge
+    * is two aggregated outer joins (Graft.refIntegrity); dims broadcast,
+    * counts combine map-side; the union is five one-row frames. */
+  def q120(s: SparkSession, d: String): DataFrame = {
+    def edge(name: String, c: DataFrame, ck: String, p: DataFrame, pk: String) =
+      graft.api.Graft.refIntegrity(c, ck, p, pk).select(lit(name).as("edge"),
+        col("n_child"), col("n_orphan"), col("n_parent"), col("n_unref_parent"))
+    edge("customer.c_nationkey->nation", customer(s, d), "c_nationkey", nation(s, d), "n_nationkey")
+      .unionByName(edge("lineitem.l_orderkey->orders", lineitem(s, d), "l_orderkey", orders(s, d), "o_orderkey"))
+      .unionByName(edge("nation.n_regionkey->region", nation(s, d), "n_regionkey", region(s, d), "r_regionkey"))
+      .unionByName(edge("orders.o_custkey->customer", orders(s, d), "o_custkey", customer(s, d), "c_custkey"))
+      .unionByName(edge("supplier.s_nationkey->nation", supplier(s, d), "s_nationkey", nation(s, d), "n_nationkey"))
+      .orderBy("edge")
+  }
+
   /** Linear-regression aggregates: price-vs-quantity fit per return flag. */
   def q58(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -107,9 +181,92 @@ object Analytics {
     "q57_edit_distance" -> q57,
     "q58_regression_aggs" -> q58,
     "q112_table_profile" -> q112,
-    "q116_anomaly_zscore" -> q116)
+    "q116_anomaly_zscore" -> q116,
+    "q117_gap_fill_hourly" -> q117,
+    "q118_ewma_daily_revenue" -> q118,
+    "q119_winsorized_stats" -> q119,
+    "q120_ref_integrity" -> q120)
 
   val oracle: Map[String, String] = Map(
+    "q117_gap_fill_hourly" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hour,
+         |    count(*) AS n_events, sum(value) AS sv
+         |  FROM events GROUP BY 1, 2),
+         |span AS (SELECT min(hour) AS t0, max(hour) AS t1 FROM hourly),
+         |spine AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour FROM span),
+         |keys AS (SELECT DISTINCT event_type FROM hourly)
+         |SELECT k.event_type, s.hour,
+         |  coalesce(h.n_events, 0) AS n_events,
+         |  ${sr2("coalesce(h.sv, 0e0)")} AS sum_value
+         |FROM keys k CROSS JOIN spine s
+         |LEFT JOIN hourly h ON h.event_type = k.event_type AND h.hour = s.hour
+         |ORDER BY k.event_type, s.hour""".stripMargin,
+    "q118_ewma_daily_revenue" ->
+      s"""WITH daily AS (
+         |  SELECT l_returnflag, l_shipdate AS day,
+         |    ${sr2("sum(l_extendedprice * (1e0 - l_discount))")} AS rev
+         |  FROM lineitem GROUP BY 1, 2),
+         |ser AS (SELECT l_returnflag, list(rev ORDER BY day) AS xs
+         |        FROM daily GROUP BY 1)
+         |SELECT l_returnflag, CAST(len(xs) AS BIGINT) AS n_points,
+         |  list_reduce(xs, (acc, x) ->
+         |    floor((acc * (1e0 - 0.3e0) + 0.3e0 * x) * 1e10 + 0.5e0) / 1e10) AS ewma
+         |FROM ser ORDER BY l_returnflag""".stripMargin,
+    "q119_winsorized_stats" ->
+      s"""WITH pct AS (
+         |  SELECT event_type, quantile_cont(value, 0.05e0) AS p05,
+         |    quantile_cont(value, 0.95e0) AS p95
+         |  FROM events GROUP BY 1)
+         |SELECT e.event_type, count(*) AS n,
+         |  ${sr4("avg(e.value)")} AS mean_raw,
+         |  ${sr4("avg(least(greatest(e.value, p.p05), p.p95))")} AS mean_winsor,
+         |  ${sr4("min(p.p05)")} AS p05, ${sr4("max(p.p95)")} AS p95
+         |FROM events e JOIN pct p USING (event_type)
+         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "q120_ref_integrity" ->
+      """WITH edges AS (
+        |  SELECT 'customer.c_nationkey->nation' AS edge,
+        |    (SELECT count(*) FROM customer) AS n_child,
+        |    (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS n_orphan,
+        |    (SELECT count(DISTINCT n_nationkey) FROM nation) AS n_parent,
+        |    (SELECT count(*) FROM nation n WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey)) AS n_unref_parent
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey->orders',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |    (SELECT count(DISTINCT o_orderkey) FROM orders),
+        |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+        |  UNION ALL
+        |  SELECT 'nation.n_regionkey->region',
+        |    (SELECT count(*) FROM nation),
+        |    (SELECT count(*) FROM nation n WHERE NOT EXISTS
+        |      (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)),
+        |    (SELECT count(DISTINCT r_regionkey) FROM region),
+        |    (SELECT count(*) FROM region r WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation n WHERE n.n_regionkey = r.r_regionkey))
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |    (SELECT count(DISTINCT c_custkey) FROM customer),
+        |    (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+        |  UNION ALL
+        |  SELECT 'supplier.s_nationkey->nation',
+        |    (SELECT count(*) FROM supplier),
+        |    (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)),
+        |    (SELECT count(DISTINCT n_nationkey) FROM nation),
+        |    (SELECT count(*) FROM nation n WHERE NOT EXISTS
+        |      (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)))
+        |SELECT edge, n_child, n_orphan, n_parent, n_unref_parent
+        |FROM edges ORDER BY edge""".stripMargin,
     "q112_table_profile" ->
       s"""WITH p AS (
          |  SELECT 'c_acctbal' AS column_name, count(*) AS n_rows,

@@ -310,6 +310,55 @@ class GraftApiSpec extends AnyFunSuite {
       s"profile must read the table exactly once:\n$plan")
   }
 
+  test("gapFill densifies to the full key×spine grid and preserves observed rows") {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("tsc")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val filled = Graft.gapFill(hourly, Seq("event_type"), "hour",
+      expr("interval 1 hour"), Map("n_events" -> lit(0L)))
+    val span = hourly.agg(unix_micros(min("hour")), unix_micros(max("hour"))).head()
+    val nHours = (span.getLong(1) - span.getLong(0)) / 3600000000L + 1
+    val nKeys = hourly.select("event_type").distinct().count()
+    // exactly the dense grid, no duplicates
+    assert(filled.count() == nKeys * nHours)
+    assert(filled.select("event_type", "hour").distinct().count() == nKeys * nHours)
+    // observed cells pass through unchanged; filled cells are zero
+    assert(filled.filter(col("n_events") > 0).except(hourly).isEmpty)
+    assert(hourly.filter(col("n_events") > 0).except(
+      filled.filter(col("n_events") > 0)).isEmpty)
+    assert(filled.count() - hourly.count() ==
+      filled.filter(col("n_events") === 0).count())
+  }
+
+  test("ewma: first element seeds, constant series is a fixpoint, alpha=1 tracks last") {
+    val sp = s
+    import sp.implicits._
+    val df = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("b", 1, 7.5),
+        ("c", 1, 5.0), ("c", 2, 5.0), ("c", 3, 5.0))
+      .toDF("k", "t", "v")
+    val got = Graft.ewma(df, Seq("k"), "t", "v", 0.3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("b") == ((1L, 7.5)), "single element seeds the fold")
+    assert(got("c") == ((3L, 5.0)), "constant series is a fixpoint")
+    assert(math.abs(got("a")._2 - (10.0 * 0.7 + 20.0 * 0.3)) < 1e-9)
+    val a1 = Graft.ewma(df, Seq("k"), "t", "v", 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(a1 == Map("a" -> 20.0, "b" -> 7.5, "c" -> 5.0), "alpha=1 keeps only the last value")
+  }
+
+  test("refIntegrity counts orphans and unreferenced parents on a known edge") {
+    val sp = s
+    import sp.implicits._
+    val child = Seq(1, 1, 2, 9, 9, 9).toDF("fk") // 9 is an orphan key (3 rows)
+    val parent = Seq(1, 2, 3, 4).toDF("pk")      // 3, 4 unreferenced
+    val r = Graft.refIntegrity(child, "fk", parent, "pk").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((6L, 3L, 4L, 2L)))
+    // clean edge on the corpus: every lineitem references a real order
+    val clean = Graft.refIntegrity(Tables.lineitem(s, d), "l_orderkey",
+      Tables.orders(s, d), "o_orderkey").head()
+    assert(clean.getLong(1) == 0L, "corpus lineitem->orders must have no orphans")
+  }
+
   test("pageRank matches hand-computed fixpoints on tiny graphs") {
     val sp = s
     import sp.implicits._
