@@ -165,6 +165,51 @@ object Analytics {
       .orderBy("edge")
   }
 
+  /** Rolling active users: per day, exact distinct users that day (DAU) and
+    * over the trailing 7 days (WAU) — the engagement primitive. A windowed
+    * `count(distinct)` does not exist in either engine, and at scale the
+    * right exact plan is CONTRIBUTION EXPLODE: dedup to (user, day) once
+    * (the only fact-scale shuffle), explode each user-day to the ≤7 target
+    * days it contributes to, and count distinct per target day — volume is
+    * 7×|user-days|, never |days|² rescans. First 6 days carry a partial
+    * (shorter) trailing window by construction. At extreme cardinality the
+    * sketch path is `hll_sketch_agg` per day + `hll_union_agg` over the
+    * trailing week (mergeability demonstrated in MlSpec). */
+  def q121(s: SparkSession, d: String): DataFrame = {
+    val ud = events(s, d)
+      .select(col("user_id"), to_date(col("tsc")).as("day")).distinct()
+    val wau = ud
+      .withColumn("t", explode(expr("sequence(day, date_add(day, 6))")))
+      .groupBy("t").agg(countDistinct(col("user_id")).as("wau_7d"))
+    ud.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+      .join(wau, col("day") === col("t")) // inner join clips the spilled-over tail days
+      // raw DATE output kinds differ across the driver's readers (q51
+      // precedent) — ship the day as a naive midnight timestamp instead
+      .select(col("day").cast("timestamp_ntz").as("day"), col("dau"), col("wau_7d"))
+      .orderBy("day")
+  }
+
+  /** MAD robust outliers — the heavy-tail-safe companion to q116's z-score
+    * (mean and stddev are themselves corrupted by the outliers they are
+    * meant to find; median and MAD are not). Two grouped exact medians
+    * (value, then |value − median|), stats broadcast back, score row-local,
+    * global top-20 via TakeOrderedAndProject. 0.6745·MAD ≈ σ under
+    * normality, making rz comparable to q116's z. */
+  def q122(s: SparkSession, d: String): DataFrame = {
+    val med = events(s, d).groupBy("event_type")
+      .agg(expr("median(value)").as("__med"))
+    val mad = events(s, d).join(med, "event_type")
+      .groupBy("event_type")
+      .agg(min(col("__med")).as("__med2"),
+        expr("median(abs(value - __med))").as("__mad"))
+    events(s, d).join(mad, "event_type")
+      .select(col("event_id"), col("event_type"), r2(col("value")).as("value"),
+        r4(col("__med2")).as("med"), r4(col("__mad")).as("mad"),
+        r4(lit(0.6745) * (col("value") - col("__med2")) / col("__mad")).as("rz"))
+      .orderBy(abs(col("rz")).desc, col("event_id"))
+      .limit(20)
+  }
+
   /** Linear-regression aggregates: price-vs-quantity fit per return flag. */
   def q58(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -185,9 +230,31 @@ object Analytics {
     "q117_gap_fill_hourly" -> q117,
     "q118_ewma_daily_revenue" -> q118,
     "q119_winsorized_stats" -> q119,
-    "q120_ref_integrity" -> q120)
+    "q120_ref_integrity" -> q120,
+    "q121_rolling_active_users" -> q121,
+    "q122_mad_outliers" -> q122)
 
   val oracle: Map[String, String] = Map(
+    "q121_rolling_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |off AS (SELECT unnest(generate_series(0, 6)) AS o),
+        |contrib AS (SELECT user_id, day + CAST(o AS INTEGER) AS t
+        |            FROM ud CROSS JOIN off),
+        |wau AS (SELECT t, count(DISTINCT user_id) AS wau_7d FROM contrib GROUP BY 1),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1)
+        |SELECT CAST(d.day AS TIMESTAMP) AS day, d.dau, w.wau_7d
+        |FROM dau d JOIN wau w ON w.t = d.day ORDER BY d.day""".stripMargin,
+    "q122_mad_outliers" ->
+      s"""WITH med AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+         |mad AS (SELECT e.event_type, min(m.med) AS med,
+         |    median(abs(e.value - m.med)) AS mad
+         |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+         |SELECT e.event_id, e.event_type, ${sr2("e.value")} AS value,
+         |  ${sr4("m.med")} AS med, ${sr4("m.mad")} AS mad,
+         |  ${sr4("0.6745e0 * (e.value - m.med) / m.mad")} AS rz
+         |FROM events e JOIN mad m USING (event_type)
+         |ORDER BY abs(${sr4("0.6745e0 * (e.value - m.med) / m.mad")}) DESC, e.event_id
+         |LIMIT 20""".stripMargin,
     "q117_gap_fill_hourly" ->
       s"""WITH hourly AS (
          |  SELECT event_type, date_trunc('hour', ts) AS hour,

@@ -227,4 +227,28 @@ class OperatorGoldenSpec extends AnyFunSuite {
     val iv = operators.Joins.q39(s, d)
     assert(iv.filter(col("gap_us") > 300000000L || col("ev_a") >= col("ev_b")).count() == 0)
   }
+
+  test("r5 time-series/robust-stats golden properties at sf0.001") {
+    // q121: one row per observed day; the trailing window dominates the
+    // single day (wau ≥ dau), saturates at the 15-user population, and
+    // day 1's partial window is exactly its DAU
+    val au = operators.Analytics.q121(s, d).orderBy("day").collect()
+    assert(au.length == 30, s"expected 30 observed days, got ${au.length}")
+    assert(au.forall(r => r.getLong(2) >= r.getLong(1)), "wau_7d must be >= dau")
+    assert(au.forall(r => r.getLong(2) <= 15L), "population is 15 users at sf0.001")
+    assert(au.head.getLong(1) == au.head.getLong(2),
+      "first day's trailing window contains only itself")
+    // q122: robust z sign agrees with value vs median, mad positive,
+    // and ordering is by |rz| descending
+    val mo = operators.Analytics.q122(s, d).collect()
+    assert(mo.length == 20)
+    assert(mo.forall(r => r.getDouble(4) > 0.0), "mad must be positive")
+    assert(mo.forall { r =>
+      val (v, med, rz) = (r.getDouble(2), r.getDouble(3), r.getDouble(5))
+      math.signum(v - med) == math.signum(rz) || rz == 0.0
+    })
+    val rzs = mo.map(r => math.abs(r.getDouble(5)))
+    assert(rzs.zip(rzs.tail).forall { case (a, b) => a >= b },
+      "rows must come in descending |rz| order")
+  }
 }
