@@ -255,6 +255,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("checkpoint recovery: a restarted query resumes aggregation state exactly-once") {
+    // The production incremental-batch pattern: file source + AvailableNow +
+    // checkpoint. Run 1 aggregates the first files and stops; run 2 starts a
+    // NEW query from the SAME checkpoint after more files land. The final
+    // result must equal the batch aggregation over ALL rows — doubled counts
+    // would mean run 2 re-read run 1's files (broken source offset log),
+    // missing counts would mean the state store lost run 1 (broken state
+    // recovery). Either failure breaks this assertion.
+    val sp = s
+    import sp.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_ckpt_src").toFile.getPath
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_log").toFile.getPath
+    def land(rows: Seq[(Long, Double)]): Unit =
+      rows.toDF("user_id", "value").coalesce(1).write.mode("append").parquet(src)
+    def agg(df: DataFrame): DataFrame =
+      df.groupBy("user_id").agg(count(lit(1)).as("n"), sum("value").as("sv"))
+    def runOnce(queryName: String): Unit = {
+      val q = agg(sp.readStream.schema("user_id LONG, value DOUBLE").parquet(src))
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val batch1 = Seq((1L, 1.0), (1L, 2.0), (2L, 10.0))
+    val batch2 = Seq((1L, 4.0), (3L, 7.0))
+    land(batch1)
+    runOnce("ckpt_run1")
+    val r1 = s.table("ckpt_run1").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(r1 == Map(1L -> ((2L, 3.0)), 2L -> ((1L, 10.0))), s"run 1 state: $r1")
+    land(batch2)
+    runOnce("ckpt_run2")
+    val r2 = s.table("ckpt_run2").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(r2 == Map(1L -> ((3L, 7.0)), 2L -> ((1L, 10.0)), 3L -> ((1L, 7.0))),
+      s"restarted query must resume state exactly-once: $r2")
+  }
+
   test("streaming curation: quality filter + content dedup run identically on a stream") {
     // The q105 pipeline's row-local stages (quality floor, exact content
     // dedup) applied to a document STREAM: the same facade expression
