@@ -210,6 +210,51 @@ object Analytics {
       .limit(20)
   }
 
+  /** Chi-square test of independence between market segment and region over
+    * the customer base — the categorical-association primitive (feature
+    * selection / drift detection). The contingency table is densified by
+    * crossing the two marginal relations (both dimension-sized) so EMPTY
+    * cells still contribute their expected count; observed counts left-join
+    * in; the statistic is one sum over the cell grid. All shuffles are
+    * group-cardinality-sized after the first aggregation. */
+  def q123(s: SparkSession, d: String): DataFrame = {
+    val cn = customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_mktsegment"), col("n_regionkey"))
+    val obs = cn.groupBy("c_mktsegment", "n_regionkey").agg(count(lit(1)).as("o"))
+    val rt = obs.groupBy("c_mktsegment").agg(sum("o").as("rt"))
+    val ct = obs.groupBy("n_regionkey").agg(sum("o").as("ct"))
+    val n = obs.agg(sum("o").as("n"))
+    rt.crossJoin(ct)
+      .join(obs, Seq("c_mktsegment", "n_regionkey"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("e", col("rt") * col("ct") / col("n"))
+      .withColumn("t", pow(coalesce(col("o"), lit(0L)) - col("e"), 2) / col("e"))
+      .agg(r4(sum(col("t"))).as("chi2"),
+        ((countDistinct(col("c_mktsegment")) - 1) *
+          (countDistinct(col("n_regionkey")) - 1)).as("dof"),
+        count(lit(1)).as("n_cells"),
+        max(col("n")).as("n"))
+  }
+
+  /** Month-over-month revenue growth per nation — the period-over-period
+    * reporting shape: one fact-scale aggregation to (nation, month), then a
+    * lag window over the calendar-sized series. The growth ratio divides
+    * the ALREADY-2dp-pinned monthly revenues, so both engines divide
+    * identical doubles. First month per nation has null prev/growth. */
+  def q124(s: SparkSession, d: String): DataFrame = {
+    val monthly = orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), date_trunc("month", col("o_orderdate")).as("mon"))
+      .agg(r2(sum(col("o_totalprice"))).as("rev"))
+    val w = Window.partitionBy("n_name").orderBy("mon")
+    monthly
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .withColumn("growth", r4((col("rev") - col("prev")) / col("prev")))
+      .orderBy("n_name", "mon")
+  }
+
   /** Linear-regression aggregates: price-vs-quantity fit per return flag. */
   def q58(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -232,9 +277,43 @@ object Analytics {
     "q119_winsorized_stats" -> q119,
     "q120_ref_integrity" -> q120,
     "q121_rolling_active_users" -> q121,
-    "q122_mad_outliers" -> q122)
+    "q122_mad_outliers" -> q122,
+    "q123_chisq_assoc" -> q123,
+    "q124_mom_growth" -> q124)
 
   val oracle: Map[String, String] = Map(
+    "q123_chisq_assoc" ->
+      s"""WITH cn AS (SELECT c.c_mktsegment, n.n_regionkey
+         |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey),
+         |obs AS (SELECT c_mktsegment, n_regionkey, count(*) AS o FROM cn GROUP BY 1, 2),
+         |rt AS (SELECT c_mktsegment, sum(o) AS rt FROM obs GROUP BY 1),
+         |ct AS (SELECT n_regionkey, sum(o) AS ct FROM obs GROUP BY 1),
+         |tot AS (SELECT sum(o) AS n FROM obs),
+         |grid AS (
+         |  SELECT rt.c_mktsegment, ct.n_regionkey, rt.rt, ct.ct,
+         |    coalesce(obs.o, 0) AS o, tot.n,
+         |    (rt.rt * ct.ct / tot.n) AS e
+         |  FROM rt CROSS JOIN ct
+         |  LEFT JOIN obs ON obs.c_mktsegment = rt.c_mktsegment
+         |    AND obs.n_regionkey = ct.n_regionkey
+         |  CROSS JOIN tot)
+         |SELECT ${sr4("sum(pow(o - e, 2) / e)")} AS chi2,
+         |  (count(DISTINCT c_mktsegment) - 1) * (count(DISTINCT n_regionkey) - 1) AS dof,
+         |  count(*) AS n_cells, CAST(max(n) AS BIGINT) AS n
+         |FROM grid""".stripMargin,
+    "q124_mom_growth" ->
+      s"""WITH monthly AS (
+         |  SELECT n.n_name, date_trunc('month', o.o_orderdate) AS mon,
+         |    ${sr2("sum(o.o_totalprice)")} AS rev
+         |  FROM orders o
+         |  JOIN customer c ON c.c_custkey = o.o_custkey
+         |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+         |  GROUP BY 1, 2)
+         |SELECT n_name, mon, rev,
+         |  lag(rev) OVER (PARTITION BY n_name ORDER BY mon) AS prev,
+         |  ${sr4("(rev - lag(rev) OVER (PARTITION BY n_name ORDER BY mon)) / " +
+                 "lag(rev) OVER (PARTITION BY n_name ORDER BY mon)")} AS growth
+         |FROM monthly ORDER BY n_name, mon""".stripMargin,
     "q121_rolling_active_users" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |off AS (SELECT unnest(generate_series(0, 6)) AS o),

@@ -250,5 +250,15 @@ class OperatorGoldenSpec extends AnyFunSuite {
     val rzs = mo.map(r => math.abs(r.getDouble(5)))
     assert(rzs.zip(rzs.tail).forall { case (a, b) => a >= b },
       "rows must come in descending |rz| order")
+    // q123: full 5×5 grid, dof = 4·4, N = the 150-customer base, chi2 ≥ 0
+    val chi = operators.Analytics.q123(s, d).head()
+    assert(chi.getDouble(0) >= 0.0)
+    assert((chi.getLong(1), chi.getLong(2), chi.getLong(3)) == ((16L, 25L, 150L)))
+    // q124: exactly one null-prev row per nation (its first month), and
+    // growth is null exactly when prev is
+    val mom = operators.Analytics.q124(s, d)
+    val nNations = mom.select("n_name").distinct().count()
+    assert(mom.filter(col("prev").isNull).count() == nNations)
+    assert(mom.filter(col("prev").isNull =!= col("growth").isNull).count() == 0)
   }
 }

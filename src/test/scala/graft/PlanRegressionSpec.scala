@@ -304,6 +304,36 @@ class PlanRegressionSpec extends AnyFunSuite {
     Tables.release(s2)
   }
 
+  test("q117 gapFill: only the calendar spine is forced-broadcast; the fill join shuffles") {
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planOf(operators.Analytics.q117(s, d))
+      // exactly one BroadcastExchange survives with auto-broadcast off: the
+      // sequence-exploded spine (calendar-sized by construction). The
+      // left-outer fill join must NOT broadcast the fact-proportional
+      // hourly aggregate — it shuffles on (keys, time).
+      assert("BroadcastExchange".r.findAllMatchIn(plan).size == 1,
+        s"expected exactly the spine broadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"fill join must shuffle with auto-broadcast off:\n$plan")
+    } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("q120/q121: no forced broadcasts, no cartesian products in the audit/rolling shapes") {
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // refIntegrity carries no hints — parents may be fact-sized in
+      // general, so with auto-broadcast off everything must shuffle
+      val fk = planOf(operators.Analytics.q120(s, d))
+      assert(!fk.contains("BroadcastExchange"), s"q120 must not force a broadcast:\n$fk")
+      // rolling WAU: contribution explode (a Generate), equi joins only
+      val au = planOf(operators.Analytics.q121(s, d))
+      assert(au.contains("Generate"), "q121 must explode contributions")
+      assert(!au.contains("CartesianProduct") && !au.contains("BroadcastNestedLoopJoin"),
+        s"q121 must stay equi-join shaped:\n$au")
+    } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("q111 LATERAL decorrelates to a window top-k, never per-row re-execution") {
     val plan = planOf(operators.Workloads.q111(s, d))
     assert(plan.contains("WindowGroupLimit"),
