@@ -285,9 +285,36 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
+  /** Token-distribution drift between two corpus slices (en vs the rest):
+    * add-one-smoothed unigram distributions over the UNION vocabulary,
+    * KL(p‖q) both directions — the domain-shift / train-eval-drift
+    * statistic run before mixing corpora. One conditional aggregation
+    * builds both slice counts in a single pass over the shared token
+    * stream (never two scans); the one-row totals broadcast; the
+    * divergence is one sum over the vocabulary-sized relation. Smoothed
+    * probabilities divide explicitly double-cast integers, so both
+    * engines divide identical values termwise. */
+  def q125(s: SparkSession, d: String): DataFrame = {
+    val counts = words1(s, d).groupBy("w").agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ca"),
+      sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cb"))
+    val tot = counts.agg(sum("ca").as("na"), sum("cb").as("nb"),
+      count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("p", (col("ca") + 1).cast("double") / (col("na") + col("v")).cast("double"))
+      .withColumn("q", (col("cb") + 1).cast("double") / (col("nb") + col("v")).cast("double"))
+      .agg(
+        r5(sum(col("p") * log(col("p") / col("q")))).as("kl_en_rest"),
+        r5(sum(col("q") * log(col("q") / col("p")))).as("kl_rest_en"),
+        max(col("v")).as("n_vocab"),
+        max(col("na")).as("n_en"),
+        max(col("nb")).as("n_rest"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_text_repetition" -> q98,
     "q99_text_logprob" -> q99,
+    "q125_token_drift" -> q125,
     "q76_dedup_ngram_jaccard" -> q76,
     "q77_dedup_cosine_nn" -> q77,
     "q78_text_langid" -> q78,
@@ -300,6 +327,25 @@ object TextPipeline {
   private val wordsCte = s"w AS ($wordsSql)"
 
   val oracle: Map[String, String] = Map(
+    "q125_token_drift" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT lang, unnest(words) AS wd FROM w),
+         |counts AS (SELECT wd,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca,
+         |    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS cb
+         |  FROM tok GROUP BY 1),
+         |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM counts),
+         |pq AS (SELECT
+         |    CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE) AS p,
+         |    CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE) AS q,
+         |    na, nb, v
+         |  FROM counts CROSS JOIN tot)
+         |SELECT ${sr5("sum(p * ln(p / q))")} AS kl_en_rest,
+         |  ${sr5("sum(q * ln(q / p))")} AS kl_rest_en,
+         |  CAST(max(v) AS BIGINT) AS n_vocab,
+         |  CAST(max(na) AS BIGINT) AS n_en,
+         |  CAST(max(nb) AS BIGINT) AS n_rest
+         |FROM pq""".stripMargin,
     "q98_text_repetition" ->
       s"""WITH $wordsCte,
          |tri AS (SELECT doc_id, t FROM (

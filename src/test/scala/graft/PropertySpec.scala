@@ -254,4 +254,17 @@ class PropertySpec extends AnyFunSuite {
     assert(math.abs(ranks.sum - n) < 1e-6 * n,
       s"rank mass not conserved: ${ranks.sum} vs $n")
   }
+
+  test("q125 token drift: KL is non-negative both ways and counts partition the stream") {
+    val r = operators.TextPipeline.q125(TestSpark.spark, TestSpark.sf0001).head()
+    val (klAb, klBa) = (r.getDouble(0), r.getDouble(1))
+    // Gibbs' inequality: KL ≥ 0, equality only for identical distributions —
+    // the en and non-en slices of this corpus genuinely differ
+    assert(klAb > 0.0 && klBa > 0.0, s"KL must be positive on distinct slices: $klAb / $klBa")
+    // the two slice totals partition the whole token stream
+    val total = operators.TextPipeline.q83(TestSpark.spark, TestSpark.sf0001)
+      .agg(org.apache.spark.sql.functions.sum("ws_tokens")).head().getLong(0)
+    assert(r.getLong(3) + r.getLong(4) == total,
+      s"slice totals ${r.getLong(3)}+${r.getLong(4)} must partition the $total-token stream")
+  }
 }
