@@ -341,7 +341,51 @@ object Recommender {
       .limit(20)
   }
 
+  /** Coverage + exposure-concentration evaluation of the personalized
+    * popularity recommender (top-5 most popular items each user has NOT
+    * rated): catalog coverage (share of items ever recommended) and the
+    * Gini coefficient of item exposure — the diversity metrics that q67's
+    * accuracy numbers miss (a recommender can be accurate while showing
+    * everyone the same 5 items; this query measures exactly that).
+    *
+    * Scale: the candidate list is the top-50 popularity slice (bounded →
+    * broadcast); per-user filtering is a left-anti join on the user's own
+    * history (shuffle on (user, item)); the Gini rank-sum runs over the
+    * ≤50-row exposure relation — the global window is bounded by the
+    * candidate list, never catalog- or user-sized. All sums are integer
+    * until the two final divisions, so both engines compute identical
+    * doubles. */
+  def q126(s: SparkSession, d: String): DataFrame = {
+    val r = ratings(s, d).select(col("user_id"), col("item"))
+    val pop = r.groupBy("item").agg(count(lit(1)).as("cnt"))
+    val top50 = pop.orderBy(col("cnt").desc, col("item")).limit(50)
+    val recs = r.select("user_id").distinct()
+      .crossJoin(broadcast(top50))
+      .join(r, Seq("user_id", "item"), "left_anti")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("cnt").desc, col("item"))))
+      .filter(col("rnk") <= 5)
+    val expo = recs.groupBy("item").agg(count(lit(1)).as("e"))
+    val gin = expo
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("e").asc, col("item"))).cast("long"))
+      .agg(count(lit(1)).as("n_recommended"), sum("e").as("tot_e"),
+        sum(col("i") * col("e")).as("ie"))
+    gin
+      .crossJoin(broadcast(pop.agg(count(lit(1)).as("n_catalog"))))
+      .crossJoin(broadcast(r.select("user_id").distinct()
+        .agg(count(lit(1)).as("n_users"))))
+      .select(col("n_users"), col("n_catalog"), col("n_recommended"),
+        r4(col("n_recommended").cast("double") / col("n_catalog").cast("double"))
+          .as("coverage"),
+        r4(lit(2.0) * col("ie").cast("double") /
+            (col("n_recommended").cast("double") * col("tot_e").cast("double")) -
+          (col("n_recommended") + 1).cast("double") / col("n_recommended").cast("double"))
+          .as("gini"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_rec_coverage" -> q126,
     "q107_item_cooccur_pmi" -> q107,
     "q108_next_item_transition" -> q108,
     "q87_ranking_mrr_map" -> q87,
@@ -358,6 +402,31 @@ object Recommender {
     "q68_tfidf_terms" -> q68)
 
   val oracle: Map[String, String] = Map(
+    "q126_rec_coverage" ->
+      s"""WITH r AS ($ratingsSql),
+         |ru AS (SELECT user_id, item FROM r),
+         |pop AS (SELECT item, count(*) AS cnt FROM ru GROUP BY 1),
+         |top50 AS (SELECT item, cnt FROM pop ORDER BY cnt DESC, item LIMIT 50),
+         |recs AS (SELECT user_id, item FROM (
+         |    SELECT c.user_id, c.item, row_number() OVER (
+         |      PARTITION BY c.user_id ORDER BY c.cnt DESC, c.item) AS rnk
+         |    FROM (SELECT u.user_id, t.item, t.cnt
+         |          FROM (SELECT DISTINCT user_id FROM ru) u CROSS JOIN top50 t) c
+         |    WHERE NOT EXISTS (SELECT 1 FROM ru
+         |      WHERE ru.user_id = c.user_id AND ru.item = c.item))
+         |  WHERE rnk <= 5),
+         |expo AS (SELECT item, count(*) AS e FROM recs GROUP BY 1),
+         |gin AS (SELECT count(*) AS n_rec, sum(e) AS tot_e, sum(i * e) AS ie
+         |  FROM (SELECT item, e, CAST(row_number() OVER (ORDER BY e ASC, item) AS BIGINT) AS i
+         |        FROM expo)),
+         |meta AS (SELECT
+         |  (SELECT count(DISTINCT user_id) FROM ru) AS n_users,
+         |  (SELECT count(*) FROM pop) AS n_catalog)
+         |SELECT n_users, n_catalog, CAST(n_rec AS BIGINT) AS n_recommended,
+         |  ${sr4("CAST(n_rec AS DOUBLE) / CAST(n_catalog AS DOUBLE)")} AS coverage,
+         |  ${sr4("2e0 * CAST(ie AS DOUBLE) / (CAST(n_rec AS DOUBLE) * CAST(tot_e AS DOUBLE)) " +
+                 "- CAST(n_rec + 1 AS DOUBLE) / CAST(n_rec AS DOUBLE)")} AS gini
+         |FROM gin CROSS JOIN meta""".stripMargin,
     "q107_item_cooccur_pmi" ->
       s"""WITH r AS ($ratingsSql),
          |capped AS (SELECT user_id, item FROM (

@@ -153,4 +153,18 @@ class MlSpec extends AnyFunSuite {
       .filter(col("ivf_cos") > col("bf_cos") + 1e-9)
     assert(bad.count() == 0)
   }
+
+  test("q126 coverage/Gini: metric bounds and candidate-list cap hold") {
+    val r = operators.Recommender.q126(s, d).head()
+    val (nUsers, nCat, nRec) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (coverage, gini) = (r.getDouble(3), r.getDouble(4))
+    assert(nUsers > 0 && nCat > 0)
+    assert(nRec >= 1 && nRec <= 50, "recommended set is bounded by the candidate list")
+    assert(nRec <= nCat)
+    assert(coverage > 0.0 && coverage <= 1.0)
+    // Gini of a non-negative exposure distribution lies in [0, 1); with the
+    // per-user top-5 over a popularity-ordered candidate list the exposure
+    // is concentrated but never perfectly equal nor fully degenerate
+    assert(gini >= 0.0 && gini < 1.0, s"gini out of range: $gini")
+  }
 }
