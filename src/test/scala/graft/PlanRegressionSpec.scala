@@ -249,6 +249,41 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"AQE did not coalesce the shuffle read:\n$plan")
   }
 
+  test("AQE splits a skewed join partition at runtime (the hot-key guard)") {
+    // The OTHER half of the skew story beside salted aggregation: for JOINS,
+    // no rewrite is needed — AQE's OptimizeSkewedJoin splits an oversized
+    // partition into parallel sub-reads at runtime. Build a join where one
+    // key owns ~all left rows, force a shuffle join, and drop the skew
+    // thresholds so the test corpus qualifies; the finalized plan must mark
+    // the sort-merge join as skew-handled.
+    val sp = s
+    import sp.implicits._
+    // NOTE: no explicit repartition — OptimizeSkewedJoin refuses to split a
+    // user-specified (REPARTITION_BY_NUM) shuffle; the join's own
+    // ENSURE_REQUIREMENTS exchange is the one it may rewrite
+    val hot = (1 to 50000).map(i => (if (i % 100 == 0) i.toLong else 7L, i.toLong))
+    val left = hot.toDF("k", "v")
+    val right = (1L to 500L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB"
+    ).foreach { case (k, v) => sp.conf.set(k, v) }
+    try {
+      val j = left.join(right, "k")
+      j.collect() // adaptive plan finalizes only after execution
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join partition for splitting:\n$plan")
+    } finally Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    ).foreach(sp.conf.unset)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // The 100 TB scan-reduction path for shuffle joins (broadcast joins get
     // DPP instead): a selective dim-side predicate should inject a

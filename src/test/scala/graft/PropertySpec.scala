@@ -255,6 +255,31 @@ class PropertySpec extends AnyFunSuite {
       s"rank mass not conserved: ${ranks.sum} vs $n")
   }
 
+  test("gapFill law on random gapped series: dense grid, zero fills, pass-through") {
+    val sp = TestSpark.spark
+    import sp.implicits._
+    val rng = new scala.util.Random(11)
+    // random sparse (key, t) observations over a known integer-second domain
+    val obs = (1 to 200).map { _ =>
+      (s"k${rng.nextInt(4)}", rng.nextInt(50).toLong, 1.0 + rng.nextInt(9))
+    }.distinct
+    val df = obs.toDF("k", "t", "v")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_seconds(t)"))
+      .groupBy("k", "ts")
+      .agg(org.apache.spark.sql.functions.sum("v").as("sv"))
+    val filled = graft.api.Graft.gapFill(df, Seq("k"), "ts",
+      org.apache.spark.sql.functions.expr("interval 1 second"),
+      Map("sv" -> org.apache.spark.sql.functions.lit(0.0)))
+    val tMin = obs.map(_._2).min
+    val tMax = obs.map(_._2).max
+    val nKeys = obs.map(_._1).distinct.size
+    assert(filled.count() == nKeys * (tMax - tMin + 1))
+    // every observed cell survives with its aggregate; every other cell is 0
+    val kept = filled.filter(org.apache.spark.sql.functions.col("sv") =!= 0.0)
+    assert(kept.count() == df.count())
+    assert(kept.except(df).isEmpty && df.except(kept).isEmpty)
+  }
+
   test("q125 token drift: KL is non-negative both ways and counts partition the stream") {
     val r = operators.TextPipeline.q125(TestSpark.spark, TestSpark.sf0001).head()
     val (klAb, klBa) = (r.getDouble(0), r.getDouble(1))
