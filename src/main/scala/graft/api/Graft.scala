@@ -92,6 +92,21 @@ object Graft {
     dedupFirst(base.unionByName(changes), keys,
       (versionBy.desc +: tieBreak.map(_.desc)))
 
+  /** SCD type-2 validity intervals from a change log: per `keys` entity,
+    * each observation becomes a dimension row valid from its own timestamp
+    * until the NEXT observation's (`valid_to` null ⇔ `is_current`) — the
+    * slowly-changing-dimension snapshot construction. Pair with
+    * [[asofJoin]] on `(keys, valid_from)` to enrich facts as-of event time.
+    * Include `tieBreak` columns to totalize equal timestamps. Plan: one
+    * shuffle on the entity keys + one lead window — linear at any scale. */
+  def validityIntervals(df: DataFrame, keys: Seq[String], tsCol: String,
+                        tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    df.withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Content-stable bucket in [0, buckets) from any id column: the first 8
     * hex chars of sha256(id) — identical on every engine, partitioning and
     * rerun. The primitive behind reproducible sampling and A/B splits. */

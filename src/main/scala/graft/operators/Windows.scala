@@ -128,7 +128,26 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** SCD type-2 dimension construction from the event change log: each
+    * (user, event_type) observation becomes a row valid from its own
+    * timestamp until the next observation's (`valid_to_us` null = current
+    * row). The snapshot-table shape every warehouse maintains; pair with
+    * the as-of join (q17) to enrich facts as-of event time. µs integer
+    * domain per the §1.3 truncate-then-compare discipline; one shuffle on
+    * the entity keys + one lead window — linear at any scale. */
+  def q127(s: SparkSession, d: String): DataFrame = {
+    val log = events(s, d).select(col("user_id"), col("event_type"),
+      expr("ts div 1000").as("valid_from_us"), col("value"), col("event_id"))
+    graft.api.Graft.validityIntervals(log, Seq("user_id", "event_type"),
+        "valid_from_us", Seq("event_id"))
+      .select(col("user_id"), col("event_type"), r2(col("value")).as("value"),
+        col("valid_from_us"), col("valid_to").as("valid_to_us"),
+        col("is_current").cast("long").as("is_current"))
+      .orderBy("user_id", "event_type", "valid_from_us", "value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_scd2_intervals" -> q127,
     "q30_window_topk_per_group" -> q30,
     "q31_window_running_sum" -> q31,
     "q32_window_sessionize" -> q32,
@@ -138,6 +157,17 @@ object Windows {
     "q115_session_paths" -> q115)
 
   val oracle: Map[String, String] = Map(
+    "q127_scd2_intervals" ->
+      s"""WITH log AS (SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
+         |    value, event_id FROM events)
+         |SELECT user_id, event_type, ${sr2("value")} AS value, valid_from_us,
+         |  lead(valid_from_us) OVER (PARTITION BY user_id, event_type
+         |    ORDER BY valid_from_us, event_id) AS valid_to_us,
+         |  CAST(CASE WHEN lead(valid_from_us) OVER (PARTITION BY user_id, event_type
+         |    ORDER BY valid_from_us, event_id) IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_current
+         |FROM log
+         |ORDER BY user_id, event_type, valid_from_us, value""".stripMargin,
     "q115_session_paths" ->
       """WITH e AS (SELECT user_id, event_id, ts, event_type,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

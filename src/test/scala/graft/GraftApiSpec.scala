@@ -359,6 +359,25 @@ class GraftApiSpec extends AnyFunSuite {
     assert(clean.getLong(1) == 0L, "corpus lineitem->orders must have no orphans")
   }
 
+  test("validityIntervals: intervals chain per entity with exactly one current row") {
+    val iv = operators.Windows.q127(s, d).cache()
+    try {
+      assert(iv.count() == Tables.events(s, d).count(), "one interval per observation")
+      // exactly one open (current) interval per entity
+      val open = iv.groupBy("user_id", "event_type").agg(sum("is_current").as("c"))
+      assert(open.filter(col("c") =!= 1L).count() == 0)
+      // no interval ends before it starts
+      assert(iv.filter(col("valid_to_us") < col("valid_from_us")).count() == 0)
+      // closed intervals chain: every valid_to is some row's valid_from of
+      // the same entity (the successor whose lead produced it)
+      val closed = iv.filter(col("valid_to_us").isNotNull)
+        .select(col("user_id"), col("event_type"), col("valid_to_us").as("valid_from_us"))
+      val starts = iv.select("user_id", "event_type", "valid_from_us")
+      assert(closed.join(starts, Seq("user_id", "event_type", "valid_from_us"), "left_anti")
+        .isEmpty, "every closed interval must hand off to a successor")
+    } finally iv.unpersist()
+  }
+
   test("pageRank matches hand-computed fixpoints on tiny graphs") {
     val sp = s
     import sp.implicits._
