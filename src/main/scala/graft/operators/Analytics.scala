@@ -225,7 +225,9 @@ object Analytics {
     val rt = obs.groupBy("c_mktsegment").agg(sum("o").as("rt"))
     val ct = obs.groupBy("n_regionkey").agg(sum("o").as("ct"))
     val n = obs.agg(sum("o").as("n"))
-    rt.crossJoin(ct)
+    // both marginals are category-cardinality-sized; hint one so the grid
+    // cross is a broadcast loop, never a shuffle-based CartesianProduct
+    rt.crossJoin(broadcast(ct))
       .join(obs, Seq("c_mktsegment", "n_regionkey"), "left")
       .crossJoin(broadcast(n))
       .withColumn("e", col("rt") * col("ct") / col("n"))
