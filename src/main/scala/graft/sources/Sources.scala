@@ -34,6 +34,17 @@ object Sources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** XML round-trip via Spark 4's BUILT-IN xml data source (the spark-xml
+    * package was folded into core in 4.0 — no extra dependency). Schema is
+    * supplied on read: XML carries no type metadata, so inference would
+    * widen int columns to long and break lossless round-trips. */
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row"): Unit =
+    df.write.mode("overwrite").option("rowTag", rowTag).format("xml").save(path)
+
+  def readXml(spark: SparkSession, path: String, schema: StructType,
+              rowTag: String = "row"): DataFrame =
+    spark.read.option("rowTag", rowTag).schema(schema).format("xml").load(path)
+
   /** Malformed-record-tolerant JSON ingestion (real feeds are never clean):
     * PERMISSIVE mode parses what it can and routes each unparseable line
     * into `_corrupt_record` instead of failing the job — the caller splits

@@ -128,6 +128,17 @@ class OperatorGoldenSpec extends AnyFunSuite {
     assert(back.except(sup).count() == 0 && sup.except(back).count() == 0)
   }
 
+  test("XML source surface: nation round-trips losslessly through the built-in xml format") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml").toString
+    val nat = Tables.nation(s, d)
+    sources.Sources.writeXml(nat, dir)
+    val back = sources.Sources.readXml(s, dir, nat.schema)
+    assert(back.count() == 25)
+    assert(back.except(nat).count() == 0 && nat.except(back).count() == 0)
+    // schema supplied on read keeps int columns int (inference would widen)
+    assert(back.schema == nat.schema)
+  }
+
   test("binaryFile source: files become binary rows, glob prunes at listing time") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bin")
     val payloads = Map("a.img" -> Array[Byte](1, 2, 3, 4),
