@@ -128,6 +128,36 @@ class OperatorGoldenSpec extends AnyFunSuite {
     assert(back.except(sup).count() == 0 && sup.except(back).count() == 0)
   }
 
+  test("Z-order clustering bounds per-file ranges on BOTH dimensions") {
+    val sp = s
+    import sp.implicits._
+    // 64×64 grid; 16 z-ordered files ≈ a 4×4 tile decomposition, so each
+    // file's bounding box should span ~1/4 of each dimension — while a
+    // single-column range sort leaves the OTHER dimension spanning ~all of
+    // its domain in every file. That bounding-box shrinkage is exactly what
+    // parquet min-max file skipping consumes for predicates on either column.
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    def perFileAvgRange(path: String): (Double, Double) = {
+      val byFile = sp.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max("x") - min("x")).as("rx"), (max("y") - min("y")).as("ry"))
+      val r = byFile.agg(avg("rx"), avg("ry")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    sources.Sources.writeZOrdered(grid, zDir, 16, "x", "y", bits = 6)
+    val (zx, zy) = perFileAvgRange(zDir)
+    assert(zx <= 32 && zy <= 32,
+      s"z-order files must cover small boxes in both dims, got avg ranges ($zx, $zy)")
+    val lDir = java.nio.file.Files.createTempDirectory("graft_linear").toString
+    sources.Sources.writeRangeClustered(grid, lDir, 16, Seq("x"))
+    val (lx, ly) = perFileAvgRange(lDir)
+    assert(lx <= 8, s"x-sorted files are tight on x, got $lx")
+    assert(ly >= 56, s"x-sorted files must span ~all of y, got $ly")
+    assert(zy < ly / 2, "z-order must beat single-column clustering on the second dim")
+  }
+
   test("XML source surface: nation round-trips losslessly through the built-in xml format") {
     val dir = java.nio.file.Files.createTempDirectory("graft_xml").toString
     val nat = Tables.nation(s, d)
