@@ -128,6 +128,20 @@ class OperatorGoldenSpec extends AnyFunSuite {
     assert(back.except(sup).count() == 0 && sup.except(back).count() == 0)
   }
 
+  test("driver contract: oracle keys match query keys; only the 5 sketch/model keys lack oracles") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracle SQL for unknown keys: ${o -- q}")
+    assert((q -- o) == Set("q22_agg_approx_distinct", "q59_agg_approx_quantiles",
+      "q65_als_recommend", "q66_als_rmse", "q70_dedup_near_minhash"),
+      s"no-oracle set drifted: ${q -- o}")
+    // Bench shortens keys to their qNN prefix for the driver's tail capture —
+    // a duplicate prefix would silently merge two queries' timings
+    val prefixes = q.toSeq.map(_.takeWhile(_ != '_'))
+    assert(prefixes.distinct.size == prefixes.size,
+      s"duplicate qNN prefixes: ${prefixes.groupBy(identity).filter(_._2.size > 1).keys}")
+  }
+
   test("Z-order clustering bounds per-file ranges on BOTH dimensions") {
     val sp = s
     import sp.implicits._
