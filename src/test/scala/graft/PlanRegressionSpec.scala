@@ -388,6 +388,27 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"components plan carries $exchanges shuffles — per-round lineage is accumulating again")
   }
 
+  test("inventory-wide sweep: no accidental CartesianProduct in any query plan") {
+    // Planning (not executing) every key at sf0.001 and rejecting any
+    // shuffle-based cartesian: an unhinted cross of two fact-proportional
+    // relations is the classic silent scale-killer, and this sweep means a
+    // future query can't ship one by accident. q18 is the deliberate
+    // cartesian (125-row region×nation count). Iterative/model queries
+    // execute jobs during CONSTRUCTION (ALS fits, fixpoint loops), so they
+    // are excluded here for test-time — each already has its own plan or
+    // quantitative coverage.
+    val skip = Set("q18_join_cross", "q65_als_recommend", "q66_als_rmse",
+      "q70_dedup_near_minhash", "q93_dedup_components", "q101_dedup_cluster_keep",
+      "q105_curation_pipeline", "q113_item_pagerank")
+    val offenders = SparkEntry.queries.filterNot(kv => skip(kv._1)).flatMap {
+      case (name, fn) =>
+        val plan = fn(s, d).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"shuffle-based cartesian in: ${offenders.mkString(", ")}")
+  }
+
   test("salted aggregation spreads a hot key over >1 reducer bucket and stays exact") {
     // 50k-row hot key + uniform tail, deliberately skewed
     val hot = s.range(50000).select(lit("hot").as("k"), lit(1.0).as("v"))
