@@ -153,6 +153,30 @@ object Aggregates {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** Equi-DEPTH histogram (q45's equal-count companion) the scalable way:
+    * decile boundaries from ONE exact `percentile` aggregation (a one-row
+    * broadcast), bucket assignment as a row-local comparison count against
+    * the broadcast array, then an ordinary keyed count — NEVER the naive
+    * `ntile` global window, which funnels the entire fact table through a
+    * single partition. At extreme scale swap the exact percentile for the
+    * mergeable `approx_percentile` (q59). Boundary determinism: both
+    * engines interpolate the same deciles and money values are ≥ 0.01
+    * apart, so a 1-ulp interpolation difference can never flip a
+    * `v > bound` comparison. */
+  def q128(s: SparkSession, d: String): DataFrame = {
+    val b = orders(s, d).agg(expr(
+      "percentile(o_totalprice, array(0.1e0,0.2e0,0.3e0,0.4e0,0.5e0,0.6e0,0.7e0,0.8e0,0.9e0))")
+      .as("qs"))
+    orders(s, d).crossJoin(broadcast(b))
+      .withColumn("bucket",
+        (lit(1) + size(expr("filter(qs, q -> o_totalprice > q)"))).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        r2(min(col("o_totalprice"))).as("lo"),
+        r2(max(col("o_totalprice"))).as("hi"))
+      .orderBy("bucket")
+  }
+
   /** Equi-width histogram via an explicit bucket formula (DuckDB 1.0 has no
     * width_bucket); min/max come from a 1-row broadcast aggregate, so the
     * histogram is two passes with no global sort. */
@@ -185,6 +209,7 @@ object Aggregates {
     "q29_agg_quantiles" -> q29,
     "q59_agg_approx_quantiles" -> q59,
     "q45_histogram" -> q45,
+    "q128_equidepth_histogram" -> q128,
     "q20_agg_pricing_summary" -> q20,
     "q21_agg_count_distinct" -> q21,
     "q22_agg_approx_distinct" -> q22,
@@ -214,6 +239,14 @@ object Aggregates {
          |  ${sr4("quantile_cont(o_totalprice, 0.99)")} AS p99,
          |  count(*) AS n
          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q128_equidepth_histogram" ->
+      s"""WITH b AS (SELECT quantile_cont(o_totalprice,
+         |    [0.1e0,0.2e0,0.3e0,0.4e0,0.5e0,0.6e0,0.7e0,0.8e0,0.9e0]) AS qs FROM orders)
+         |SELECT CAST(1 + len(list_filter(b.qs, q -> o_totalprice > q)) AS BIGINT) AS bucket,
+         |  count(*) AS n,
+         |  ${sr2("min(o_totalprice)")} AS lo,
+         |  ${sr2("max(o_totalprice)")} AS hi
+         |FROM orders, b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q45_histogram" ->
       s"""WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
          |SELECT CAST(least(9, floor((o_totalprice - lo) / (hi - lo) * 10e0)) AS BIGINT) AS bucket,

@@ -315,5 +315,15 @@ class OperatorGoldenSpec extends AnyFunSuite {
     val nNations = mom.select("n_name").distinct().count()
     assert(mom.filter(col("prev").isNull).count() == nNations)
     assert(mom.filter(col("prev").isNull =!= col("growth").isNull).count() == 0)
+    // q128: ten near-equal-depth buckets covering all 1500 orders, with
+    // non-overlapping [lo, hi] ranges in bucket order
+    val ed = operators.Aggregates.q128(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(ed.length == 10)
+    assert(ed.map(_._2).sum == 1500L)
+    assert(ed.map(_._2).forall(n => math.abs(n - 150L) <= 1),
+      s"equi-depth buckets must be near-equal: ${ed.map(_._2).toSeq}")
+    assert(ed.sliding(2).forall { case Array(a, b) => a._4 <= b._3; case _ => true },
+      "bucket ranges must not overlap")
   }
 }
