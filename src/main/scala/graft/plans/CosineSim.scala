@@ -122,5 +122,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[RefAngle].getName, "ref_angle"),
         (args: Seq[Expression]) => RefAngle(args.head)))
     ext.injectOptimizerRule(_ => SimilarityBandRewrite)
+    ext.injectQueryStagePrepRule(BroadcastGuard(_))
   }
 }

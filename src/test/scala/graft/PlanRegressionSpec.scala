@@ -388,6 +388,38 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"components plan carries $exchanges shuffles — per-round lineage is accumulating again")
   }
 
+  test("BroadcastGuard fails fast on an oversized forced broadcast, passes dims, defaults off") {
+    import org.apache.spark.sql.SparkSession
+    val base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .withExtensions(new graft.plans.GraftExtensions().apply(_))
+        .getOrCreate()
+      val fact = Tables.lineitem(ext, d)
+      val forced = fact.join(broadcast(Tables.orders(ext, d)),
+        col("l_orderkey") === col("o_orderkey"))
+      // guard off (default): the forced broadcast runs
+      assert(forced.count() == 6000L)
+      // guard on with a 1 KB limit: the same plan must fail fast at the
+      // driver with the guard's message, not OOM executors mid-broadcast
+      ext.conf.set("spark.graft.broadcastGuard.maxBytes", "1024")
+      val err = intercept[Exception] { forced.count() }
+      def guardMsg(t: Throwable): Boolean =
+        t != null && (Option(t.getMessage).exists(_.contains("broadcast guard")) ||
+          guardMsg(t.getCause))
+      assert(guardMsg(err), s"expected the guard's error, got: $err")
+      // a genuinely dimension-sized broadcast stays under any sane limit
+      ext.conf.set("spark.graft.broadcastGuard.maxBytes", (16L * 1024 * 1024).toString)
+      assert(operators.Joins.q10(ext, d).count() == 25L)
+      ext.conf.unset("spark.graft.broadcastGuard.maxBytes")
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("inventory-wide sweep: no accidental CartesianProduct in any query plan") {
     // Planning (not executing) every key at sf0.001 and rejecting any
     // shuffle-based cartesian: an unhinted cross of two fact-proportional
