@@ -92,6 +92,47 @@ object Graft {
     dedupFirst(base.unionByName(changes), keys,
       (versionBy.desc +: tieBreak.map(_.desc)))
 
+  /** Trailing-window exact distinct counts (the DAU/WAU/MAU primitive) by
+    * CONTRIBUTION EXPLODE: no engine has a windowed `count(distinct)`, and
+    * the scalable exact plan is to dedup `(idCol, bucketCol)` once (the
+    * only fact-scale shuffle), explode each observation to the ≤`window`
+    * consecutive buckets it contributes to, and distinct-count per target
+    * bucket — volume is `window`×|id-buckets|, never |buckets|² rescans.
+    * `bucketCol` must be integer-valued consecutive buckets (epoch days,
+    * hours…). Buckets beyond the observed max are clipped; the first
+    * `window−1` buckets carry a partial trailing window by construction.
+    * At extreme cardinality use per-bucket HLL sketches + trailing union
+    * instead. Returns `(bucketCol, n_distinct)`. */
+  def rollingDistinct(df: DataFrame, idCol: String, bucketCol: String,
+                      window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val ob = df.select(col(idCol), col(bucketCol)).distinct()
+    val hi = ob.agg(max(col(bucketCol)).as("__hi"))
+    ob.withColumn("__t", explode(expr(
+        s"sequence($bucketCol, $bucketCol + ${window - 1})")))
+      .crossJoin(broadcast(hi))
+      .filter(col("__t") <= col("__hi"))
+      .groupBy(col("__t").as(bucketCol))
+      .agg(countDistinct(col(idCol)).as("n_distinct"))
+  }
+
+  /** Equi-depth bucket assignment: `nBuckets` near-equal-count buckets via
+    * ONE exact `percentile` aggregation (a one-row broadcast) and a
+    * row-local comparison count against the boundary array — never a
+    * global `ntile` window, which funnels the whole input through a single
+    * partition. Appends `bucketCol` ∈ [1, nBuckets]. At extreme scale swap
+    * the exact percentile for the mergeable `approx_percentile`. */
+  def equiDepthBuckets(df: DataFrame, valueCol: String, nBuckets: Int,
+                       bucketCol: String = "bucket"): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val ps = (1 until nBuckets).map(i => s"${i.toDouble / nBuckets}e0").mkString(",")
+    val b = df.agg(expr(s"percentile($valueCol, array($ps))").as("__qs"))
+    df.crossJoin(broadcast(b))
+      .withColumn(bucketCol,
+        (lit(1) + size(expr(s"filter(__qs, q -> $valueCol > q)"))).cast("long"))
+      .drop("__qs")
+  }
+
   /** SCD type-2 validity intervals from a change log: per `keys` entity,
     * each observation becomes a dimension row valid from its own timestamp
     * until the NEXT observation's (`valid_to` null ⇔ `is_current`) — the

@@ -359,6 +359,29 @@ class GraftApiSpec extends AnyFunSuite {
     assert(clean.getLong(1) == 0L, "corpus lineitem->orders must have no orphans")
   }
 
+  test("rollingDistinct reproduces q121's trailing-7-day WAU") {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"),
+        datediff(to_date(col("tsc")), lit("1970-01-01").cast("date")).as("eday"))
+    val api = Graft.rollingDistinct(ud, "user_id", "eday", 7)
+      .withColumnRenamed("n_distinct", "wau_api")
+    val q121 = operators.Analytics.q121(s, d)
+      .select(datediff(to_date(col("day")), lit("1970-01-01").cast("date")).as("eday"),
+        col("wau_7d"))
+    // q121 inner-joins to observed days; the api emits every bucket up to
+    // the max — compare on q121's day set
+    val joined = q121.join(api, "eday")
+    assert(joined.count() == q121.count())
+    assert(joined.filter(col("wau_7d") =!= col("wau_api")).count() == 0)
+  }
+
+  test("equiDepthBuckets reproduces q128's decile assignment") {
+    val api = Graft.equiDepthBuckets(Tables.orders(s, d), "o_totalprice", 10)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val q128 = operators.Aggregates.q128(s, d).select("bucket", "n")
+    assert(api.except(q128).isEmpty && q128.except(api).isEmpty)
+  }
+
   test("validityIntervals: intervals chain per entity with exactly one current row") {
     val iv = operators.Windows.q127(s, d).cache()
     try {
