@@ -311,10 +311,34 @@ object TextPipeline {
         max(col("nb")).as("n_rest"))
   }
 
+  /** Shingle CONTAINMENT dedup — Broder's asymmetric companion to q76's
+    * resemblance (Jaccard): containment(a→b) = |Sₐ∩S_b|/|Sₐ| catches
+    * "b is a plus boilerplate" near-dups that symmetric Jaccard dilutes
+    * below threshold (the containing doc's extra shingles inflate the
+    * union). Directed pairs at ≥ 0.8, same inverted-index join + df≤50
+    * posting-list cap as q76 — BOTH directions kept, since containment is
+    * not symmetric. */
+  def q129(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles5(s, d)
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
+    val pruned = sh.join(rare.select("sh"), "sh")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    pruned.select(col("doc_id").as("doc_a"), col("sh"))
+      .join(pruned.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .withColumn("containment", r5(col("shared") / col("na").cast("double")))
+      .filter(col("containment") >= 0.8)
+      .select("doc_a", "doc_b", "na", "shared", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_text_repetition" -> q98,
     "q99_text_logprob" -> q99,
     "q125_token_drift" -> q125,
+    "q129_dedup_containment" -> q129,
     "q76_dedup_ngram_jaccard" -> q76,
     "q77_dedup_cosine_nn" -> q77,
     "q78_text_langid" -> q78,
@@ -366,6 +390,24 @@ object TextPipeline {
          |SELECT doc_id, count(*) AS n_tokens, ${sr4("avg(lp)")} AS mean_logprob
          |FROM words JOIN logp USING (wd)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q129_dedup_containment" ->
+      s"""WITH $wordsCte,
+         |sh AS (SELECT DISTINCT doc_id, s AS sh FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(words) - 4),
+         |      i -> array_to_string(list_slice(words, i, i + 4), ' '))) AS s
+         |    FROM w WHERE len(words) >= 5)),
+         |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
+         |  WHERE df <= 50),
+         |pr AS (SELECT doc_id, sh.sh FROM sh JOIN rare USING (sh)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM pr a JOIN pr b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, na.n AS na, shared,
+         |  ${sr5("shared / CAST(na.n AS DOUBLE)")} AS containment
+         |FROM pairs JOIN sizes na ON doc_a = na.doc_id
+         |WHERE ${sr5("shared / CAST(na.n AS DOUBLE)")} >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q76_dedup_ngram_jaccard" ->
       s"""WITH $wordsCte,
          |sh AS (SELECT DISTINCT doc_id, s AS sh FROM (

@@ -280,6 +280,24 @@ class PropertySpec extends AnyFunSuite {
     assert(kept.except(df).isEmpty && df.except(kept).isEmpty)
   }
 
+  test("containment dominates Jaccard (Broder), and high-Jaccard pairs appear in q129") {
+    val sp = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    val jac = operators.TextPipeline.q76(sp, TestSpark.sf0001)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+    val con = operators.TextPipeline.q129(sp, TestSpark.sf0001)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+    // containment(a→b) = shared/|Sa| ≥ shared/|Sa ∪ Sb| = jaccard, always —
+    // so on any pair both report, containment must dominate (r5 rounding slack)
+    val joined = jac.join(con, Seq("doc_a", "doc_b"))
+    assert(joined.filter(col("containment") < col("jac") - 1e-4).count() == 0,
+      "containment must dominate Jaccard on shared pairs")
+    // and any pair with jac ≥ 0.8 necessarily clears the 0.8 containment bar
+    val high = jac.filter(col("jac") >= 0.8)
+    assert(high.join(con, Seq("doc_a", "doc_b"), "left_anti").count() == 0,
+      "every jac ≥ 0.8 pair must appear among the ≥ 0.8 containment pairs")
+  }
+
   test("q125 token drift: KL is non-negative both ways and counts partition the stream") {
     val r = operators.TextPipeline.q125(TestSpark.spark, TestSpark.sf0001).head()
     val (klAb, klBa) = (r.getDouble(0), r.getDouble(1))
