@@ -133,6 +133,26 @@ object Graft {
       .drop("__qs")
   }
 
+  /** Exact-k weighted sampling WITHOUT replacement (Efraimidis–Spirakis),
+    * fully reproducible: each row draws u ∈ (0, 1] from sha256(id) — no
+    * RNG state, same rows win on any cluster/partitioning/rerun — and the
+    * k rows with the largest ln(u)/weight keys form a weighted sample
+    * without replacement. Complements [[hashSample]] (Bernoulli,
+    * random-size) with a FIXED-size draw. Keys are pinned to 10 dp before
+    * ranking (id tiebreak) so a last-ulp `ln`/`pow` difference between
+    * math libraries can never reorder the boundary. Weights must be > 0.
+    * Plan: row-local key computation + one top-k (TakeOrderedAndProject) —
+    * no shuffle before the final k rows. */
+  def weightedSampleK(df: DataFrame, id: Column, weight: Column,
+                      k: Int, keyCol: String = "es_key"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (conv(substring(sha2(id.cast("string"), 256), 1, 8), 16, 10)
+      .cast("long").cast("double") + lit(1.0)) / lit(4294967296.0)
+    df.withColumn(keyCol, graft.Tables.rnd(log(u) / weight.cast("double"), 10))
+      .orderBy(col(keyCol).desc, id)
+      .limit(k)
+  }
+
   /** SCD type-2 validity intervals from a change log: per `keys` entity,
     * each observation becomes a dimension row valid from its own timestamp
     * until the NEXT observation's (`valid_to` null ⇔ `is_current`) — the

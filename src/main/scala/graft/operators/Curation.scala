@@ -137,6 +137,20 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Exact-k token-weighted sampling without replacement (q104's fixed-size
+    * companion): Efraimidis–Spirakis keys ln(u)/n_chars with u drawn from
+    * sha256(doc_id) — longer documents win proportionally more often, the
+    * draw is exactly 20 docs, and zero RNG state means any cluster, any
+    * partitioning, any rerun (and the DuckDB oracle) picks the SAME rows.
+    * Keys pinned to 10 dp before ranking so a last-ulp ln() difference
+    * between math libraries cannot reorder the boundary; the plan is a
+    * row-local key + TakeOrderedAndProject. */
+  def q130(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.weightedSampleK(
+        documents(s, d).select(col("doc_id"), col("n_chars")),
+        col("doc_id"), col("n_chars"), 20)
+      .select(col("doc_id"), col("n_chars"), col("es_key"))
+
   /** The END-TO-END curation pipeline in one query — the composition a
     * real training-data build runs: near-dup resolution (keep each
     * cluster's best doc, q101) → quality floor (q79 score ≥ 0.4) →
@@ -288,6 +302,7 @@ object Curation {
     "q101_dedup_cluster_keep" -> q101,
     "q94_sample_stratified" -> q94,
     "q104_sample_weighted" -> q104,
+    "q130_sample_weighted_k" -> q130,
     "q105_curation_pipeline" -> q105,
     "q106_decontaminate" -> q106,
     "q109_token_budget_mix" -> q109,
@@ -377,6 +392,16 @@ object Curation {
          |FROM comp c JOIN sizes s ON c.component = s.component
          |JOIN qual q ON c.doc_id = q.doc_id
          |ORDER BY c.doc_id""".stripMargin,
+    "q130_sample_weighted_k" ->
+      s"""WITH k AS (SELECT doc_id, n_chars,
+         |    ((('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+         |      / 4294967296e0) AS u
+         |  FROM documents)
+         |SELECT doc_id, n_chars,
+         |  ${sqlRnd("ln(u) / CAST(n_chars AS DOUBLE)", 10)} AS es_key
+         |FROM k
+         |ORDER BY ${sqlRnd("ln(u) / CAST(n_chars AS DOUBLE)", 10)} DESC, doc_id
+         |LIMIT 20""".stripMargin,
     "q94_sample_stratified" ->
       """WITH b AS (SELECT doc_id, lang, source,
         |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,

@@ -280,6 +280,20 @@ class PropertySpec extends AnyFunSuite {
     assert(kept.except(df).isEmpty && df.except(kept).isEmpty)
   }
 
+  test("weightedSampleK: exact size, deterministic, heavy weight dominates the draw") {
+    val sp = TestSpark.spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = (0L to 1000L).map(i => (i, if (i == 0L) 1e6 else 1.0)).toDF("id", "w")
+    val a = graft.api.Graft.weightedSampleK(rows, col("id"), col("w"), 10)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(a.length == 10)
+    assert(a.contains(0L), "a million-fold weight must essentially always be drawn")
+    val b = graft.api.Graft.weightedSampleK(rows, col("id"), col("w"), 10)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(a == b, "the draw is a pure function of ids and weights")
+  }
+
   test("containment dominates Jaccard (Broder), and high-Jaccard pairs appear in q129") {
     val sp = TestSpark.spark
     import org.apache.spark.sql.functions.col
