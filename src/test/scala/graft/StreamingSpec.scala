@@ -151,6 +151,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.except(batch).count() == 0 && batch.except(got).count() == 0)
   }
 
+  test("stream-stream LEFT OUTER interval join emits unmatched rows once the watermark closes them") {
+    // The outer variant is semantically harder than the inner join: an
+    // unmatched left row can only be emitted with nulls once the watermark
+    // proves no future right row can still match it. A synthetic tail event
+    // far past the data advances the watermark so every pending click
+    // resolves; the result must then equal the batch left join on the
+    // matched-or-closed set.
+    val sp = s
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val data = batchEvents.as[Ev].collect().toIndexedSeq
+    val maxTs = data.map(_.tsc.getTime).max
+    // watermark driver: a click far in the future (filtered out of results
+    // by event_id < 0 check on the right side only — it appears as its own
+    // unmatched left row, excluded from the comparison below)
+    val tail = Ev(-1L, 999999L, "click", 0.0, new Timestamp(maxTs + 48L * 3600 * 1000))
+    val msC = MemoryStream[Ev]
+    val msP = MemoryStream[Ev]
+    msC.addData(data :+ tail)
+    msP.addData(data)
+    def clicks(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("event_id").as("cid"), col("tsc").as("ct"))
+    def purchases(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("pid"), col("tsc").as("pt"))
+    val joinCond = "cu = pu AND pt >= ct AND pt <= ct + interval 30 minutes"
+    val streamed = clicks(msC.toDF.withWatermark("tsc", "10 minutes"))
+      .join(purchases(msP.toDF.withWatermark("tsc", "10 minutes")),
+        expr(joinCond), "left_outer")
+    val q = streamed.writeStream.format("memory").queryName("ssouter_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = s.table("ssouter_out").filter(col("cid") >= 0)
+    val batch = clicks(batchEvents)
+      .join(purchases(batchEvents), expr(joinCond), "left_outer")
+    assert(got.count() == batch.count() && batch.count() > 0)
+    assert(got.except(batch).count() == 0 && batch.except(got).count() == 0)
+    // the outer join genuinely exercised the null path
+    assert(got.filter(col("pid").isNull).count() > 0,
+      "expected at least one watermark-closed unmatched click")
+  }
+
   test("stream-static join: streaming events enrich against the static customer dim") {
     val sp = s
     import sp.implicits._
