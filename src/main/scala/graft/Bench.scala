@@ -43,7 +43,10 @@ object Bench {
     // A failed query must be VISIBLE in the output line, not silently timed:
     // it keeps its wall time (so the total stays honest) and lands in
     // "failed" so a red query can't hide in a green-looking bench line.
-    val outcomes = SparkEntry.queries.map { case (name, fn) =>
+    // sorted order: map-hash iteration order shifts when keys are added,
+    // which silently reshuffles which query absorbs which cache warm-up —
+    // a stable order keeps per-query times comparable across rounds
+    val outcomes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case e: Throwable =>

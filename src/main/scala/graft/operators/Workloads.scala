@@ -201,7 +201,40 @@ object Workloads {
       .orderBy("cohort_week", "active_week")
   }
 
+  /** Last-touch attribution — the marketing-analytics composition: each
+    * purchase is attributed to the user's LATEST click strictly before it
+    * within the same 30-minute session (purchases with no preceding
+    * in-session click stay unattributed with null click/gap). Composes two
+    * already-verified shapes: q32's sessionization and q17's as-of
+    * aggregation (`max_by` over the fan-out, collapsed map-side — never a
+    * window sort over the click×purchase join). The session assignment and
+    * both role filters share ONE (user | ts) window shuffle. */
+  def q131(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.api.Graft.sessionize(
+      events(s, d).withColumn("ts_us", expr("ts div 1000"))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us")),
+      "user_id", "ts_us", 1800000000L, Seq("event_id"))
+    val p = sess.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("session_id"),
+        col("event_id").as("purchase_id"), col("ts_us").as("pt"))
+    val c = sess.filter(col("event_type") === "click")
+      .select(col("user_id"), col("session_id"),
+        col("event_id").as("click_id"), col("ts_us").as("ct"))
+    val best = p.join(c, Seq("user_id", "session_id"))
+      .filter(col("ct") < col("pt"))
+      .groupBy("purchase_id")
+      .agg(max_by(struct(col("ct"), col("click_id")),
+        struct(col("ct"), col("click_id"))).as("a"))
+      .select(col("purchase_id"), col("a.click_id").as("attributed_click"),
+        col("a.ct").as("ct"))
+    p.join(best, Seq("purchase_id"), "left")
+      .select(col("user_id"), col("session_id"), col("purchase_id"),
+        col("attributed_click"), (col("pt") - col("ct")).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_attribution_last_touch" -> q131,
     "q111_lateral_topk" -> q111,
     "q114_rfm_segments" -> q114,
     "q07_correlated_subquery" -> q07,
@@ -213,6 +246,32 @@ object Workloads {
     "q37_retention_cohorts" -> q37)
 
   val oracle: Map[String, String] = Map(
+    "q131_attribution_last_touch" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |             ORDER BY epoch_us(ts), event_id) IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |             ORDER BY epoch_us(ts), event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |se AS (SELECT user_id, event_id, event_type, ts_us,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM e),
+        |p AS (SELECT user_id, session_id, event_id AS purchase_id, ts_us AS pt
+        |      FROM se WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, session_id, event_id AS click_id, ts_us AS ct
+        |      FROM se WHERE event_type = 'click'),
+        |best AS (SELECT purchase_id, click_id AS attributed_click, ct FROM (
+        |    SELECT p.purchase_id, c.click_id, c.ct,
+        |      row_number() OVER (PARTITION BY p.purchase_id
+        |        ORDER BY c.ct DESC, c.click_id DESC) AS rn
+        |    FROM p JOIN c USING (user_id, session_id) WHERE c.ct < p.pt)
+        |  WHERE rn = 1)
+        |SELECT p.user_id, p.session_id, p.purchase_id,
+        |  b.attributed_click, p.pt - b.ct AS gap_us
+        |FROM p LEFT JOIN best b USING (purchase_id)
+        |ORDER BY p.purchase_id""".stripMargin,
     "q114_rfm_segments" ->
       s"""WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
          |rfm AS (SELECT o_custkey,

@@ -325,5 +325,13 @@ class OperatorGoldenSpec extends AnyFunSuite {
       s"equi-depth buckets must be near-equal: ${ed.map(_._2).toSeq}")
     assert(ed.sliding(2).forall { case Array(a, b) => a._4 <= b._3; case _ => true },
       "bucket ranges must not overlap")
+    // q131: one row per purchase; attributed clicks strictly precede their
+    // purchase (positive gap); attribution and gap are null together
+    val at = operators.Workloads.q131(s, d)
+    val nPurch = Tables.events(s, d).filter(col("event_type") === "purchase").count()
+    assert(at.count() == nPurch)
+    assert(at.filter(col("attributed_click").isNotNull && col("gap_us") <= 0L).count() == 0)
+    assert(at.filter(col("attributed_click").isNull =!= col("gap_us").isNull).count() == 0)
+    assert(at.filter(col("attributed_click").isNotNull).count() > 0)
   }
 }
