@@ -153,6 +153,33 @@ object Aggregates {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** Incremental aggregate maintenance — the 100 TB rollup pattern: a
+    * "materialized" aggregate over the closed past (shipdate < cutoff) is
+    * MERGED with the delta aggregate over the open tail, by re-aggregating
+    * the unioned partials: sums add, counts add, avg re-derives from the
+    * merged sums (never averaged averages). The oracle recomputes from
+    * scratch — the query proves state+delta ≡ full recompute, which is
+    * what lets a daily pipeline touch only the new partition instead of
+    * re-scanning years of history. Both branches prune on the shipdate
+    * predicate at the parquet scan. */
+  def q132(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1997-01-01").cast("timestamp_ntz")
+    def part(f: DataFrame => DataFrame) =
+      f(lineitem(s, d)).groupBy("l_returnflag")
+        .agg(sum(col("l_quantity")).as("sq"),
+          sum(col("l_extendedprice")).as("sp"),
+          count(lit(1)).as("n"))
+    val state = part(_.filter(col("l_shipdate") < cutoff)) // the closed past
+    val delta = part(_.filter(col("l_shipdate") >= cutoff)) // today's partition
+    state.unionByName(delta)
+      .groupBy("l_returnflag")
+      .agg(r2(sum(col("sq"))).as("sum_qty"),
+        r2(sum(col("sp"))).as("sum_price"),
+        sum(col("n")).as("n"),
+        r4(sum(col("sp")) / sum(col("n"))).as("avg_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** Equi-DEPTH histogram (q45's equal-count companion) the scalable way:
     * decile boundaries from ONE exact `percentile` aggregation (a one-row
     * broadcast), bucket assignment as a row-local comparison count against
@@ -210,6 +237,7 @@ object Aggregates {
     "q59_agg_approx_quantiles" -> q59,
     "q45_histogram" -> q45,
     "q128_equidepth_histogram" -> q128,
+    "q132_incremental_rollup" -> q132,
     "q20_agg_pricing_summary" -> q20,
     "q21_agg_count_distinct" -> q21,
     "q22_agg_approx_distinct" -> q22,
@@ -239,6 +267,13 @@ object Aggregates {
          |  ${sr4("quantile_cont(o_totalprice, 0.99)")} AS p99,
          |  count(*) AS n
          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q132_incremental_rollup" ->
+      s"""SELECT l_returnflag,
+         |  ${sr2("sum(l_quantity)")} AS sum_qty,
+         |  ${sr2("sum(l_extendedprice)")} AS sum_price,
+         |  count(*) AS n,
+         |  ${sr4("sum(l_extendedprice) / count(*)")} AS avg_price
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q128_equidepth_histogram" ->
       s"""WITH b AS (SELECT quantile_cont(o_totalprice,
          |    [0.1e0,0.2e0,0.3e0,0.4e0,0.5e0,0.6e0,0.7e0,0.8e0,0.9e0]) AS qs FROM orders)
