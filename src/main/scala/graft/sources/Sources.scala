@@ -78,13 +78,22 @@ object Sources {
     * dimensions, which is what makes multi-column clustering skip files on
     * EITHER predicate — a single-column sort gives perfect skipping on one
     * dimension and none on the other. Row-local arithmetic, no shuffle. */
-  def zOrderKey(a: Column, b: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }
+  def zOrderKey(a: Column, b: Column, bits: Int = 16): Column =
+    zOrderKeyN(Seq(a, b), bits)
+
+  /** N-dimensional Z-order key: bit i of dimension d lands at position
+    * i·N + d (round-robin interleave). All dimensions must be non-negative
+    * integers fitting `bits` bits, and N·bits must fit a long. */
+  def zOrderKeyN(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.size
+    require(n >= 2, s"need at least 2 dimensions, got $n")
+    require(bits >= 1 && n * bits <= 62,
+      s"$n dims × $bits bits must fit a long's 62 usable bits")
+    val terms = for {
+      i <- 0 until bits
+      (c, d) <- dims.zipWithIndex
+    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * n + d)
+    terms.reduce(_ bitwiseOR _)
   }
 
   /** Z-order-clustered parquet sink (the OPTIMIZE ZORDER technique):
@@ -94,8 +103,12 @@ object Sources {
     * range partitioning samples the key (one pass) and the sort is
     * per-file; nothing is driver-side. */
   def writeZOrdered(df: DataFrame, path: String, files: Int,
-                    c1: String, c2: String, bits: Int = 16): Unit = {
-    val z = zOrderKey(col(c1), col(c2), bits)
+                    c1: String, c2: String, bits: Int = 16): Unit =
+    writeZOrderedN(df, path, files, Seq(c1, c2), bits)
+
+  def writeZOrderedN(df: DataFrame, path: String, files: Int,
+                     cols: Seq[String], bits: Int): Unit = {
+    val z = zOrderKeyN(cols.map(col), bits)
     df.withColumn("__z", z)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
