@@ -280,6 +280,26 @@ class PropertySpec extends AnyFunSuite {
     assert(kept.except(df).isEmpty && df.except(kept).isEmpty)
   }
 
+  test("pinned order-sensitive results are shuffle-partitioning-invariant") {
+    // The determinism machinery's core claim: per-step 10 dp pinning
+    // (q113 PageRank rounds, q118's EWMA fold) and integer-exact pipelines
+    // (q123 chi-square) make results identical under ANY partitioning —
+    // so re-running with a different shuffle width must be bit-identical.
+    val sp = TestSpark.spark
+    val key = "spark.sql.shuffle.partitions"
+    val old = sp.conf.get(key)
+    def run() = Seq(
+      operators.Graph.q113(sp, TestSpark.sf0001).collect().toSeq,
+      operators.Analytics.q118(sp, TestSpark.sf0001).collect().toSeq,
+      operators.Analytics.q123(sp, TestSpark.sf0001).collect().toSeq)
+    val base = run()
+    try {
+      sp.conf.set(key, "3")
+      val narrow = run()
+      assert(base == narrow, "results drifted under a different shuffle width")
+    } finally sp.conf.set(key, old)
+  }
+
   test("weightedSampleK: exact size, deterministic, heavy weight dominates the draw") {
     val sp = TestSpark.spark
     import sp.implicits._
