@@ -336,6 +336,31 @@ class StreamingSpec extends AnyFunSuite {
       s"restarted query must resume state exactly-once: $r2")
   }
 
+  test("AvailableNow + maxFilesPerTrigger slices the backlog into bounded micro-batches") {
+    // The catch-up pattern at scale: after downtime the file source must
+    // NOT load the whole backlog into one giant micro-batch — the rate
+    // limit slices it so each batch's state/shuffle stays bounded, while
+    // AvailableNow still drains everything and then stops.
+    val sp = s
+    import sp.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_backlog").toFile.getPath
+    for (i <- 1 to 4)
+      Seq((i.toLong, i * 1.0)).toDF("k", "v").coalesce(1)
+        .write.mode("append").parquet(src)
+    val q = sp.readStream.schema("k LONG, v DOUBLE")
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .groupBy("k").agg(sum("v").as("sv"))
+      .writeStream.format("memory").queryName("backlog_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 4,
+      s"expected 4 single-file micro-batches, got ${batches.length}")
+    assert(batches.forall(_.numInputRows == 1L),
+      "each micro-batch must carry exactly one file's rows")
+    assert(s.table("backlog_out").count() == 4, "the backlog must still drain fully")
+  }
+
   test("streaming curation: quality filter + content dedup run identically on a stream") {
     // The q105 pipeline's row-local stages (quality floor, exact content
     // dedup) applied to a document STREAM: the same facade expression
