@@ -292,7 +292,40 @@ object Curation {
       .orderBy(col("c").desc, col("w"))
       .limit(20)
 
+  /** Leakage-free temporal train/valid/test split manifest: each user's
+    * events ordered by event time, first 70% → train, next 15% → valid,
+    * rest → test (integer boundary arithmetic rn·100 ≤ cnt·70 — no float
+    * ever enters the assignment). Splitting WITHIN each user's own
+    * timeline (not one global cutoff) is the standard recommender
+    * evaluation protocol: every user contributes history to train and
+    * future to test, and nothing in test precedes its user's train rows —
+    * the temporal-leakage gate run before any q65/q66-style fit.
+    *
+    * Scale: one (user|ts) window shuffle assigns every row; the manifest
+    * is a 3-row aggregate. The per-user ordering key includes event_id so
+    * equal timestamps cannot flip splits across engines/partitionings. */
+  def q135(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"), col("event_id"),
+      expr("ts div 1000").as("us"),
+      get_json_object(col("props"), "$.k").cast("long").as("item"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val tagged = e
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("user_id")))
+      .withColumn("split",
+        when(col("rn") * 100 <= col("cnt") * 70, "train")
+          .when(col("rn") * 100 <= col("cnt") * 85, "valid")
+          .otherwise("test"))
+    tagged.groupBy("split")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("item")).as("n_items"),
+        min("us").as("min_us"), max("us").as("max_us"))
+      .orderBy("split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_temporal_split" -> q135,
     "q46_doc_chunk_overlap" -> q46,
     "q49_approx_topk_sketch" -> q49,
     "q56_scrub_ids" -> q56,
@@ -312,6 +345,20 @@ object Curation {
   private val shCte = s"sh AS (${TextPipeline.shinglesSql})"
 
   val oracle: Map[String, String] = Map(
+    "q135_temporal_split" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS item FROM events),
+        |tagged AS (SELECT user_id, item, us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS cnt
+        |  FROM ev)
+        |SELECT CASE WHEN rn * 100 <= cnt * 70 THEN 'train'
+        |            WHEN rn * 100 <= cnt * 85 THEN 'valid'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT item) AS n_items,
+        |  min(us) AS min_us, max(us) AS max_us
+        |FROM tagged GROUP BY 1 ORDER BY split""".stripMargin,
     "q46_doc_chunk_overlap" ->
       s"""WITH $wordsCte,
          |ix AS (SELECT doc_id, words,

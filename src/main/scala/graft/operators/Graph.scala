@@ -43,8 +43,69 @@ object Graph {
       .limit(20)
   }
 
+  /** Adamic–Adar link prediction over the bipartite user–item graph: score
+    * an item pair by Σ 1/ln(deg(u)) over their common users — a shared rare
+    * user is stronger evidence than a shared power user (the classic
+    * link-prediction / people-also-bought statistic beside q107's PMI,
+    * which weights by item marginals instead of neighbor degree).
+    *
+    * Scale: the common-neighbor enumeration is the q107/q63 self-join on
+    * user_id, so the top-50 cappedRatings bound applies — fan-out per user
+    * is ≤ C(50,2), never quadratic in catalog size. Degrees are computed
+    * once (user-sized relation) and joined back before the pair explosion,
+    * so each pair row carries its weight and the score is ONE map-side-
+    * combinable sum; 1/ln terms are IEEE-summed and pinned at 4 dp, where
+    * the ≤1e-11 order/ulp drift is far below the rounding half-step. */
+  def q133(s: SparkSession, d: String): DataFrame = {
+    val r = cappedRatings(s, d).select(col("user_id"), col("item"))
+    val deg = r.groupBy("user_id").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2)
+      .withColumn("aa_w", lit(1.0) / log(col("deg").cast("double")))
+    val wr = r.join(deg.select("user_id", "aa_w"), "user_id")
+    wr.select(col("user_id"), col("item").as("item_a"), col("aa_w"))
+      .join(wr.select(col("user_id"), col("item").as("item_b")), "user_id")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("common_users"), r4(sum("aa_w")).as("aa"))
+      .orderBy(col("aa").desc, col("item_a"), col("item_b"))
+      .limit(20)
+  }
+
+  /** Triangle counting on the item co-occurrence graph — the clustering /
+    * community-density statistic beside q113's rank and q93's components.
+    * Edges are the top-200 co-occurrence pairs by support (deterministic,
+    * SF-stable edge set); a triangle is counted once via the id
+    * orientation a < b < c: join (a,b)⋈(b,c) on the middle node, then
+    * close with (a,c). Per-item participation counts = each triangle
+    * contributes to all three corners (explode, not three scans).
+    *
+    * Scale: everything stays integer (no float discipline needed). At real
+    * graph scale the id orientation is replaced by DEGREE orientation
+    * (orient each edge low-degree → high-degree) which provably bounds the
+    * wedge join by arboricity — id order is kept here because the oracle
+    * must reproduce the exact edge orientation cheaply. */
+  def q134(s: SparkSession, d: String): DataFrame = {
+    val r = cappedRatings(s, d).select(col("user_id"), col("item"))
+    val edges = r.select(col("user_id"), col("item").as("a"))
+      .join(r.select(col("user_id"), col("item").as("b")), "user_id")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("a"), col("b"))
+      .limit(200)
+      .select("a", "b")
+    val tri = edges.select(col("a"), col("b"))
+      .join(edges.select(col("a").as("b"), col("b").as("c")), "b")
+      .join(edges.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("item"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q113_item_pagerank" -> q113)
+    "q113_item_pagerank" -> q113,
+    "q133_link_predict_aa" -> q133,
+    "q134_triangle_count" -> q134)
 
   /** One unrolled power-iteration round: nodes LEFT JOIN the normalized
     * edges on dst (no inbound edges → null → coalesce 0), rank of the
@@ -58,7 +119,41 @@ object Graph {
        |  LEFT JOIN $prev ON $prev.id = ew.src
        |  GROUP BY n.id)""".stripMargin
 
+  /** DuckDB twin of [[graft.Tables.cappedRatings]] — assumes an `r` CTE. */
+  private val cappedSql =
+    s"""capped AS (SELECT user_id, item FROM (
+       |    SELECT user_id, item, row_number() OVER (
+       |      PARTITION BY user_id ORDER BY ${sr4("rating")} DESC, item) AS rn
+       |    FROM r) WHERE rn <= 50)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q133_link_predict_aa" ->
+      s"""WITH r AS ($ratingsSql),
+         |$cappedSql,
+         |deg AS (SELECT user_id, count(*) AS deg FROM capped
+         |  GROUP BY 1 HAVING count(*) >= 2),
+         |wr AS (SELECT c.user_id, c.item,
+         |    1e0 / ln(CAST(deg.deg AS DOUBLE)) AS aa_w
+         |  FROM capped c JOIN deg USING (user_id))
+         |SELECT a.item AS item_a, b.item AS item_b,
+         |  count(*) AS common_users, ${sr4("sum(a.aa_w)")} AS aa
+         |FROM wr a JOIN wr b ON a.user_id = b.user_id AND a.item < b.item
+         |GROUP BY 1, 2
+         |ORDER BY aa DESC, item_a, item_b LIMIT 20""".stripMargin,
+    "q134_triangle_count" ->
+      s"""WITH r AS ($ratingsSql),
+         |$cappedSql,
+         |e0 AS (SELECT a.item AS a, b.item AS b, count(*) AS support
+         |  FROM capped a JOIN capped b
+         |    ON a.user_id = b.user_id AND a.item < b.item
+         |  GROUP BY 1, 2 ORDER BY support DESC, a, b LIMIT 200),
+         |edges AS (SELECT a, b FROM e0),
+         |tri AS (SELECT e1.a, e1.b, e2.b AS c FROM edges e1
+         |  JOIN edges e2 ON e1.b = e2.a
+         |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
+         |SELECT item, count(*) AS n_triangles FROM (
+         |  SELECT unnest([a, b, c]) AS item FROM tri)
+         |GROUP BY 1 ORDER BY n_triangles DESC, item LIMIT 20""".stripMargin,
     "q113_item_pagerank" ->
       s"""WITH ev AS (SELECT user_id, event_id, ts,
          |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),

@@ -384,7 +384,78 @@ object Recommender {
           .as("gini"))
   }
 
+  /** Calibration (reliability) bins of the q62 bias predictor: predictions
+    * deciled by value (ntile over the pinned pred with (user, item)
+    * tiebreaks), per-bin count, mean predicted vs mean actual rating, and
+    * the calibration gap — the "is the model systematically over/under-
+    * predicting in any score range" check run before shipping any scorer.
+    * Means average the ALREADY-4dp-pinned per-row values, so both engines
+    * average identical doubles.
+    *
+    * Scale: ntile here is a global sort window over the (user,item)-sized
+    * prediction relation — fine at interaction scale after aggregation;
+    * at raw-fact scale the bin assignment swaps to q128's broadcast
+    * quantile bounds (Graft.equiDepthBuckets), which needs no global
+    * window. */
+  def q136(s: SparkSession, d: String): DataFrame = {
+    val r = ratings(s, d)
+    val mu = r.agg(avg("rating").as("mu"))
+    val bu = r.groupBy("user_id").agg(avg("rating").as("user_avg"))
+    val withBu = r.crossJoin(broadcast(mu)).join(bu, "user_id")
+      .withColumn("bu", col("user_avg") - col("mu"))
+    val bi = withBu.groupBy("item")
+      .agg(avg(col("rating") - col("mu") - col("bu")).as("bi"))
+    val scored = withBu.join(broadcast(bi), "item")
+      .select(col("user_id"), col("item"),
+        r4(col("mu") + col("bu") + col("bi")).as("pred"),
+        r4(col("rating")).as("rating"))
+    scored
+      .withColumn("bin", ntile(10).over(
+        Window.orderBy(col("pred"), col("user_id"), col("item"))).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        r4(avg("pred")).as("avg_pred"),
+        r4(avg("rating")).as("avg_actual"),
+        r4(abs(avg("pred") - avg("rating"))).as("gap"))
+      .orderBy("bin")
+  }
+
+  /** Time-decayed co-visitation: item pairs the same user touched within
+    * one hour, each co-occurrence weighted exp(−Δt/30 min) — the
+    * "frequently viewed together" recommender with recency-of-association
+    * built in (a pair seen seconds apart counts ~1, an hour apart ~0.14).
+    * Beside q107 (PMI weights by item marginals) and q133 (Adamic–Adar
+    * weights by user degree), this weights by TIME PROXIMITY.
+    *
+    * Scale: candidate pairs come from [[graft.api.Graft.intervalJoin]] —
+    * the q39 bucketed-cell plan (equi join on (user, 1h-cell) + residual),
+    * never a per-user quadratic theta join. Δt is exact integer µs
+    * (truncate-then-subtract, the §1.3 rule); only the final per-pair sum
+    * of exp terms is floating, pinned at 4 dp. */
+  def q137(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"), col("event_id"),
+      expr("ts div 1000").as("us"),
+      get_json_object(col("props"), "$.k").cast("long").as("item"))
+    val l = e.select(col("user_id"), col("event_id").as("eid_a"),
+      col("us").as("us_a"), col("item").as("item_a"))
+    val r = e.select(col("user_id"), col("event_id").as("eid_b"),
+      col("us").as("us_b"), col("item").as("item_b"))
+    graft.api.Graft.intervalJoin(l, r, Seq("user_id"), "us_a", "us_b",
+        width = 3600000000L,
+        cond = col("eid_a") < col("eid_b") && col("item_a") =!= col("item_b"))
+      .select(least(col("item_a"), col("item_b")).as("ia"),
+        greatest(col("item_a"), col("item_b")).as("ib"),
+        exp(-abs(col("us_a") - col("us_b")).cast("double") / lit(1800e6))
+          .as("wt"))
+      .groupBy("ia", "ib")
+      .agg(count(lit(1)).as("n_copairs"), r4(sum("wt")).as("score"))
+      .orderBy(col("score").desc, col("ia"), col("ib"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_calibration_bins" -> q136,
+    "q137_covisit_decay" -> q137,
     "q126_rec_coverage" -> q126,
     "q107_item_cooccur_pmi" -> q107,
     "q108_next_item_transition" -> q108,
@@ -402,6 +473,35 @@ object Recommender {
     "q68_tfidf_terms" -> q68)
 
   val oracle: Map[String, String] = Map(
+    "q136_calibration_bins" ->
+      s"""WITH r AS ($ratingsSql),
+         |mu AS (SELECT avg(rating) AS mu FROM r),
+         |bu AS (SELECT user_id, avg(rating) - (SELECT mu FROM mu) AS bu
+         |  FROM r GROUP BY 1),
+         |bi AS (SELECT item, avg(rating - (SELECT mu FROM mu) - bu.bu) AS bi
+         |  FROM r JOIN bu USING (user_id) GROUP BY 1),
+         |scored AS (SELECT r.user_id, r.item,
+         |    ${sr4("mu.mu + bu.bu + bi.bi")} AS pred,
+         |    ${sr4("r.rating")} AS rating
+         |  FROM r JOIN bu USING (user_id) JOIN bi USING (item) CROSS JOIN mu),
+         |binned AS (SELECT pred, rating,
+         |    CAST(ntile(10) OVER (ORDER BY pred, user_id, item) AS BIGINT) AS bin
+         |  FROM scored)
+         |SELECT bin, count(*) AS n, ${sr4("avg(pred)")} AS avg_pred,
+         |  ${sr4("avg(rating)")} AS avg_actual,
+         |  ${sr4("abs(avg(pred) - avg(rating))")} AS gap
+         |FROM binned GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q137_covisit_decay" ->
+      s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),
+         |p AS (SELECT least(a.item, b.item) AS ia, greatest(a.item, b.item) AS ib,
+         |    exp(-CAST(abs(a.us - b.us) AS DOUBLE) / 1800e6) AS wt
+         |  FROM ev a JOIN ev b ON a.user_id = b.user_id
+         |    AND a.event_id < b.event_id
+         |    AND abs(a.us - b.us) <= 3600000000
+         |    AND a.item != b.item)
+         |SELECT ia, ib, count(*) AS n_copairs, ${sr4("sum(wt)")} AS score
+         |FROM p GROUP BY 1, 2 ORDER BY score DESC, ia, ib LIMIT 20""".stripMargin,
     "q126_rec_coverage" ->
       s"""WITH r AS ($ratingsSql),
          |ru AS (SELECT user_id, item FROM r),

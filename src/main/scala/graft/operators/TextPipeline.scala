@@ -213,22 +213,29 @@ object TextPipeline {
     * single-word signatures nearly identical across all docs (measured: 12%
     * of ALL pairs within hamming 6), which would also degenerate the banded
     * join toward all-pairs at scale — the same lesson as q70's shingles. */
+  /** 48-bit SimHash signature per doc (majority vote over the sha2 hashes
+    * of its distinct 3-word shingles) — memoized: shared by q86 (Hamming
+    * near-dup) and q138 (banded-candidate + exact-Jaccard verify). */
+  private[operators] def simhash48(s: SparkSession, d: String): DataFrame =
+    graft.Tables.memoized(s, d, "simhash48") {
+      val wordHash = docWords(s, d)
+        .filter(size(col("words")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(words) - 2), i -> array_join(slice(words, i, 3), ' '))"))
+          .as("w"))
+        .distinct()
+        .withColumn("h", expr("CAST(conv(substring(sha2(w, 256), 1, 12), 16, 10) AS BIGINT)"))
+      wordHash
+        .select(col("doc_id"), col("h"), explode(expr("sequence(0, 47)")).as("j"))
+        .groupBy("doc_id", "j")
+        .agg(sum(expr("CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END")).as("vote"))
+        .groupBy("doc_id")
+        .agg(sum(expr("CASE WHEN vote > 0 THEN CAST(pow(2e0, j) AS BIGINT) ELSE 0L END"))
+          .as("simhash"))
+    }
+
   def q86(s: SparkSession, d: String): DataFrame = {
-    val wordHash = docWords(s, d)
-      .filter(size(col("words")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(words) - 2), i -> array_join(slice(words, i, 3), ' '))"))
-        .as("w"))
-      .distinct()
-      .withColumn("h", expr("CAST(conv(substring(sha2(w, 256), 1, 12), 16, 10) AS BIGINT)"))
-    val bitVotes = wordHash
-      .select(col("doc_id"), col("h"), explode(expr("sequence(0, 47)")).as("j"))
-      .groupBy("doc_id", "j")
-      .agg(sum(expr("CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END")).as("vote"))
-    val sig = bitVotes
-      .groupBy("doc_id")
-      .agg(sum(expr("CASE WHEN vote > 0 THEN CAST(pow(2e0, j) AS BIGINT) ELSE 0L END"))
-        .as("simhash"))
+    val sig = simhash48(s, d)
     val banded = sig.select(col("doc_id"), col("simhash"),
       explode(expr("sequence(0, 3)")).as("b"))
       .withColumn("bv", expr("(simhash >> (12 * b)) & 4095"))
@@ -240,6 +247,44 @@ object TextPipeline {
       .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
       .filter(col("hamming") <= 3)
       .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Two-stage production dedup: cheap LSH CANDIDATES, exact VERIFY —
+    * SimHash band collisions propose pairs, exact 5-word-shingle Jaccard
+    * confirms them (≥ 0.3). This is the shape every web-scale dedup ships:
+    * the sketch join alone (q86) has false positives, the exact join alone
+    * (q76) needs a df cap to stay sub-quadratic; candidates-then-verify
+    * gets exactness on a near-linear candidate set. Fully oracle-checkable
+    * because BOTH stages are deterministic sha2 functions of the text —
+    * unlike q70's fitted MinHash model.
+    *
+    * Scale: stage 1 is the banded equi self-join on (band, 12-bit value) —
+    * bucket-local, never all-pairs; stage 2 touches only candidate pairs,
+    * joining each side's shingle set (intersection via one equi join on
+    * the shingle, sizes via the shared memo). Candidates without shingles
+    * (<5 words) cannot be verified and drop out, by design. */
+  def q138(s: SparkSession, d: String): DataFrame = {
+    val sig = simhash48(s, d)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("bv", expr("(simhash >> (12 * b)) & 4095"))
+    val cand = banded.select(col("doc_id").as("doc_a"), col("b"), col("bv"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("b"), col("bv")),
+        Seq("b", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sh = shingles5(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jac", r5(col("shared") / (col("na") + col("nb") - col("shared"))))
+      .filter(col("jac") >= 0.3)
+      .select("doc_a", "doc_b", "shared", "jac")
       .orderBy("doc_a", "doc_b")
   }
 
@@ -346,7 +391,8 @@ object TextPipeline {
     "q83_token_count" -> q83,
     "q84_doc_fingerprint" -> q84,
     "q85_sim_search_ivf" -> q85,
-    "q86_dedup_simhash" -> q86)
+    "q86_dedup_simhash" -> q86,
+    "q138_dedup_banded_verify" -> q138)
 
   private val wordsCte = s"w AS ($wordsSql)"
 
@@ -502,6 +548,37 @@ object TextPipeline {
          |  SELECT probe_id, cell, cand_id, cos, CAST(row_number() OVER (
          |    PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rnk
          |  FROM scored) WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
+    "q138_dedup_banded_verify" ->
+      s"""WITH $wordsCte,
+         |wh AS (SELECT DISTINCT doc_id, wd FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(words) - 2),
+         |      i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS wd
+         |    FROM w WHERE len(words) >= 3)),
+         |hs AS (SELECT doc_id, ('0x' || substr(sha256(wd), 1, 12))::BIGINT AS h FROM wh),
+         |votes AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM hs, generate_series(0, 47) AS t(j) GROUP BY 1, 2),
+         |sig AS (SELECT doc_id,
+         |    sum(CASE WHEN vote > 0 THEN CAST(pow(2e0, j) AS BIGINT) ELSE 0 END) AS simhash
+         |  FROM votes GROUP BY 1),
+         |banded AS (SELECT doc_id, b, (simhash >> (12 * b)) & 4095 AS bv
+         |  FROM sig, generate_series(0, 3) AS t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |  ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |sh AS (${TextPipeline.shinglesSql}),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |shared AS (SELECT c.doc_a, c.doc_b, count(*) AS shared
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         |  GROUP BY 1, 2)
+         |SELECT s.doc_a, s.doc_b, s.shared,
+         |  ${sr5("s.shared / CAST(na.n + nb.n - s.shared AS DOUBLE)")} AS jac
+         |FROM shared s
+         |JOIN sizes na ON na.doc_id = s.doc_a
+         |JOIN sizes nb ON nb.doc_id = s.doc_b
+         |WHERE ${sr5("s.shared / CAST(na.n + nb.n - s.shared AS DOUBLE)")} >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q86_dedup_simhash" ->
       s"""WITH $wordsCte,
          |wh AS (SELECT DISTINCT doc_id, wd FROM (

@@ -146,8 +146,46 @@ object Windows {
       .orderBy("user_id", "event_type", "valid_from_us", "value")
   }
 
+  /** Snapshot diff — "what changed between two as-of times": the q127 SCD2
+    * intervals probed at t₁ = Jan 10 and t₂ = Jan 20 give the dimension
+    * state at each time; a full outer join on the entity key classifies
+    * every entity as added / removed / changed / unchanged between the two
+    * snapshots (values compared at the shared 2 dp pin). The warehouse
+    * reconciliation primitive: audit a backfill, detect drift between a
+    * materialization and its source, or summarize a day's dimension churn.
+    *
+    * Scale: intervals are built ONCE (one (entity|ts) window shuffle) and
+    * both snapshots are filters over them — never two scans of the change
+    * log; the diff join keys on the entity, hash-partitionable. Output is
+    * the 4-row status summary, aggregated before anything leaves the
+    * executors. */
+  def q139(s: SparkSession, d: String): DataFrame = {
+    val t1 = 1704844800000000L // 2024-01-10T00:00:00Z in epoch µs
+    val t2 = 1705708800000000L // 2024-01-20T00:00:00Z
+    val log = events(s, d).select(col("user_id"), col("event_type"),
+      expr("ts div 1000").as("us"), col("value"), col("event_id"))
+    val iv = graft.api.Graft.validityIntervals(
+      log, Seq("user_id", "event_type"), "us", Seq("event_id"))
+    def snap(t: Long) = iv
+      .filter(col("us") <= t && (col("valid_to").isNull || col("valid_to") > t))
+      .select(col("user_id"), col("event_type"), r2(col("value")).as("v"))
+    snap(t1).select(col("user_id"), col("event_type"), col("v").as("v1"))
+      .join(snap(t2).select(col("user_id"), col("event_type"), col("v").as("v2")),
+        Seq("user_id", "event_type"), "full_outer")
+      .withColumn("status",
+        when(col("v1").isNull, "added")
+          .when(col("v2").isNull, "removed")
+          .when(col("v1") === col("v2"), "unchanged")
+          .otherwise("changed"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_entities"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_scd2_intervals" -> q127,
+    "q139_snapshot_diff" -> q139,
     "q30_window_topk_per_group" -> q30,
     "q31_window_running_sum" -> q31,
     "q32_window_sessionize" -> q32,
@@ -157,6 +195,28 @@ object Windows {
     "q115_session_paths" -> q115)
 
   val oracle: Map[String, String] = Map(
+    "q139_snapshot_diff" ->
+      s"""WITH log AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+         |    value, event_id FROM events),
+         |iv AS (SELECT user_id, event_type, us, value,
+         |    lead(us) OVER (PARTITION BY user_id, event_type
+         |      ORDER BY us, event_id) AS valid_to
+         |  FROM log),
+         |s1 AS (SELECT user_id, event_type, ${sr2("value")} AS v1 FROM iv
+         |  WHERE us <= 1704844800000000
+         |    AND (valid_to IS NULL OR valid_to > 1704844800000000)),
+         |s2 AS (SELECT user_id, event_type, ${sr2("value")} AS v2 FROM iv
+         |  WHERE us <= 1705708800000000
+         |    AND (valid_to IS NULL OR valid_to > 1705708800000000)),
+         |d AS (SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+         |    CASE WHEN v1 IS NULL THEN 'added'
+         |         WHEN v2 IS NULL THEN 'removed'
+         |         WHEN v1 = v2 THEN 'unchanged' ELSE 'changed' END AS status
+         |  FROM s1 FULL OUTER JOIN s2
+         |    ON s1.user_id = s2.user_id AND s1.event_type = s2.event_type)
+         |SELECT status, count(*) AS n_entities,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM d GROUP BY 1 ORDER BY status""".stripMargin,
     "q127_scd2_intervals" ->
       s"""WITH log AS (SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
          |    value, event_id FROM events)
