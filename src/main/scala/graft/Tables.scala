@@ -134,6 +134,39 @@ object Tables {
         .filter(col("rn") <= 50).drop("rn")
     }
 
+  /** Item-pair co-occurrence support over [[cappedRatings]] — the shared
+    * input of the co-occurrence family (q107 PMI, q134 triangles): one
+    * user-keyed self-join, pairs canonicalized item_a < item_b, counted.
+    * Cached because each consumer's plan references it (or its top-k)
+    * multiple times and the pair explosion is the expensive part. */
+  def pairSupport(spark: SparkSession, sfDir: String): DataFrame =
+    memoized(spark, sfDir, "pairsupport") {
+      val r = cappedRatings(spark, sfDir).select(col("user_id"), col("item"))
+      r.select(col("user_id"), col("item").as("item_a"))
+        .join(r.select(col("user_id"), col("item").as("item_b")), "user_id")
+        .filter(col("item_a") < col("item_b"))
+        .groupBy("item_a", "item_b").agg(count(lit(1)).as("c_ab"))
+    }
+
+  /** The q62 mean-centered bias predictor scored over every observed
+    * (user, item) — shared by q62 (the predictions themselves) and q136
+    * (their calibration deciles). Both output columns carry the 4 dp pin,
+    * so consumers compare/aggregate identical doubles. */
+  def biasScored(spark: SparkSession, sfDir: String): DataFrame =
+    memoized(spark, sfDir, "biasscored") {
+      val r = ratings(spark, sfDir)
+      val mu = r.agg(avg("rating").as("mu"))
+      val bu = r.groupBy("user_id").agg(avg("rating").as("user_avg"))
+      val withBu = r.crossJoin(broadcast(mu)).join(bu, "user_id")
+        .withColumn("bu", col("user_avg") - col("mu"))
+      val bi = withBu.groupBy("item")
+        .agg(avg(col("rating") - col("mu") - col("bu")).as("bi"))
+      withBu.join(broadcast(bi), "item")
+        .select(col("user_id"), col("item"),
+          r4(col("mu") + col("bu") + col("bi")).as("pred"),
+          r4(col("rating")).as("rating"))
+    }
+
   /** DuckDB-side CTE mirroring `ratings` — splice into oracle SQL. */
   val ratingsSql: String =
     "SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item, avg(value) AS rating FROM events GROUP BY 1, 2"

@@ -85,11 +85,9 @@ object Graph {
     * wedge join by arboricity — id order is kept here because the oracle
     * must reproduce the exact edge orientation cheaply. */
   def q134(s: SparkSession, d: String): DataFrame = {
-    val r = cappedRatings(s, d).select(col("user_id"), col("item"))
-    val edges = r.select(col("user_id"), col("item").as("a"))
-      .join(r.select(col("user_id"), col("item").as("b")), "user_id")
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+    val edges = pairSupport(s, d)
+      .select(col("item_a").as("a"), col("item_b").as("b"),
+        col("c_ab").as("support"))
       .orderBy(col("support").desc, col("a"), col("b"))
       .limit(200)
       .select("a", "b")

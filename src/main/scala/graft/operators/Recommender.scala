@@ -45,21 +45,10 @@ object Recommender {
       .limit(20)
 
   /** Mean-centered baseline predictor μ + bᵤ + bᵢ. */
-  def q62(s: SparkSession, d: String): DataFrame = {
-    val r = ratings(s, d)
-    val mu = r.agg(avg("rating").as("mu"))
-    val bu = r.groupBy("user_id").agg(avg("rating").as("user_avg"))
-    val withBu = r.crossJoin(broadcast(mu))
-      .join(bu, "user_id")
-      .withColumn("bu", col("user_avg") - col("mu"))
-    val bi = withBu.groupBy("item")
-      .agg(avg(col("rating") - col("mu") - col("bu")).as("bi"))
-    withBu.join(broadcast(bi), "item")
-      .select(col("user_id"), col("item"),
-        r4(col("mu") + col("bu") + col("bi")).as("pred"),
-        r4(col("rating")).as("rating"))
+  def q62(s: SparkSession, d: String): DataFrame =
+    biasScored(s, d)
+      .select("user_id", "item", "pred", "rating")
       .orderBy("user_id", "item")
-  }
 
   /** Item–item cosine over shared-user rating vectors; top-20 pairs. */
   def q63(s: SparkSession, d: String): DataFrame = {
@@ -306,11 +295,7 @@ object Recommender {
     val r = cappedRatings(s, d).select(col("user_id"), col("item"))
     val n = r.agg(countDistinct(col("user_id")).as("n_users"))
     val ci = r.groupBy("item").agg(count(lit(1)).as("c"))
-    val pairs = r.select(col("user_id"), col("item").as("item_a"))
-      .join(r.select(col("user_id"), col("item").as("item_b")), "user_id")
-      .filter(col("item_a") < col("item_b"))
-      .groupBy("item_a", "item_b").agg(count(lit(1)).as("c_ab"))
-    pairs
+    pairSupport(s, d)
       .join(ci.select(col("item").as("item_a"), col("c").as("c_a")), "item_a")
       .join(ci.select(col("item").as("item_b"), col("c").as("c_b")), "item_b")
       .crossJoin(broadcast(n))
@@ -398,18 +383,7 @@ object Recommender {
     * quantile bounds (Graft.equiDepthBuckets), which needs no global
     * window. */
   def q136(s: SparkSession, d: String): DataFrame = {
-    val r = ratings(s, d)
-    val mu = r.agg(avg("rating").as("mu"))
-    val bu = r.groupBy("user_id").agg(avg("rating").as("user_avg"))
-    val withBu = r.crossJoin(broadcast(mu)).join(bu, "user_id")
-      .withColumn("bu", col("user_avg") - col("mu"))
-    val bi = withBu.groupBy("item")
-      .agg(avg(col("rating") - col("mu") - col("bu")).as("bi"))
-    val scored = withBu.join(broadcast(bi), "item")
-      .select(col("user_id"), col("item"),
-        r4(col("mu") + col("bu") + col("bi")).as("pred"),
-        r4(col("rating")).as("rating"))
-    scored
+    biasScored(s, d)
       .withColumn("bin", ntile(10).over(
         Window.orderBy(col("pred"), col("user_id"), col("item"))).cast("long"))
       .groupBy("bin")
