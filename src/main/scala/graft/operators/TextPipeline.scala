@@ -225,13 +225,19 @@ object TextPipeline {
           .as("w"))
         .distinct()
         .withColumn("h", expr("CAST(conv(substring(sha2(w, 256), 1, 12), 16, 10) AS BIGINT)"))
+      // Majority vote per bit WITHOUT a 48x row explode: one hash-agg pass
+      // computes all 48 ones-counts + the shingle count as partial
+      // (map-side-combinable) sums; bit j is set iff ones_j > n/2, i.e.
+      // 2*ones_j > n. Same signature as the explode formulation (votes > 0
+      // <=> ones > n - ones), at 1/48th the aggregated row volume.
+      val ones = (0 until 48).map(j => sum(expr(s"(h >> $j) & 1")).as(s"o$j"))
+      val assemble = (0 until 48)
+        .map(j => s"CASE WHEN 2 * o$j > n THEN ${1L << j}L ELSE 0L END")
+        .mkString(" + ")
       wordHash
-        .select(col("doc_id"), col("h"), explode(expr("sequence(0, 47)")).as("j"))
-        .groupBy("doc_id", "j")
-        .agg(sum(expr("CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END")).as("vote"))
         .groupBy("doc_id")
-        .agg(sum(expr("CASE WHEN vote > 0 THEN CAST(pow(2e0, j) AS BIGINT) ELSE 0L END"))
-          .as("simhash"))
+        .agg(count(lit(1)).as("n"), ones: _*)
+        .select(col("doc_id"), expr(assemble).as("simhash"))
     }
 
   def q86(s: SparkSession, d: String): DataFrame = {
