@@ -314,6 +314,49 @@ object Graft {
           (col("__ca") * col("__cb")).cast("double")).as("pmi"))
   }
 
+  /** Adamic–Adar link prediction over a bipartite (user, item) relation:
+    * canonical item pairs (item_a < item_b) scored Σ 1/ln(deg(u)) over
+    * their common users, plus the common-user count. Users of degree < 2
+    * cannot witness a pair and are dropped before the pair join (also
+    * keeping ln(deg) > 0). Cap per-user degree BEFORE calling (see
+    * `Tables.cappedRatings`) — the common-neighbor enumeration fans out
+    * per-user degree². Degrees are computed once and joined back before
+    * the pair explosion, so the score is one map-side-combinable sum. */
+  def adamicAdar(df: DataFrame, userCol: String, itemCol: String): DataFrame = {
+    val r = df.select(col(userCol).as("__u"), col(itemCol).as("__i")).distinct()
+    val deg = r.groupBy("__u").agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") >= 2)
+      .withColumn("__w", lit(1.0) / log(col("__deg").cast("double")))
+    val wr = r.join(deg.select("__u", "__w"), "__u")
+    wr.select(col("__u"), col("__i").as("item_a"), col("__w"))
+      .join(wr.select(col("__u"), col("__i").as("item_b")), "__u")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("common_users"), sum("__w").as("aa"))
+  }
+
+  /** Per-node triangle participation counts over an undirected edge list.
+    * Edges may arrive in either orientation and with duplicates; they are
+    * canonicalized to a < b first. Triangles enumerate once via the id
+    * orientation a < b < c: wedge join (a,b)⋈(b,c) on the middle node,
+    * closed by (a,c); each triangle then credits its three corners via an
+    * explode (never three rescans). Integer-exact throughout. At real
+    * graph scale, orient by DEGREE (low→high) instead of id — it bounds
+    * the wedge fan-out by arboricity; id order is kept in the shipped
+    * queries so a SQL oracle can reproduce the orientation cheaply. */
+  def triangles(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("__a"),
+        greatest(col(aCol), col(bCol)).as("__b"))
+      .filter(col("__a") < col("__b"))
+      .distinct()
+    val tri = e.select(col("__a"), col("__b"))
+      .join(e.select(col("__a").as("__b"), col("__b").as("__c")), "__b")
+      .join(e.select(col("__a"), col("__b").as("__c")), Seq("__a", "__c"))
+    tri.select(explode(array(col("__a"), col("__b"), col("__c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Next-item transition matrix: consecutive `itemCol` values per `keyCol`
     * sequence (ordered by `orderBy`) → (prev_item, next_item, count, prob).
     * One window per key partition plus two aggregations — linear (q108). */

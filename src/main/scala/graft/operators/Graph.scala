@@ -56,20 +56,12 @@ object Graph {
     * so each pair row carries its weight and the score is ONE map-side-
     * combinable sum; 1/ln terms are IEEE-summed and pinned at 4 dp, where
     * the ≤1e-11 order/ulp drift is far below the rounding half-step. */
-  def q133(s: SparkSession, d: String): DataFrame = {
-    val r = cappedRatings(s, d).select(col("user_id"), col("item"))
-    val deg = r.groupBy("user_id").agg(count(lit(1)).as("deg"))
-      .filter(col("deg") >= 2)
-      .withColumn("aa_w", lit(1.0) / log(col("deg").cast("double")))
-    val wr = r.join(deg.select("user_id", "aa_w"), "user_id")
-    wr.select(col("user_id"), col("item").as("item_a"), col("aa_w"))
-      .join(wr.select(col("user_id"), col("item").as("item_b")), "user_id")
-      .filter(col("item_a") < col("item_b"))
-      .groupBy("item_a", "item_b")
-      .agg(count(lit(1)).as("common_users"), r4(sum("aa_w")).as("aa"))
+  def q133(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.adamicAdar(cappedRatings(s, d), "user_id", "item")
+      .select(col("item_a"), col("item_b"), col("common_users"),
+        r4(col("aa")).as("aa"))
       .orderBy(col("aa").desc, col("item_a"), col("item_b"))
       .limit(20)
-  }
 
   /** Triangle counting on the item co-occurrence graph — the clustering /
     * community-density statistic beside q113's rank and q93's components.
@@ -86,16 +78,10 @@ object Graph {
     * must reproduce the exact edge orientation cheaply. */
   def q134(s: SparkSession, d: String): DataFrame = {
     val edges = pairSupport(s, d)
-      .select(col("item_a").as("a"), col("item_b").as("b"),
-        col("c_ab").as("support"))
-      .orderBy(col("support").desc, col("a"), col("b"))
+      .orderBy(col("c_ab").desc, col("item_a"), col("item_b"))
       .limit(200)
-      .select("a", "b")
-    val tri = edges.select(col("a"), col("b"))
-      .join(edges.select(col("a").as("b"), col("b").as("c")), "b")
-      .join(edges.select(col("a"), col("b").as("c")), Seq("a", "c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("item"))
-      .groupBy("item").agg(count(lit(1)).as("n_triangles"))
+    graft.api.Graft.triangles(edges, "item_a", "item_b")
+      .select(col("node").as("item"), col("n_triangles"))
       .orderBy(col("n_triangles").desc, col("item"))
       .limit(20)
   }

@@ -425,4 +425,53 @@ class GraftApiSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(v(3L) > v(1L) && v(1L) > v(2L), s"mass-flow ordering violated: $v")
   }
+
+  test("triangles counts K_n and cycles correctly, orientation/dup-proof") {
+    val sp = s
+    import sp.implicits._
+    // K_5: every node sits in C(4,2) = 6 triangles
+    val k5 = (for { a <- 1L to 5L; b <- 1L to 5L if a != b } yield (a, b))
+      .toDF("x", "y") // both orientations present: canonicalization must dedup
+    val got = Graft.triangles(k5, "x", "y")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 5L).map(_ -> 6L).toMap, s"K5 counts: $got")
+
+    // C_4 (square) has no triangles; adding one diagonal creates exactly 2
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("x", "y")
+    assert(Graft.triangles(c4, "x", "y").count() == 0)
+    val diag = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))).toDF("x", "y")
+    val dg = Graft.triangles(diag, "x", "y")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // diagonal endpoints are in both triangles, the others in one each
+    assert(dg == Map(1L -> 2L, 3L -> 2L, 2L -> 1L, 4L -> 1L), s"diag counts: $dg")
+  }
+
+  test("adamicAdar matches the hand-computed score and drops degree-1 users") {
+    val sp = s
+    import sp.implicits._
+    // u1 consumes {a,b,c} (deg 3), u2 consumes {a,b} (deg 2),
+    // u3 consumes {a} (deg 1 — can witness no pair, must not appear)
+    val r = Seq(("u1", "a"), ("u1", "b"), ("u1", "c"),
+      ("u2", "a"), ("u2", "b"), ("u3", "a")).toDF("u", "i")
+    val got = Graft.adamicAdar(r, "u", "i")
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getDouble(3))).toMap
+    val w3 = 1.0 / math.log(3.0); val w2 = 1.0 / math.log(2.0)
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(got(("a", "b"))._1 == 2L &&
+      math.abs(got(("a", "b"))._2 - (w3 + w2)) < 1e-12)
+    assert(got(("a", "c"))._1 == 1L &&
+      math.abs(got(("a", "c"))._2 - w3) < 1e-12)
+    assert(got(("b", "c"))._1 == 1L &&
+      math.abs(got(("b", "c"))._2 - w3) < 1e-12)
+  }
+
+  test("adamicAdar/triangles facades reproduce q133/q134 exactly") {
+    val aa = Graft.adamicAdar(Tables.cappedRatings(s, d), "user_id", "item")
+      .select(col("item_a"), col("item_b"), col("common_users"),
+        Tables.r4(col("aa")).as("aa"))
+      .orderBy(col("aa").desc, col("item_a"), col("item_b")).limit(20)
+    val q133 = operators.Graph.q133(s, d)
+    assert(aa.collect().toSeq == q133.collect().toSeq)
+  }
 }
