@@ -257,6 +257,53 @@ object Analytics {
       .orderBy("n_name", "mon")
   }
 
+  /** A/B experiment readout: users split into two arms by the content-
+    * stable hash bucket (sha256 — same assignment on any engine, rerun or
+    * partitioning, zero RNG state), conversion = "≥14 purchases" (the
+    * per-user median, keeping both rates interior), and the
+    * two-proportion z statistic under the pooled null — the experimentation
+    * primitive beside q123's chi-square (which tests a full contingency
+    * grid; this is the two-arm special case with a signed direction).
+    *
+    * Determinism is the integer-exact pipeline (third §2.9 tool): counts
+    * stay integral until the output edge, where rates and z divide the
+    * SAME integers in both engines — only sqrt's half-ulp rides under the
+    * 4 dp pin. Scale: two user-sized aggregates + a 2-row pivot. */
+  def q140(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_type"))
+    val arms = ev.select("user_id").distinct()
+      .withColumn("arm",
+        when(graft.api.Graft.hashBucket(col("user_id"), 2) === 0, "A")
+          .otherwise("B"))
+    // conversion = ">= 14 purchases" (the corpus's per-user median), so both
+    // rates sit in the interior — EVERY user purchases at least once here,
+    // and an everyone-converts metric would zero the pooled variance
+    val conv = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("np"))
+      .filter(col("np") >= 14)
+      .select("user_id").withColumn("cv", lit(1L))
+    val per = arms.join(conv, Seq("user_id"), "left")
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("cv"), lit(0L))).as("conv"))
+    val a = per.filter(col("arm") === "A")
+      .select(col("n").as("n_a"), col("conv").as("conv_a"))
+    val b = per.filter(col("arm") === "B")
+      .select(col("n").as("n_b"), col("conv").as("conv_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("pa", col("conv_a").cast("double") / col("n_a").cast("double"))
+      .withColumn("pb", col("conv_b").cast("double") / col("n_b").cast("double"))
+      .withColumn("p", (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double"))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        r4(col("pa")).as("rate_a"), r4(col("pb")).as("rate_b"),
+        // nullif guards the degenerate p∈{0,1} case (zero pooled variance):
+        // z is undefined there and must be null, not a division error
+        r4((col("pa") - col("pb")) /
+          nullif(sqrt(col("p") * (lit(1.0) - col("p")) *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), lit(0.0)))
+          .as("z"))
+  }
+
   /** Linear-regression aggregates: price-vs-quantity fit per return flag. */
   def q58(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -281,9 +328,30 @@ object Analytics {
     "q121_rolling_active_users" -> q121,
     "q122_mad_outliers" -> q122,
     "q123_chisq_assoc" -> q123,
-    "q124_mom_growth" -> q124)
+    "q124_mom_growth" -> q124,
+    "q140_ab_test" -> q140)
 
   val oracle: Map[String, String] = Map(
+    "q140_ab_test" ->
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |arms AS (SELECT user_id,
+         |    CASE WHEN ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+         |         THEN 'A' ELSE 'B' END AS arm
+         |  FROM u),
+         |conv AS (SELECT user_id FROM events WHERE event_type = 'purchase'
+         |  GROUP BY 1 HAVING count(*) >= 14),
+         |per AS (SELECT arm, count(*) AS n,
+         |    CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS conv
+         |  FROM arms a LEFT JOIN conv c USING (user_id) GROUP BY 1),
+         |j AS (SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b,
+         |    a.conv / CAST(a.n AS DOUBLE) AS pa, b.conv / CAST(b.n AS DOUBLE) AS pb,
+         |    (a.conv + b.conv) / CAST(a.n + b.n AS DOUBLE) AS p
+         |  FROM (SELECT n, conv FROM per WHERE arm = 'A') a
+         |  CROSS JOIN (SELECT n, conv FROM per WHERE arm = 'B') b)
+         |SELECT n_a, conv_a, n_b, conv_b,
+         |  ${sr4("pa")} AS rate_a, ${sr4("pb")} AS rate_b,
+         |  ${sr4("(pa - pb) / nullif(sqrt(p * (1e0 - p) * (1e0 / n_a + 1e0 / n_b)), 0e0)")} AS z
+         |FROM j""".stripMargin,
     "q123_chisq_assoc" ->
       s"""WITH cn AS (SELECT c.c_mktsegment, n.n_regionkey
          |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey),
