@@ -304,6 +304,82 @@ object Analytics {
           .as("z"))
   }
 
+  /** CUPED variance reduction for the q140 experiment: each user's
+    * pre-period purchase spend (Jan 1–14) is the covariate X, post-period
+    * spend (Jan 15–31) the metric Y; θ = cov(X,Y)/var(X) over all users,
+    * adjusted metric Y′ = Y − θ(X − mean X). Per arm: n, raw vs adjusted
+    * mean; globally: θ and the achieved variance reduction 1 − var Y′/var Y
+    * — how much tighter the experiment's CI gets for free from pre-period
+    * behavior. The standard trick for shipping faster experiment readouts.
+    *
+    * Scale: two fact-scale filtered aggregations to user grain, one
+    * single-row stats broadcast, one user-sized pass for the adjusted
+    * means. Doubles: covariance/variance magnitudes here keep the
+    * cross-engine summation drift ~1e-9 relative, far under the 4 dp pin
+    * (same argument as q58's regression aggregates). */
+  def q141(s: SparkSession, d: String): DataFrame = {
+    val cutUs = 1705276800000000L // 2024-01-15T00:00:00Z
+    val ev = events(s, d).select(col("user_id"), col("event_type"),
+      expr("ts div 1000").as("us"), col("value"))
+    val arms = ev.select("user_id").distinct()
+      .withColumn("arm",
+        when(graft.api.Graft.hashBucket(col("user_id"), 2) === 0, "A")
+          .otherwise("B"))
+    val p = ev.filter(col("event_type") === "purchase")
+    val pre = p.filter(col("us") < cutUs)
+      .groupBy("user_id").agg(sum("value").as("x"))
+    val post = p.filter(col("us") >= cutUs)
+      .groupBy("user_id").agg(sum("value").as("y"))
+    val m = arms.join(pre, Seq("user_id"), "left")
+      .join(post, Seq("user_id"), "left")
+      .select(col("arm"), coalesce(col("x"), lit(0.0)).as("x"),
+        coalesce(col("y"), lit(0.0)).as("y"))
+    val g = m.agg((covar_pop(col("x"), col("y")) / var_pop(col("x"))).as("theta"),
+      avg("x").as("mx"), var_pop(col("y")).as("vy"))
+    val adj = m.crossJoin(broadcast(g))
+      .withColumn("yadj", col("y") - col("theta") * (col("x") - col("mx")))
+    val vr = adj.agg(
+      r4(lit(1.0) - var_pop(col("yadj")) / max("vy")).as("var_reduction"),
+      r4(max("theta")).as("theta"))
+    adj.groupBy("arm")
+      .agg(count(lit(1)).as("n"), r4(avg("y")).as("mean_y"),
+        r4(avg("yadj")).as("mean_y_adj"))
+      .crossJoin(broadcast(vr))
+      .orderBy("arm")
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the value
+    * distributions of click vs purchase events: D = sup |F₁ − F₂| over the
+    * pooled support — the nonparametric distribution-drift test beside
+    * q125's (binned, smoothed) KL divergence. Ties are handled exactly by
+    * evaluating both CDFs after each full tie group.
+    *
+    * Scale: values are PRE-AGGREGATED to their distinct grain first
+    * (groupBy value → per-group counts), so the one ordered window runs
+    * over the |distinct values| relation, not the fact table — the same
+    * shrink-before-window discipline as q124's calendar series. CDF values
+    * are exact integer/integer divisions, identical in both engines; only
+    * max survives to the 5 dp pin. */
+  def q145(s: SparkSession, d: String): DataFrame = {
+    val t = events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), col("value"))
+    val perValue = t.groupBy("value")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = perValue.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    perValue
+      .withColumn("f1", sum("c1").over(w))
+      .withColumn("f2", sum("c2").over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max("n1").as("n1"), max("n2").as("n2"),
+        r5(max(abs(
+          col("f1").cast("double") / col("n1").cast("double") -
+            col("f2").cast("double") / col("n2").cast("double")))).as("ks_d"))
+  }
+
   /** Linear-regression aggregates: price-vs-quantity fit per return flag. */
   def q58(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -329,9 +405,50 @@ object Analytics {
     "q122_mad_outliers" -> q122,
     "q123_chisq_assoc" -> q123,
     "q124_mom_growth" -> q124,
-    "q140_ab_test" -> q140)
+    "q140_ab_test" -> q140,
+    "q141_cuped" -> q141,
+    "q145_ks_drift" -> q145)
 
   val oracle: Map[String, String] = Map(
+    "q145_ks_drift" ->
+      s"""WITH t AS (SELECT event_type, value FROM events
+         |  WHERE event_type IN ('click', 'purchase')),
+         |pv AS (SELECT value,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         |  FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+         |    CAST(sum(c2) AS BIGINT) AS n2 FROM pv),
+         |cdf AS (SELECT
+         |    sum(c1) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS f1,
+         |    sum(c2) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS f2
+         |  FROM pv)
+         |SELECT tot.n1, tot.n2,
+         |  ${sr5("max(abs(CAST(f1 AS DOUBLE) / tot.n1 - CAST(f2 AS DOUBLE) / tot.n2))")} AS ks_d
+         |FROM cdf CROSS JOIN tot GROUP BY tot.n1, tot.n2""".stripMargin,
+    "q141_cuped" ->
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, value FROM events),
+         |u AS (SELECT DISTINCT user_id FROM ev),
+         |arms AS (SELECT user_id,
+         |    CASE WHEN ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+         |         THEN 'A' ELSE 'B' END AS arm
+         |  FROM u),
+         |pre AS (SELECT user_id, sum(value) AS x FROM ev
+         |  WHERE event_type = 'purchase' AND us < 1705276800000000 GROUP BY 1),
+         |post AS (SELECT user_id, sum(value) AS y FROM ev
+         |  WHERE event_type = 'purchase' AND us >= 1705276800000000 GROUP BY 1),
+         |m AS (SELECT arm, coalesce(x, 0e0) AS x, coalesce(y, 0e0) AS y
+         |  FROM arms LEFT JOIN pre USING (user_id) LEFT JOIN post USING (user_id)),
+         |g AS (SELECT covar_pop(x, y) / var_pop(x) AS theta,
+         |    avg(x) AS mx, var_pop(y) AS vy FROM m),
+         |adj AS (SELECT arm, y, y - g.theta * (x - g.mx) AS yadj, g.vy, g.theta
+         |  FROM m CROSS JOIN g),
+         |vr AS (SELECT ${sr4("1e0 - var_pop(yadj) / max(vy)")} AS var_reduction,
+         |    ${sr4("max(theta)")} AS theta FROM adj)
+         |SELECT arm, count(*) AS n, ${sr4("avg(y)")} AS mean_y,
+         |  ${sr4("avg(yadj)")} AS mean_y_adj, vr.var_reduction, vr.theta
+         |FROM adj CROSS JOIN vr
+         |GROUP BY arm, vr.var_reduction, vr.theta ORDER BY arm""".stripMargin,
     "q140_ab_test" ->
       s"""WITH u AS (SELECT DISTINCT user_id FROM events),
          |arms AS (SELECT user_id,
