@@ -314,6 +314,56 @@ object Graft {
           (col("__ca") * col("__cb")).cast("double")).as("pmi"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic: D = sup |F_a − F_b|
+    * between `valueCol`'s distributions in groups `a` and `b` of
+    * `groupCol`. Returns one row (n_a, n_b, ks_d), unpinned — callers
+    * round at their output edge. Ties are exact (both CDFs evaluate after
+    * each full tie group); values pre-aggregate to their distinct grain so
+    * the one ordered window runs over |support|, not the input (shrink-
+    * before-window). CDF values are exact integer/integer divisions. */
+  def ksStatistic(df: DataFrame, valueCol: String, groupCol: String,
+                  a: String, b: String): DataFrame = {
+    val pv = df.filter(col(groupCol).isin(a, b))
+      .groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("__c1"),
+        sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("__c2"))
+    val w = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = pv.agg(sum("__c1").as("n_a"), sum("__c2").as("n_b"))
+    pv.withColumn("__f1", sum("__c1").over(w))
+      .withColumn("__f2", sum("__c2").over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        max(abs(col("__f1").cast("double") / col("n_a").cast("double") -
+          col("__f2").cast("double") / col("n_b").cast("double"))).as("ks_d"))
+  }
+
+  /** CUPED variance reduction: given per-unit rows with an arm label, a
+    * pre-period covariate `xCol` and the metric `yCol`, computes
+    * θ = cov(X,Y)/var(X) pooled over ALL units, the adjusted metric
+    * Y′ = Y − θ(X − mean X), and returns one row per arm
+    * (arm, n, mean_y, mean_y_adj, var_reduction, theta) — unpinned;
+    * callers round at their output edge. The adjustment preserves each
+    * arm's expected treatment effect while shrinking variance by the
+    * squared X–Y correlation — the standard faster-experiment-readout
+    * trick. One single-row stats broadcast; everything else stays at unit
+    * grain. */
+  def cuped(df: DataFrame, armCol: String, xCol: String, yCol: String): DataFrame = {
+    val m = df.select(col(armCol).as("arm"),
+      col(xCol).cast("double").as("__x"), col(yCol).cast("double").as("__y"))
+    val g = m.agg((covar_pop(col("__x"), col("__y")) / var_pop(col("__x"))).as("__theta"),
+      avg("__x").as("__mx"), var_pop(col("__y")).as("__vy"))
+    val adj = m.crossJoin(broadcast(g))
+      .withColumn("__yadj", col("__y") - col("__theta") * (col("__x") - col("__mx")))
+    val vr = adj.agg(
+      (lit(1.0) - var_pop(col("__yadj")) / max("__vy")).as("var_reduction"),
+      max("__theta").as("theta"))
+    adj.groupBy("arm")
+      .agg(count(lit(1)).as("n"), avg("__y").as("mean_y"),
+        avg("__yadj").as("mean_y_adj"))
+      .crossJoin(broadcast(vr))
+  }
+
   /** Adamic–Adar link prediction over a bipartite (user, item) relation:
     * canonical item pairs (item_a < item_b) scored Σ 1/ln(deg(u)) over
     * their common users, plus the common-user count. Users of degree < 2

@@ -334,17 +334,11 @@ object Analytics {
       .join(post, Seq("user_id"), "left")
       .select(col("arm"), coalesce(col("x"), lit(0.0)).as("x"),
         coalesce(col("y"), lit(0.0)).as("y"))
-    val g = m.agg((covar_pop(col("x"), col("y")) / var_pop(col("x"))).as("theta"),
-      avg("x").as("mx"), var_pop(col("y")).as("vy"))
-    val adj = m.crossJoin(broadcast(g))
-      .withColumn("yadj", col("y") - col("theta") * (col("x") - col("mx")))
-    val vr = adj.agg(
-      r4(lit(1.0) - var_pop(col("yadj")) / max("vy")).as("var_reduction"),
-      r4(max("theta")).as("theta"))
-    adj.groupBy("arm")
-      .agg(count(lit(1)).as("n"), r4(avg("y")).as("mean_y"),
-        r4(avg("yadj")).as("mean_y_adj"))
-      .crossJoin(broadcast(vr))
+    graft.api.Graft.cuped(m, "arm", "x", "y")
+      .select(col("arm"), col("n"), r4(col("mean_y")).as("mean_y"),
+        r4(col("mean_y_adj")).as("mean_y_adj"),
+        r4(col("var_reduction")).as("var_reduction"),
+        r4(col("theta")).as("theta"))
       .orderBy("arm")
   }
 
@@ -361,23 +355,11 @@ object Analytics {
     * are exact integer/integer divisions, identical in both engines; only
     * max survives to the 5 dp pin. */
   def q145(s: SparkSession, d: String): DataFrame = {
-    val t = events(s, d)
-      .filter(col("event_type").isin("click", "purchase"))
-      .select(col("event_type"), col("value"))
-    val perValue = t.groupBy("value")
-      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c1"),
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c2"))
-    val w = Window.orderBy("value")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = perValue.agg(sum("c1").as("n1"), sum("c2").as("n2"))
-    perValue
-      .withColumn("f1", sum("c1").over(w))
-      .withColumn("f2", sum("c2").over(w))
-      .crossJoin(broadcast(tot))
-      .agg(max("n1").as("n1"), max("n2").as("n2"),
-        r5(max(abs(
-          col("f1").cast("double") / col("n1").cast("double") -
-            col("f2").cast("double") / col("n2").cast("double")))).as("ks_d"))
+    graft.api.Graft.ksStatistic(
+        events(s, d).select(col("event_type"), col("value")),
+        "value", "event_type", "click", "purchase")
+      .select(col("n_a").as("n1"), col("n_b").as("n2"),
+        r5(col("ks_d")).as("ks_d"))
   }
 
   /** Linear-regression aggregates: price-vs-quantity fit per return flag. */

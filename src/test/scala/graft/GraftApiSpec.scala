@@ -466,6 +466,61 @@ class GraftApiSpec extends AnyFunSuite {
       math.abs(got(("b", "c"))._2 - w3) < 1e-12)
   }
 
+  test("ksStatistic: identical distributions give D=0, disjoint give D=1") {
+    val sp = s
+    import sp.implicits._
+    val same = (1 to 50).flatMap(i => Seq(("a", i.toDouble), ("b", i.toDouble)))
+      .toDF("g", "v")
+    val d0 = Graft.ksStatistic(same, "v", "g", "a", "b").head()
+    assert(d0.getLong(0) == 50L && d0.getLong(1) == 50L && d0.getDouble(2) == 0.0)
+
+    val disjoint = ((1 to 30).map(i => ("a", i.toDouble)) ++
+      (31 to 70).map(i => ("b", i.toDouble))).toDF("g", "v")
+    val d1 = Graft.ksStatistic(disjoint, "v", "g", "a", "b").head()
+    assert(d1.getDouble(2) == 1.0, s"disjoint supports must give D=1: $d1")
+
+    // hand case with ties: a={1,1,2}, b={1,3,3} — after the tie group at 1,
+    // F_a=2/3 vs F_b=1/3 (diff 1/3); at 2, 1 vs 1/3 (diff 2/3); at 3, 1 vs 1
+    val tied = Seq(("a", 1.0), ("a", 1.0), ("a", 2.0),
+      ("b", 1.0), ("b", 3.0), ("b", 3.0)).toDF("g", "v")
+    val dt = Graft.ksStatistic(tied, "v", "g", "a", "b").head()
+    assert(math.abs(dt.getDouble(2) - 2.0 / 3.0) < 1e-15, s"tie handling: $dt")
+  }
+
+  test("cuped: theta recovers a linear coefficient and removes its variance") {
+    val sp = s
+    import sp.implicits._
+    // y = 2x + arm effect: theta must be ~2 and X explains all within-arm
+    // variance, so var_reduction -> 1 and adjusted means keep the lift
+    val rows = (1 to 40).map { i =>
+      val x = i.toDouble
+      val arm = if (i % 2 == 0) "A" else "B"
+      val lift = if (arm == "A") 10.0 else 0.0
+      (arm, x, 2.0 * x + lift)
+    }
+    val out = Graft.cuped(rows.toDF("arm", "x", "y"), "arm", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))).toMap
+    val (_, _, adjA, vrA, thetaA) = out("A")
+    val (_, _, adjB, _, _) = out("B")
+    assert(math.abs(thetaA - 2.0) < 0.05, s"theta: $thetaA")
+    assert(vrA > 0.9, s"variance reduction: $vrA")
+    // the arm lift survives adjustment (~10 apart)
+    assert(math.abs((adjA - adjB) - 10.0) < 0.5, s"adjusted lift: $adjA vs $adjB")
+  }
+
+  test("adamicAdar/triangles edge cases: no witnesses, triangle-free graphs") {
+    val sp = s
+    import sp.implicits._
+    // every user degree-1: no pair has a witness → empty
+    val solo = Seq(("u1", "a"), ("u2", "b"), ("u3", "c")).toDF("u", "i")
+    assert(Graft.adamicAdar(solo, "u", "i").count() == 0)
+    // star graph: no triangles
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("x", "y")
+    assert(Graft.triangles(star, "x", "y").count() == 0)
+  }
+
   test("adamicAdar/triangles facades reproduce q133/q134 exactly") {
     val aa = Graft.adamicAdar(Tables.cappedRatings(s, d), "user_id", "item")
       .select(col("item_a"), col("item_b"), col("common_users"),
