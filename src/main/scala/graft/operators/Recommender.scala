@@ -427,9 +427,36 @@ object Recommender {
       .limit(20)
   }
 
+  /** Deterministic negative sampling for implicit-feedback training: for
+    * every user, the 3 catalog items they never interacted with, picked by
+    * content-stable hash order (sha256 of "user:item" — zero RNG state, so
+    * the SAME negatives on every engine, rerun and partitioning; fresh
+    * negatives = change the salt). The (user, item, label=0) companion to
+    * the q60 positives that BPR/ALS-implicit training consumes.
+    *
+    * Scale: candidates are user × catalog with the catalog broadcast —
+    * sound while the catalog is dimension-sized (it is here: 100 items).
+    * For open catalogs, pre-sample the candidate item set by hash bucket
+    * first (Graft.hashSample) and anti-join only the sampled slice. */
+  def q147(s: SparkSession, d: String): DataFrame = {
+    val r = ratings(s, d).select(col("user_id"), col("item"))
+    val users = r.select("user_id").distinct()
+    val items = r.select("item").distinct()
+    users.crossJoin(broadcast(items))
+      .join(r, Seq("user_id", "item"), "left_anti")
+      .withColumn("h",
+        sha2(concat_ws(":", col("user_id"), col("item")), 256))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("user_id").orderBy("h", "item")).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("user_id", "rnk", "item")
+      .orderBy("user_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_calibration_bins" -> q136,
     "q137_covisit_decay" -> q137,
+    "q147_negative_samples" -> q147,
     "q126_rec_coverage" -> q126,
     "q107_item_cooccur_pmi" -> q107,
     "q108_next_item_transition" -> q108,
@@ -447,6 +474,21 @@ object Recommender {
     "q68_tfidf_terms" -> q68)
 
   val oracle: Map[String, String] = Map(
+    "q147_negative_samples" ->
+      s"""WITH r0 AS ($ratingsSql),
+         |r AS (SELECT user_id, item FROM r0),
+         |u AS (SELECT DISTINCT user_id FROM r),
+         |i AS (SELECT DISTINCT item FROM r),
+         |cand AS (SELECT u.user_id, i.item FROM u CROSS JOIN i
+         |  WHERE NOT EXISTS (SELECT 1 FROM r
+         |    WHERE r.user_id = u.user_id AND r.item = i.item)),
+         |h AS (SELECT user_id, item,
+         |    sha256(CAST(user_id AS VARCHAR) || ':' || CAST(item AS VARCHAR)) AS h
+         |  FROM cand),
+         |rk AS (SELECT user_id, item, CAST(row_number() OVER (
+         |    PARTITION BY user_id ORDER BY h, item) AS BIGINT) AS rnk FROM h)
+         |SELECT user_id, rnk, item FROM rk WHERE rnk <= 3
+         |ORDER BY user_id, rnk""".stripMargin,
     "q136_calibration_bins" ->
       s"""WITH r AS ($ratingsSql),
          |mu AS (SELECT avg(rating) AS mu FROM r),

@@ -183,9 +183,52 @@ object Windows {
       .orderBy("status")
   }
 
+  /** Daily panel construction: the q127 SCD2 intervals resampled to one
+    * state row per (entity, day-start) over January 2024, aggregated to a
+    * calendar-dense daily summary (live entities, users, mean pinned
+    * value) — the balanced-panel shape longitudinal models train on, and
+    * the daily-snapshot fact warehouses materialize.
+    *
+    * Scale: each interval EXPLODES to the day-starts it covers (q121's
+    * contribution-explode discipline — never day × interval rescans);
+    * the k-range arithmetic is all integer µs, exact in both engines.
+    * Zero-entity days survive via a left join from the broadcast 31-day
+    * spine (q117's calendar-spine-broadcasts rule). */
+  def q146(s: SparkSession, d: String): DataFrame = {
+    val day0 = 1704067200000000L // 2024-01-01T00:00:00Z epoch µs
+    val dayUs = 86400000000L
+    val log = events(s, d).select(col("user_id"), col("event_type"),
+      expr("ts div 1000").as("us"), col("value"), col("event_id"))
+    val iv = graft.api.Graft.validityIntervals(
+      log, Seq("user_id", "event_type"), "us", Seq("event_id"))
+    val live = iv
+      .withColumn("k_min", expr(s"(us - ${day0}L + ${dayUs}L - 1) div ${dayUs}L"))
+      .withColumn("k_max", expr(
+        s"CASE WHEN valid_to IS NULL THEN 30L ELSE (valid_to - ${day0}L - 1) div ${dayUs}L END"))
+      .filter(col("k_max") >= col("k_min") && col("k_min") <= 30)
+      .withColumn("k", explode(expr("sequence(k_min, least(k_max, 30L))")))
+      .select((lit(day0) + col("k") * lit(dayUs)).as("day_us"),
+        col("user_id"), col("value"))
+    val agg = live.groupBy("day_us")
+      .agg(count(lit(1)).as("n_entities"),
+        countDistinct(col("user_id")).as("n_users"),
+        r2(avg("value")).as("avg_value"))
+    val spine = s.range(31)
+      .select((lit(day0) + col("id") * lit(dayUs)).as("day_us"))
+    // the preserved (left) side of a left-outer hash join can't be the
+    // build side, so the hint goes on the calendar-sized aggregate
+    spine.join(broadcast(agg), Seq("day_us"), "left")
+      .select(col("day_us"),
+        coalesce(col("n_entities"), lit(0L)).as("n_entities"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"),
+        col("avg_value"))
+      .orderBy("day_us")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_scd2_intervals" -> q127,
     "q139_snapshot_diff" -> q139,
+    "q146_daily_panel" -> q146,
     "q30_window_topk_per_group" -> q30,
     "q31_window_running_sum" -> q31,
     "q32_window_sessionize" -> q32,
@@ -195,6 +238,31 @@ object Windows {
     "q115_session_paths" -> q115)
 
   val oracle: Map[String, String] = Map(
+    "q146_daily_panel" ->
+      s"""WITH log AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+         |    value, event_id FROM events),
+         |iv AS (SELECT user_id, value, us,
+         |    lead(us) OVER (PARTITION BY user_id, event_type
+         |      ORDER BY us, event_id) AS valid_to
+         |  FROM log),
+         |bounds AS (SELECT user_id, value,
+         |    (us - 1704067200000000 + 86400000000 - 1) // 86400000000 AS k_min,
+         |    CASE WHEN valid_to IS NULL THEN 30
+         |         ELSE (valid_to - 1704067200000000 - 1) // 86400000000 END AS k_max
+         |  FROM iv),
+         |ks AS (SELECT user_id, value,
+         |    unnest(generate_series(k_min, least(k_max, 30))) AS k
+         |  FROM bounds WHERE k_max >= k_min AND k_min <= 30),
+         |live AS (SELECT 1704067200000000 + k * 86400000000 AS day_us,
+         |    user_id, value FROM ks),
+         |agg AS (SELECT day_us, count(*) AS n_entities,
+         |    count(DISTINCT user_id) AS n_users, ${sr2("avg(value)")} AS avg_value
+         |  FROM live GROUP BY 1),
+         |sp AS (SELECT unnest(generate_series(0, 30)) AS k),
+         |spine AS (SELECT 1704067200000000 + k * 86400000000 AS day_us FROM sp)
+         |SELECT s.day_us, coalesce(n_entities, 0) AS n_entities,
+         |  coalesce(n_users, 0) AS n_users, avg_value
+         |FROM spine s LEFT JOIN agg USING (day_us) ORDER BY day_us""".stripMargin,
     "q139_snapshot_diff" ->
       s"""WITH log AS (SELECT user_id, event_type, epoch_us(ts) AS us,
          |    value, event_id FROM events),
