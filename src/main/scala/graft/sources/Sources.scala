@@ -156,6 +156,29 @@ object Sources {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Small-files compaction: rewrite a parquet directory into
+    * ceil(bytes / targetBytes) files. Streaming sinks, frequent small
+    * appends and over-parallel writers all accrete thousands of tiny files;
+    * at 100 TB that means task-scheduling overhead and NameNode/listing
+    * pressure dominating scans, so periodic compaction is a standing
+    * pipeline chore. Sizing reads the file system's own byte count (never
+    * a data scan); the rewrite goes through a temp directory then swaps,
+    * so a failed compaction leaves the original intact. `coalesce` (not
+    * `repartition`) — merging partitions needs no shuffle. */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hadoopPath).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    spark.read.parquet(path).coalesce(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(hadoopPath, true)
+    if (!fs.rename(tmp, hadoopPath))
+      throw new java.io.IOException(s"compaction swap failed for $path")
+  }
+
   /** Skew-safe aggregation pattern: two-phase groupBy with an explicit salt.
     * Phase 1 aggregates on (key, salt) — spreading one hot key over
     * `saltBuckets` reducers — phase 2 merges the partials on the key alone.

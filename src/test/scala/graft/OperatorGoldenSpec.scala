@@ -238,6 +238,22 @@ class OperatorGoldenSpec extends AnyFunSuite {
     assert(pruned.count() == expected && expected > 0)
   }
 
+  test("compaction merges a small-files directory losslessly and atomically-ish") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_quantity")
+    l.repartition(64).write.mode("overwrite").parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    assert(before >= 32, s"setup should fragment: $before files")
+    val expected = l.collect().toSet
+    sources.Sources.compact(s, dir, targetBytes = 512L * 1024 * 1024)
+    assert(parquetFiles == 1, s"compaction left $parquetFiles files")
+    // content byte-identical, temp dir cleaned up
+    assert(s.read.parquet(dir).collect().toSet == expected)
+    assert(!new java.io.File(dir + "__compact_tmp").exists())
+  }
+
   test("range-clustered parquet sink: output files cover disjoint key ranges") {
     val dir = java.nio.file.Files.createTempDirectory("graft_range").toString
     val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
