@@ -232,7 +232,40 @@ object Aggregates {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** Exact WEIGHTED median: the price at which half the total QUANTITY
+    * (not half the rows) has shipped — the inventory-weighted center no
+    * built-in percentile computes (q29's median weights every row 1).
+    * Definition: smallest price whose cumulative weight reaches half the
+    * group total, ties merged first so the cumulative walk sees each
+    * distinct price once.
+    *
+    * Determinism: weights are integral quantities cast to long, so the
+    * cumulative comparison 2·cum ≥ total is INTEGER arithmetic — no float
+    * boundary can flip the picked element; the picked price is a raw data
+    * value needing no pin. Scale: one (flag, price)-grain agg, a window
+    * over the distinct-price relation, min-reduce. */
+  def q149(s: SparkSession, d: String): DataFrame = {
+    val grouped = lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("long").as("wt"))
+      .groupBy("l_returnflag", "l_extendedprice")
+      .agg(sum("wt").as("w"))
+    val tot = grouped.groupBy("l_returnflag").agg(sum("w").as("tw"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy("l_extendedprice")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    grouped.withColumn("cw", sum("w").over(win))
+      .join(tot, "l_returnflag")
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy("l_returnflag")
+      .agg(min("l_extendedprice").as("weighted_median"),
+        max("tw").as("total_weight"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_weighted_median" -> q149,
     "q29_agg_quantiles" -> q29,
     "q59_agg_approx_quantiles" -> q59,
     "q45_histogram" -> q45,
@@ -250,6 +283,18 @@ object Aggregates {
     "q110_unpivot_metrics" -> q110)
 
   val oracle: Map[String, String] = Map(
+    "q149_weighted_median" ->
+      """WITH g AS (SELECT l_returnflag, l_extendedprice,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS tw FROM g GROUP BY 1),
+        |c AS (SELECT g.l_returnflag, g.l_extendedprice, t.tw,
+        |    sum(g.w) OVER (PARTITION BY g.l_returnflag
+        |      ORDER BY g.l_extendedprice ROWS UNBOUNDED PRECEDING) AS cw
+        |  FROM g JOIN t USING (l_returnflag))
+        |SELECT l_returnflag, min(l_extendedprice) AS weighted_median,
+        |  max(tw) AS total_weight
+        |FROM c WHERE cw * 2 >= tw GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q110_unpivot_metrics" ->
       s"""WITH u AS (
          |  SELECT l_returnflag, 'l_extendedprice' AS metric, l_extendedprice AS v FROM lineitem

@@ -362,6 +362,35 @@ object Analytics {
         r5(col("ks_d")).as("ks_d"))
   }
 
+  /** Pareto (80/20) contribution analysis: nations ranked by revenue,
+    * each with its share and running cumulative share, flagged while the
+    * cumulative share is still under 80% — "which few segments carry most
+    * of the business", the classic BI concentration readout.
+    *
+    * Determinism: per-nation revenue is 2 dp-pinned BEFORE the running
+    * sum, and a window's unbounded-preceding sum is evaluated in frame
+    * order in both engines — identical addends in an identical order give
+    * bit-identical cumulative values, so even the 0.8 boundary flag cannot
+    * flip (the q118 sequential-fold argument applied to a window frame).
+    * Scale: fact-scale agg to 25 nations, then one tiny window. */
+  def q148(s: SparkSession, d: String): DataFrame = {
+    val rev = orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(r2(sum("o_totalprice")).as("rev"))
+    val tot = rev.agg(r2(sum("rev")).as("tot"))
+    val w = Window.orderBy(col("rev").desc, col("n_name"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.crossJoin(broadcast(tot))
+      .withColumn("cum_rev", sum("rev").over(w))
+      .select(col("n_name"), col("rev"),
+        r4(col("rev") / col("tot")).as("share"),
+        r4(col("cum_rev") / col("tot")).as("cum_share"),
+        (col("cum_rev") / col("tot") <= 0.8).cast("long").as("head_80"))
+      .orderBy(col("rev").desc, col("n_name"))
+  }
+
   /** Linear-regression aggregates: price-vs-quantity fit per return flag. */
   def q58(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -389,9 +418,25 @@ object Analytics {
     "q124_mom_growth" -> q124,
     "q140_ab_test" -> q140,
     "q141_cuped" -> q141,
-    "q145_ks_drift" -> q145)
+    "q145_ks_drift" -> q145,
+    "q148_pareto" -> q148)
 
   val oracle: Map[String, String] = Map(
+    "q148_pareto" ->
+      s"""WITH rev AS (SELECT n.n_name, ${sr2("sum(o.o_totalprice)")} AS rev
+         |  FROM orders o
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |  GROUP BY 1),
+         |tot AS (SELECT ${sr2("sum(rev)")} AS tot FROM rev),
+         |cum AS (SELECT n_name, rev, tot,
+         |    sum(rev) OVER (ORDER BY rev DESC, n_name
+         |      ROWS UNBOUNDED PRECEDING) AS cum_rev
+         |  FROM rev CROSS JOIN tot)
+         |SELECT n_name, rev, ${sr4("rev / tot")} AS share,
+         |  ${sr4("cum_rev / tot")} AS cum_share,
+         |  CAST(CASE WHEN cum_rev / tot <= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS head_80
+         |FROM cum ORDER BY rev DESC, n_name""".stripMargin,
     "q145_ks_drift" ->
       s"""WITH t AS (SELECT event_type, value FROM events
          |  WHERE event_type IN ('click', 'purchase')),
