@@ -314,6 +314,30 @@ object Graft {
           (col("__ca") * col("__cb")).cast("double")).as("pmi"))
   }
 
+  /** Bloom-filter semi-join prefilter: build a bloom filter over `dim`'s
+    * (long) key and keep only `fact` rows that MIGHT match, before the
+    * real join — the explicit form of the runtime pruning Catalyst's
+    * InjectRuntimeFilter applies (demonstrated in PlanRegressionSpec),
+    * for when the build side is known selective but the optimizer's
+    * thresholds or join shape keep the automatic filter out (e.g. a
+    * pre-shuffle stage boundary, a UNION fan-in, or a non-equi residual).
+    *
+    * Guarantees: NO false negatives (every true match survives), ~`fpp`
+    * false positives (they're removed by the real join — results never
+    * change, only scan/shuffle volume). Sizing: the filter is
+    * ~1.2·n·ln(1/fpp)/ln²2 bits — 10⁸ keys at 3% ≈ 90 MB, the same
+    * driver+broadcast cost the built-in runtime filter pays; size
+    * `expectedItems` to the DISTINCT key count. */
+  def bloomPrefilter(fact: DataFrame, factKey: String,
+                     dim: DataFrame, dimKey: String,
+                     expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((k: java.lang.Long) =>
+      k != null && bc.value.mightContainLong(k))
+    fact.filter(might(col(factKey)))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic: D = sup |F_a − F_b|
     * between `valueCol`'s distributions in groups `a` and `b` of
     * `groupCol`. Returns one row (n_a, n_b, ks_d), unpinned — callers

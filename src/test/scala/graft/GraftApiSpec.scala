@@ -466,6 +466,25 @@ class GraftApiSpec extends AnyFunSuite {
       math.abs(got(("b", "c"))._2 - w3) < 1e-12)
   }
 
+  test("bloomPrefilter: no false negatives, bounded false positives, join-neutral") {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+    val sel = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val filtered = Graft.bloomPrefilter(li, "l_orderkey", sel, "o_orderkey",
+      expectedItems = 2000L, fpp = 0.03)
+    val exactSemi = li.join(sel, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    // every true match survives the prefilter
+    assert(exactSemi.except(filtered).isEmpty, "bloom dropped a true match")
+    // false positives bounded: non-matching rows pass at ~fpp
+    val nonMatching = li.count() - exactSemi.count()
+    assert(filtered.count() - exactSemi.count() <= (nonMatching * 0.1).toLong + 1,
+      s"false-positive rate too high: ${filtered.count()} vs ${exactSemi.count()}")
+    // the real join's result is unchanged by prefiltering
+    val full = li.join(sel, col("l_orderkey") === col("o_orderkey")).count()
+    val pre = filtered.join(sel, col("l_orderkey") === col("o_orderkey")).count()
+    assert(full == pre, s"prefilter changed join result: $full vs $pre")
+  }
+
   test("ksStatistic: identical distributions give D=0, disjoint give D=1") {
     val sp = s
     import sp.implicits._
