@@ -233,7 +233,43 @@ object Workloads {
       .orderBy("purchase_id")
   }
 
+  /** Funnel latency: for each CLICK, the user's first purchase within the
+    * following hour; readout = click count, converted-click count, rate,
+    * and the exact median time-to-convert — the latency distribution q36's
+    * binary user-level conversion cannot see (two funnels with equal rates
+    * can have wildly different time-to-value).
+    *
+    * Determinism: candidate pairs via the bucketed interval join, first
+    * purchase by integer `min(µs)`, time-to-convert an exact integer
+    * difference scaled by a constant — the only interpolation is the
+    * even-count median midpoint, identical in both engines, pinned 2 dp.
+    * Scale: the q39/q137 cell-join discipline; per-click min is one
+    * map-side-combinable aggregate. */
+  def q150(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("eid_c"),
+        expr("ts div 1000").as("us_c"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000").as("us_p"))
+    val firstConv = graft.api.Graft.intervalJoin(clicks, buys, Seq("user_id"),
+        "us_c", "us_p", width = 3600000000L, cond = col("us_p") > col("us_c"))
+      .groupBy("eid_c")
+      .agg(max("us_c").as("us_c"), min("us_p").as("first_p"))
+    val tot = clicks.agg(count(lit(1)).as("n_clicks"))
+    firstConv
+      .agg(count(lit(1)).as("n_conv"),
+        r2(median((col("first_p") - col("us_c")).cast("double") / lit(1e6)))
+          .as("med_ttc_sec"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_clicks"), col("n_conv"),
+        r4(col("n_conv").cast("double") / col("n_clicks").cast("double"))
+          .as("conv_rate"),
+        col("med_ttc_sec"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_funnel_ttc" -> q150,
     "q131_attribution_last_touch" -> q131,
     "q111_lateral_topk" -> q111,
     "q114_rfm_segments" -> q114,
@@ -246,6 +282,24 @@ object Workloads {
     "q37_retention_cohorts" -> q37)
 
   val oracle: Map[String, String] = Map(
+    "q150_funnel_ttc" ->
+      s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+         |  FROM events),
+         |c AS (SELECT user_id, event_id AS eid_c, us AS us_c FROM ev
+         |  WHERE event_type = 'click'),
+         |p AS (SELECT user_id, us AS us_p FROM ev WHERE event_type = 'purchase'),
+         |fc AS (SELECT eid_c, max(us_c) AS us_c, min(us_p) AS first_p
+         |  FROM c JOIN p ON c.user_id = p.user_id
+         |    AND p.us_p > c.us_c AND p.us_p - c.us_c <= 3600000000
+         |  GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_clicks FROM c),
+         |agg AS (SELECT count(*) AS n_conv,
+         |    ${sr2("median(CAST(first_p - us_c AS DOUBLE) / 1e6)")} AS med_ttc_sec
+         |  FROM fc)
+         |SELECT tot.n_clicks, agg.n_conv,
+         |  ${sr4("agg.n_conv / CAST(tot.n_clicks AS DOUBLE)")} AS conv_rate,
+         |  agg.med_ttc_sec
+         |FROM agg CROSS JOIN tot""".stripMargin,
     "q131_attribution_last_touch" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
         |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id

@@ -332,6 +332,47 @@ class PropertySpec extends AnyFunSuite {
       "every jac ≥ 0.8 pair must appear among the ≥ 0.8 containment pairs")
   }
 
+  test("q148 pareto: shares sum to 1, cumulative share is monotone and ends at 1") {
+    val rows = operators.Analytics.q148(s, d).collect()
+    val cum = rows.map(_.getDouble(3))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b + 1e-9 },
+      "cumulative share must be monotone")
+    assert(math.abs(cum.last - 1.0) < 1e-3, s"last cum_share ${cum.last} != 1")
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-2,
+      "shares must sum to ~1 (4dp rounding per row)")
+    // the head flag is a prefix: once it drops to 0 it never returns to 1
+    val flags = rows.map(_.getLong(4))
+    assert(!flags.sliding(2).exists(p => p.length == 2 && p(0) == 0 && p(1) == 1),
+      s"head_80 must be a prefix flag: ${flags.mkString(",")}")
+  }
+
+  test("q149 weighted median: between min and max, >= unweighted only by weight skew") {
+    // invariants: the weighted median is an actual data value inside the
+    // group's range, and at least half the total weight sits at or below it
+    val sp = s
+    val med = operators.Aggregates.q149(sp, d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val li = Tables.lineitem(sp, d)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("long").as("wt"))
+    med.foreach { case (flag, (m, tw)) =>
+      val grp = li.filter(col("l_returnflag") === flag)
+      val (lo, hi) = {
+        val r = grp.agg(min("l_extendedprice"), max("l_extendedprice")).head()
+        (r.getDouble(0), r.getDouble(1))
+      }
+      assert(m >= lo && m <= hi, s"$flag: median $m outside [$lo, $hi]")
+      val below = grp.filter(col("l_extendedprice") <= m)
+        .agg(sum("wt")).head().getLong(0)
+      val above = grp.filter(col("l_extendedprice") >= m)
+        .agg(sum("wt")).head().getLong(0)
+      // below ≥ half by definition; above > half because the median is the
+      // SMALLEST qualifying price (everything strictly below it is < half)
+      assert(below * 2 >= tw && above * 2 >= tw,
+        s"$flag: $below/$tw below, $above above - not a weighted median")
+    }
+  }
+
   test("q125 token drift: KL is non-negative both ways and counts partition the stream") {
     val r = operators.TextPipeline.q125(TestSpark.spark, TestSpark.sf0001).head()
     val (klAb, klBa) = (r.getDouble(0), r.getDouble(1))
