@@ -268,8 +268,43 @@ object Workloads {
         col("med_ttc_sec"))
   }
 
+  /** Cohort LTV curves: users grouped by the week of their FIRST activity
+    * (signup proxy), purchase revenue accumulated per cohort over weeks-
+    * since-signup — the "how does lifetime value build per acquisition
+    * vintage" readout that pairs with q37's retention matrix (who stays)
+    * by adding how much they spend while staying.
+    *
+    * Determinism: week indexes are integer µs div; per-(cohort, age) spend
+    * pins 2 dp BEFORE the cumulative window, so the running sums are
+    * frame-order bit-identical (q148's tool #4); per-user division happens
+    * on the pinned sum at the output edge. Scale: one user-grain window
+    * for first-activity, fact agg to the tiny (cohort × age) grid, window
+    * over the grid. */
+  def q151(s: SparkSession, d: String): DataFrame = {
+    val day0 = 1704067200000000L // 2024-01-01T00:00:00Z epoch µs
+    val weekUs = 7L * 86400000000L
+    val ev = events(s, d).select(col("user_id"), col("event_type"),
+      col("value"), expr(s"(ts div 1000 - ${day0}L) div ${weekUs}L").as("wk"))
+    val first = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    val sizes = first.groupBy("cohort_wk").agg(count(lit(1)).as("n_users"))
+    val spend = ev.filter(col("event_type") === "purchase")
+      .join(first, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_wk"))
+      .agg(r2(sum("value")).as("rev"))
+    val w = Window.partitionBy("cohort_wk").orderBy("age_wk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spend
+      .withColumn("cum_rev", sum("rev").over(w))
+      .join(broadcast(sizes), "cohort_wk")
+      .select(col("cohort_wk"), col("age_wk"), col("n_users"), col("rev"),
+        r2(col("cum_rev")).as("cum_rev"),
+        r4(col("cum_rev") / col("n_users").cast("double")).as("ltv_per_user"))
+      .orderBy("cohort_wk", "age_wk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q150_funnel_ttc" -> q150,
+    "q151_cohort_ltv" -> q151,
     "q131_attribution_last_touch" -> q131,
     "q111_lateral_topk" -> q111,
     "q114_rfm_segments" -> q114,
@@ -282,6 +317,24 @@ object Workloads {
     "q37_retention_cohorts" -> q37)
 
   val oracle: Map[String, String] = Map(
+    "q151_cohort_ltv" ->
+      s"""WITH ev AS (SELECT user_id, event_type, value,
+         |    (epoch_us(ts) - 1704067200000000) // 604800000000 AS wk FROM events),
+         |first AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1),
+         |sizes AS (SELECT cohort_wk, count(*) AS n_users FROM first GROUP BY 1),
+         |spend AS (SELECT f.cohort_wk, ev.wk - f.cohort_wk AS age_wk,
+         |    ${sr2("sum(ev.value)")} AS rev
+         |  FROM ev JOIN first f USING (user_id)
+         |  WHERE ev.event_type = 'purchase' GROUP BY 1, 2),
+         |cum AS (SELECT cohort_wk, age_wk, rev,
+         |    sum(rev) OVER (PARTITION BY cohort_wk ORDER BY age_wk
+         |      ROWS UNBOUNDED PRECEDING) AS cum_rev
+         |  FROM spend)
+         |SELECT c.cohort_wk, c.age_wk, s.n_users, c.rev,
+         |  ${sr2("c.cum_rev")} AS cum_rev,
+         |  ${sr4("c.cum_rev / CAST(s.n_users AS DOUBLE)")} AS ltv_per_user
+         |FROM cum c JOIN sizes s USING (cohort_wk)
+         |ORDER BY cohort_wk, age_wk""".stripMargin,
     "q150_funnel_ttc" ->
       s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
          |  FROM events),
