@@ -391,6 +391,37 @@ object Analytics {
       .orderBy(col("rev").desc, col("n_name"))
   }
 
+  /** 2-D skyline (Pareto-front) query: orders that are not DOMINATED on
+    * (minimize totalprice, maximize orderdate) — no other order is both
+    * cheaper-or-equal and newer-or-equal with one strict. The classic
+    * multi-objective shortlist operator ("cheapest AND newest" trade-off
+    * curve), degenerate nowhere: every output row is an actual optimum.
+    *
+    * Plan: the naive dominance test is an all-pairs quadratic theta join;
+    * the 2-D skyline collapses to ONE sorted pass — reduce to price grain
+    * (only the max-date row per price can survive), then a price-ordered
+    * window: a price level is on the skyline iff its max date strictly
+    * beats every strictly-cheaper level's max date (running max over the
+    * preceding frame). Raw data values throughout — no float discipline
+    * needed. Scale: fact agg to |distinct prices| + one window over it. */
+  def q152(s: SparkSession, d: String): DataFrame = {
+    val byPD = orders(s, d)
+      .groupBy("o_totalprice", "o_orderdate").agg(count(lit(1)).as("n"))
+    // only the max-date row of each price level can survive; count the
+    // orders AT that (price, date) — same-price-older rows are dominated
+    val grain = byPD.groupBy("o_totalprice").agg(max("o_orderdate").as("dmax"))
+      .join(byPD.withColumnRenamed("o_orderdate", "dmax"),
+        Seq("o_totalprice", "dmax"))
+      .withColumnRenamed("n", "n_orders")
+    val prev = Window.orderBy("o_totalprice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grain
+      .withColumn("best_cheaper", max("dmax").over(prev))
+      .filter(col("best_cheaper").isNull || col("dmax") > col("best_cheaper"))
+      .select(col("o_totalprice"), col("dmax").as("o_orderdate"), col("n_orders"))
+      .orderBy("o_totalprice")
+  }
+
   /** Linear-regression aggregates: price-vs-quantity fit per return flag. */
   def q58(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -419,9 +450,25 @@ object Analytics {
     "q140_ab_test" -> q140,
     "q141_cuped" -> q141,
     "q145_ks_drift" -> q145,
-    "q148_pareto" -> q148)
+    "q148_pareto" -> q148,
+    "q152_skyline" -> q152)
 
   val oracle: Map[String, String] = Map(
+    "q152_skyline" ->
+      """WITH bypd AS (SELECT o_totalprice, o_orderdate, count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |grain AS (SELECT g.o_totalprice, g.dmax, b.n AS n_orders
+        |  FROM (SELECT o_totalprice, max(o_orderdate) AS dmax
+        |        FROM bypd GROUP BY 1) g
+        |  JOIN bypd b ON b.o_totalprice = g.o_totalprice
+        |    AND b.o_orderdate = g.dmax),
+        |sky AS (SELECT o_totalprice, dmax, n_orders,
+        |    max(dmax) OVER (ORDER BY o_totalprice
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_cheaper
+        |  FROM grain)
+        |SELECT o_totalprice, dmax AS o_orderdate, n_orders
+        |FROM sky WHERE best_cheaper IS NULL OR dmax > best_cheaper
+        |ORDER BY o_totalprice""".stripMargin,
     "q148_pareto" ->
       s"""WITH rev AS (SELECT n.n_name, ${sr2("sum(o.o_totalprice)")} AS rev
          |  FROM orders o

@@ -373,6 +373,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q152 skyline: mutually non-dominated and dominates everything else") {
+    val sky = operators.Analytics.q152(s, d).collect()
+      .map(r => (r.getDouble(0), r.get(1).toString))
+    def dominates(a: (Double, String), b: (Double, String)) =
+      a._1 <= b._1 && a._2 >= b._2 && (a._1 < b._1 || a._2 > b._2)
+    for (a <- sky; b <- sky if a != b)
+      assert(!dominates(a, b), s"skyline point $a dominates $b")
+    // completeness: every order is (weakly) dominated by some skyline point
+    val all = Tables.orders(s, d).select("o_totalprice", "o_orderdate").collect()
+      .map(r => (r.getDouble(0), r.get(1).toString))
+    all.foreach { p =>
+      assert(sky.contains(p) || sky.exists(q => dominates(q, p)),
+        s"point $p neither on skyline nor dominated")
+    }
+  }
+
   test("q125 token drift: KL is non-negative both ways and counts partition the stream") {
     val r = operators.TextPipeline.q125(TestSpark.spark, TestSpark.sf0001).head()
     val (klAb, klBa) = (r.getDouble(0), r.getDouble(1))
