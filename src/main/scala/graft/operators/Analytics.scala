@@ -422,6 +422,34 @@ object Analytics {
       .orderBy("o_totalprice")
   }
 
+  /** CUSUM changepoint detection over the daily purchase-revenue series:
+    * cumulative sum of deviations from the series mean, report the day
+    * where |CUSUM| peaks — where the level shift (if any) most plausibly
+    * happened; the classic monitoring statistic for "did the metric's mean
+    * move, and when".
+    *
+    * Determinism is tool #4 again: daily revenue pins 2 dp, the mean pins
+    * 4 dp (one-row broadcast), so every deviation term is identical in
+    * both engines and the frame-order running sum is bit-identical; the
+    * argmax orders by the PINNED |CUSUM| with a day tiebreak, so even an
+    * exact tie picks the same day. Scale: fact agg to the 31-day series,
+    * everything after is calendar-sized. */
+  def q156(s: SparkSession, d: String): DataFrame = {
+    val day0 = 1704067200000000L
+    val daily = events(s, d).filter(col("event_type") === "purchase")
+      .groupBy(expr(s"(ts div 1000 - ${day0}L) div 86400000000L").as("day"))
+      .agg(r2(sum("value")).as("rev"))
+    val g = daily.agg(r4(avg("rev")).as("mu"), count(lit(1)).as("n_days"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(g))
+      .withColumn("cusum", r4(sum(col("rev") - col("mu")).over(w)))
+      .orderBy(abs(col("cusum")).desc, col("day"))
+      .limit(1)
+      .select(col("day").as("changepoint_day"), col("cusum"),
+        col("mu"), col("n_days"))
+  }
+
   /** Linear-regression aggregates: price-vs-quantity fit per return flag. */
   def q58(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -451,9 +479,21 @@ object Analytics {
     "q141_cuped" -> q141,
     "q145_ks_drift" -> q145,
     "q148_pareto" -> q148,
-    "q152_skyline" -> q152)
+    "q152_skyline" -> q152,
+    "q156_cusum_changepoint" -> q156)
 
   val oracle: Map[String, String] = Map(
+    "q156_cusum_changepoint" ->
+      s"""WITH daily AS (SELECT (epoch_us(ts) - 1704067200000000) // 86400000000 AS day,
+         |    ${sr2("sum(value)")} AS rev
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |g AS (SELECT ${sr4("avg(rev)")} AS mu, count(*) AS n_days FROM daily),
+         |c AS (SELECT day, ${sr4(
+             "sum(rev - g.mu) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)")} AS cusum,
+         |    g.mu, g.n_days
+         |  FROM daily CROSS JOIN g)
+         |SELECT day AS changepoint_day, cusum, mu, n_days
+         |FROM c ORDER BY abs(cusum) DESC, day LIMIT 1""".stripMargin,
     "q152_skyline" ->
       """WITH bypd AS (SELECT o_totalprice, o_orderdate, count(*) AS n
         |  FROM orders GROUP BY 1, 2),

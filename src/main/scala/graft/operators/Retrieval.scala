@@ -111,7 +111,39 @@ object Retrieval {
       .select("vec_id", "bucket", "bsize").orderBy("vec_id")
   }
 
+  /** Inverted-index construction — the build side of q100's BM25 scoring:
+    * for the 20 highest-df terms, the document frequency, total term count,
+    * and the head of the posting list (top-5 docs by tf) serialized
+    * "doc:tf,…" (array cells are unhashable in the driver's pandas harness
+    * — the q27 lesson). The retrieval-infrastructure artifact every search
+    * stack materializes.
+    *
+    * Scale: one (term, doc) aggregation (map-side combinable), df counts
+    * at term grain, per-term top-5 via the rank window — posting-list
+    * HEADS are bounded by construction; full posting lists would be
+    * emitted as (term, doc, tf) rows, never collected. */
+  def q153(s: SparkSession, d: String): DataFrame = {
+    val tf = TextPipeline.words1(s, d)
+      .groupBy("w", "doc_id").agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy("w")
+      .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
+    val top = tf.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("w")
+          .orderBy(col("tf").desc, col("doc_id"))))
+      .filter(col("rn") <= 5)
+      .groupBy("w")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("doc_id"), col("tf")))),
+        x => concat_ws(":", x.getField("doc_id"), x.getField("tf"))), ",")
+        .as("head_postings"))
+    stats.join(top, "w")
+      .select("w", "df", "total_tf", "head_postings")
+      .orderBy(col("df").desc, col("w"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_posting_lists" -> q153,
     "q100_bm25_rank" -> q100,
     "q102_embed_quantize" -> q102,
     "q103_lsh_rp_buckets" -> q103)
@@ -119,6 +151,21 @@ object Retrieval {
   private val wordsCte = s"w AS (${TextPipeline.wordsSql})"
 
   val oracle: Map[String, String] = Map(
+    "q153_posting_lists" ->
+      s"""WITH w AS (${TextPipeline.wordsSql}),
+         |tok AS (SELECT doc_id, unnest(words) AS w FROM w),
+         |tf AS (SELECT w, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |stats AS (SELECT w, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+         |  FROM tf GROUP BY 1),
+         |rk AS (SELECT w, doc_id, tf, row_number() OVER (
+         |    PARTITION BY w ORDER BY tf DESC, doc_id) AS rn FROM tf),
+         |hp AS (SELECT w, string_agg(
+         |    CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+         |    ',' ORDER BY rn) AS head_postings
+         |  FROM rk WHERE rn <= 5 GROUP BY 1)
+         |SELECT s.w, s.df, s.total_tf, hp.head_postings
+         |FROM stats s JOIN hp USING (w)
+         |ORDER BY df DESC, w LIMIT 20""".stripMargin,
     "q100_bm25_rank" ->
       s"""WITH $wordsCte,
          |d2 AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM w WHERE len(words) >= 1),
