@@ -205,8 +205,16 @@ object Windows {
       .withColumn("k_min", expr(s"(us - ${day0}L + ${dayUs}L - 1) div ${dayUs}L"))
       .withColumn("k_max", expr(
         s"CASE WHEN valid_to IS NULL THEN 30L ELSE (valid_to - ${day0}L - 1) div ${dayUs}L END"))
-      .filter(col("k_max") >= col("k_min") && col("k_min") <= 30)
-      .withColumn("k", explode(expr("sequence(k_min, least(k_max, 30L))")))
+      // k_max >= 0 matters: Spark's sequence(hi, lo) DESCENDS when hi > lo
+      // (DuckDB's generate_series returns empty), so a clamped-to-0 start
+      // against a negative end must never reach the explode
+      .filter(col("k_max") >= col("k_min") && col("k_min") <= 30 &&
+        col("k_max") >= 0)
+      // clamp both ends into the calendar so an out-of-window interval can
+      // never explode beyond the 31 spine days (library hygiene — this
+      // corpus is January-only, but the operator shouldn't rely on it)
+      .withColumn("k",
+        explode(expr("sequence(greatest(k_min, 0L), least(k_max, 30L))")))
       .select((lit(day0) + col("k") * lit(dayUs)).as("day_us"),
         col("user_id"), col("value"))
     val agg = live.groupBy("day_us")
@@ -251,8 +259,8 @@ object Windows {
          |         ELSE (valid_to - 1704067200000000 - 1) // 86400000000 END AS k_max
          |  FROM iv),
          |ks AS (SELECT user_id, value,
-         |    unnest(generate_series(k_min, least(k_max, 30))) AS k
-         |  FROM bounds WHERE k_max >= k_min AND k_min <= 30),
+         |    unnest(generate_series(greatest(k_min, 0), least(k_max, 30))) AS k
+         |  FROM bounds WHERE k_max >= k_min AND k_min <= 30 AND k_max >= 0),
          |live AS (SELECT 1704067200000000 + k * 86400000000 AS day_us,
          |    user_id, value FROM ks),
          |agg AS (SELECT day_us, count(*) AS n_entities,
