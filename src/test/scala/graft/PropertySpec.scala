@@ -373,6 +373,20 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q147 negatives never collide with positives, cap at 3, rank-dense per user") {
+    val neg = operators.Recommender.q147(s, d)
+    val pos = Tables.ratings(s, d).select("user_id", "item")
+    assert(neg.join(pos, Seq("user_id", "item"), "left_semi").count() == 0,
+      "a sampled negative is actually a positive")
+    val perUser = neg.groupBy("user_id").count()
+    assert(perUser.filter(col("count") > 3).count() == 0, "more than 3 negatives")
+    // ranks are exactly 1..k per user (dense, no gaps)
+    val badRanks = neg.groupBy("user_id")
+      .agg(min("rnk").as("lo"), max("rnk").as("hi"), count(lit(1)).as("n"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n"))
+    assert(badRanks.count() == 0, "rank sequence has gaps")
+  }
+
   test("q152 skyline: mutually non-dominated and dominates everything else") {
     val sky = operators.Analytics.q152(s, d).collect()
       .map(r => (r.getDouble(0), r.get(1).toString))
