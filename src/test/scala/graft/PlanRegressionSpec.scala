@@ -354,6 +354,35 @@ class PlanRegressionSpec extends AnyFunSuite {
     } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("q137 covisit: interval join stays an equi join with auto-broadcast off") {
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the bucketed interval join must plan as an EQUI join on
+      // (user, cell) — at fact scale a theta fallback (BNLJ/cartesian)
+      // would be the quadratic scale-killer the banding exists to avoid
+      val plan = planOf(operators.Recommender.q137(s, d))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"covisit candidates must equi-join on (user, cell):\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"covisit must never fall back to a quadratic join:\n$plan")
+    } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("q146 daily panel: contribution explode + equi joins, no quadratic day join") {
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planOf(operators.Windows.q146(s, d))
+      // intervals must EXPLODE to covered days (a Generate), and the
+      // spine fill must be an equi join — a day×interval range join
+      // (BNLJ) would rescan the interval relation per day at scale
+      assert(plan.contains("Generate"), "q146 must explode interval days")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"q146 must not plan a quadratic day join:\n$plan")
+    } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("q120/q121: no forced broadcasts, no cartesian products in the audit/rolling shapes") {
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
