@@ -233,6 +233,43 @@ object Workloads {
       .orderBy("purchase_id")
   }
 
+  /** Linear multi-touch attribution — q131's companion: each purchase's
+    * VALUE is split EQUALLY across all of the user's in-session clicks
+    * strictly before it (last-touch gives the final click everything;
+    * linear credits the whole path). Per-click credit = value/n_clicks is
+    * a division of a 2 dp-pinned value by an exact integer, so per-click
+    * credits are identical cross-engine and the per-click credit SUM is
+    * a sum of identical doubles under a 4 dp pin. Readout = top-20 clicks
+    * by total credit — "which touches actually drive revenue".
+    *
+    * Scale: same single (user|ts) sessionization shuffle as q131/q32, the
+    * fan-out join is session-local, and the credit aggregation is one
+    * map-side-combinable sum keyed by click. */
+  def q154(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.api.Graft.sessionize(
+      events(s, d).withColumn("ts_us", expr("ts div 1000"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts_us")),
+      "user_id", "ts_us", 1800000000L, Seq("event_id"))
+    val p = sess.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("session_id"),
+        col("event_id").as("purchase_id"), r2(col("value")).as("v"),
+        col("ts_us").as("pt"))
+    val c = sess.filter(col("event_type") === "click")
+      .select(col("user_id"), col("session_id"),
+        col("event_id").as("click_id"), col("ts_us").as("ct"))
+    val touched = p.join(c, Seq("user_id", "session_id"))
+      .filter(col("ct") < col("pt"))
+    val shares = touched
+      .withColumn("n_touches",
+        count(lit(1)).over(Window.partitionBy("purchase_id")))
+      .withColumn("credit", col("v") / col("n_touches").cast("double"))
+    shares.groupBy("click_id")
+      .agg(count(lit(1)).as("n_purchases"), r4(sum("credit")).as("credit"))
+      .orderBy(col("credit").desc, col("click_id"))
+      .limit(20)
+  }
+
   /** Funnel latency: for each CLICK, the user's first purchase within the
     * following hour; readout = click count, converted-click count, rate,
     * and the exact median time-to-convert — the latency distribution q36's
