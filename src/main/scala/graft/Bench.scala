@@ -71,6 +71,12 @@ object Bench {
       .toSeq.sorted.mkString("[", ",", "]")
     val total = outcomes.map(_._2).sum
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // The full line above grew past the driver's 2000-char tail capture at
+    // 151 queries even with shortened keys (BENCH_r05 recorded parsed:null
+    // with the tail starting mid-line). Print a SECOND, short summary line
+    // LAST so a complete parseable JSON object always lands inside the tail
+    // window; the full per-query line remains for human/local analysis.
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${outcomes.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

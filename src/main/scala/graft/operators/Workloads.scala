@@ -343,6 +343,7 @@ object Workloads {
     "q150_funnel_ttc" -> q150,
     "q151_cohort_ltv" -> q151,
     "q131_attribution_last_touch" -> q131,
+    "q154_attribution_credit_split" -> q154,
     "q111_lateral_topk" -> q111,
     "q114_rfm_segments" -> q114,
     "q07_correlated_subquery" -> q07,
@@ -416,6 +417,31 @@ object Workloads {
         |  b.attributed_click, p.pt - b.ct AS gap_us
         |FROM p LEFT JOIN best b USING (purchase_id)
         |ORDER BY p.purchase_id""".stripMargin,
+    "q154_attribution_credit_split" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id
+         |             ORDER BY epoch_us(ts), event_id) IS NULL
+         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+         |             ORDER BY epoch_us(ts), event_id) > 1800000000
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events),
+         |se AS (SELECT user_id, event_id, event_type, value, ts_us,
+         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM e),
+         |p AS (SELECT user_id, session_id, event_id AS purchase_id,
+         |      ${sr2("value")} AS v, ts_us AS pt
+         |      FROM se WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, session_id, event_id AS click_id, ts_us AS ct
+         |      FROM se WHERE event_type = 'click'),
+         |t AS (SELECT p.purchase_id, c.click_id, p.v
+         |      FROM p JOIN c USING (user_id, session_id) WHERE c.ct < p.pt),
+         |sh AS (SELECT click_id,
+         |      v / CAST(count(*) OVER (PARTITION BY purchase_id) AS DOUBLE) AS credit
+         |      FROM t)
+         |SELECT click_id, count(*) AS n_purchases,
+         |  ${sr4("sum(credit)")} AS credit
+         |FROM sh GROUP BY 1 ORDER BY credit DESC, click_id LIMIT 20""".stripMargin,
     "q114_rfm_segments" ->
       s"""WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
          |rfm AS (SELECT o_custkey,

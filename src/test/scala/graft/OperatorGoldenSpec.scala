@@ -365,5 +365,35 @@ class OperatorGoldenSpec extends AnyFunSuite {
     assert(at.filter(col("attributed_click").isNotNull && col("gap_us") <= 0L).count() == 0)
     assert(at.filter(col("attributed_click").isNull =!= col("gap_us").isNull).count() == 0)
     assert(at.filter(col("attributed_click").isNotNull).count() > 0)
+    // q154: linear credit split — top-20 clicks by credit, credits positive,
+    // and no click can out-earn the total purchase value in its sessions
+    val cs = operators.Workloads.q154(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cs.length <= 20 && cs.nonEmpty)
+    assert(cs.forall { case (_, n, cr) => n >= 1L && cr > 0.0 })
+    // sorted by credit desc (ties by click_id asc)
+    assert(cs.sliding(2).forall {
+      case Array(a, b) => a._3 > b._3 || (a._3 == b._3 && a._1 < b._1)
+      case _ => true
+    })
+    // conservation sanity: every purchase's value splits across >=1 clicks,
+    // so the global credit mass over ALL clicks equals the sum of touched
+    // purchase values; the top-20 slice must not exceed it
+    val touchedTotal = {
+      val sess = graft.api.Graft.sessionize(
+        Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"), col("ts_us")),
+        "user_id", "ts_us", 1800000000L, Seq("event_id"))
+      val p = sess.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("session_id"), col("event_id"),
+          col("value"), col("ts_us").as("pt"))
+      val c = sess.filter(col("event_type") === "click")
+        .select(col("user_id"), col("session_id"), col("ts_us").as("ct"))
+      p.join(c, Seq("user_id", "session_id")).filter(col("ct") < col("pt"))
+        .select("event_id", "value").distinct()
+        .agg(sum("value")).head().getDouble(0)
+    }
+    assert(cs.map(_._3).sum <= touchedTotal + 1e-6)
   }
 }
