@@ -198,4 +198,15 @@ object Tables {
   def sr2(e: String): String = sqlRnd(e, 2)
   def sr4(e: String): String = sqlRnd(e, 4)
   def sr5(e: String): String = sqlRnd(e, 5)
+
+  /** Exact integer FLOOR division as a Spark SQL snippet (b > 0). Spark's
+    * `div` truncates toward zero while DuckDB's `//` floors — they agree
+    * only for non-negative numerators, so any epoch-bucket index
+    * `(ts - epoch0) div unit` silently depends on no row preceding the
+    * epoch. `(a - pmod(a, b)) div b` floors for ALL a: pmod is in [0, b),
+    * the adjusted numerator divides exactly, and exact division equals the
+    * mathematical floor. Keeps day/week bucket indexes cross-engine
+    * identical even for pre-epoch rows. */
+  def sqlFloorDiv(a: String, b: String): String =
+    s"((($a) - pmod(($a), ($b))) div ($b))"
 }

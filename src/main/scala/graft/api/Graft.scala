@@ -323,8 +323,13 @@ object Graft {
     * pre-shuffle stage boundary, a UNION fan-in, or a non-equi residual).
     *
     * Guarantees: NO false negatives (every true match survives), ~`fpp`
-    * false positives (they're removed by the real join — results never
-    * change, only scan/shuffle volume). Sizing: the filter is
+    * false positives (they're removed by the real join). The
+    * results-never-change property holds for the INNER/SEMI equi-joins
+    * this prefilter is meant for — it drops fact rows, including
+    * null-key rows, so applying it to the PRESERVED side of an outer
+    * join (or before an anti join) would remove rows the join must keep.
+    * Only scan/shuffle volume changes ahead of inner/semi joins. Sizing:
+    * the filter is
     * ~1.2·n·ln(1/fpp)/ln²2 bits — 10⁸ keys at 3% ≈ 90 MB, the same
     * driver+broadcast cost the built-in runtime filter pays; size
     * `expectedItems` to the DISTINCT key count. */
@@ -338,24 +343,112 @@ object Graft {
     fact.filter(might(col(factKey)))
   }
 
+  /** Assign each row a range block id in [0, nBlocks) by comparing
+    * `orderCol` against broadcast block bounds from ONE mergeable
+    * `approx_percentile` aggregation — the deterministic, exchange-free
+    * building block of the distributed prefix scans below. Bound placement
+    * only affects balance, never results, so the sketch's approximation is
+    * harmless. Appends `__blk`. */
+  private def rangeBlocks(df: DataFrame, orderCol: String): DataFrame = {
+    val n = math.max(2, df.sparkSession.sessionState.conf.numShufflePartitions)
+    val ps = (1 until n).map(i => s"${i.toDouble / n}e0").mkString(",")
+    val b = df.agg(expr(s"approx_percentile($orderCol, array($ps), 10000)")
+      .as("__bnds"))
+    df.crossJoin(broadcast(b))
+      .withColumn("__blk",
+        coalesce(size(expr(s"filter(__bnds, q -> $orderCol > q)")), lit(0)))
+      .drop("__bnds")
+  }
+
+  /** Distributed running (prefix) sums over a totally-ordered column — the
+    * scale-safe replacement for a global `Window.orderBy(...).rowsBetween
+    * (unboundedPreceding, currentRow)`, which Spark plans as ONE partition
+    * holding the entire input. Classic two-pass prefix scan, declared in
+    * DataFrame ops: (1) bucket rows into range blocks ([[rangeBlocks]] —
+    * row-local against broadcast bounds), (2) per-block running sums via a
+    * PARTITIONED window, (3) per-block totals prefix-combined by the only
+    * remaining unpartitioned window — over ≤ `spark.sql.shuffle.partitions`
+    * rows, bounded by construction, (4) broadcast the offsets back and add
+    * row-locally. Appends `c + suffix` per value column, inclusive of the
+    * current row.
+    *
+    * `orderCol` must be numeric with DISTINCT values (group to the order
+    * grain first — the shrink-before-window discipline); with duplicates
+    * the intra-tie order would be block-placement-dependent. Determinism:
+    * integer/pinned addends regroup exactly under associativity, so block
+    * decomposition cannot change results for exact types; float callers
+    * keep the same pin discipline a global window would need. */
+  def prefixSum(df: DataFrame, orderCol: String, valueCols: Seq[String],
+                suffix: String = "_cum"): DataFrame = {
+    require(valueCols.nonEmpty, "prefixSum needs at least one value column")
+    val blocked = rangeBlocks(df, orderCol)
+    val wLoc = Window.partitionBy("__blk").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy("__blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = blocked.groupBy("__blk")
+      .agg(sum(valueCols.head).as(s"__t0"),
+        valueCols.tail.zipWithIndex.map { case (c, i) =>
+          sum(c).as(s"__t${i + 1}") }: _*)
+    val offsets = valueCols.indices.foldLeft(totals) { (acc, i) =>
+      acc.withColumn(s"__o$i", sum(col(s"__t$i")).over(wOff))
+    }.select(col("__blk") +: valueCols.indices.map(i => col(s"__o$i")): _*)
+    val local = valueCols.foldLeft(blocked) { (acc, c) =>
+      acc.withColumn(c + suffix, sum(col(c)).over(wLoc))
+    }
+    val combined = local.join(broadcast(offsets), Seq("__blk"), "left")
+    valueCols.zipWithIndex.foldLeft(combined) { case (acc, (c, i)) =>
+      acc.withColumn(c + suffix,
+        col(c + suffix) + coalesce(col(s"__o$i"), lit(0L)))
+    }.drop("__blk" +: valueCols.indices.map(i => s"__o$i"): _*)
+  }
+
+  /** Distributed STRICT prefix max — the scale-safe replacement for a
+    * global `Window.orderBy(...).rowsBetween(unboundedPreceding, -1)` max:
+    * for each row, the max of `valueCol` over all rows with strictly
+    * smaller `orderCol` (null for the global minimum row, like the empty
+    * window frame). Same block decomposition as [[prefixSum]]; max is
+    * order-insensitive so only the strict/inclusive frame split differs.
+    * `orderCol` must be numeric with DISTINCT values. */
+  def prefixMax(df: DataFrame, orderCol: String, valueCol: String,
+                out: String): DataFrame = {
+    val blocked = rangeBlocks(df, orderCol)
+    val wLoc = Window.partitionBy("__blk").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.orderBy("__blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = blocked.groupBy("__blk").agg(max(valueCol).as("__t"))
+      .withColumn("__o", max("__t").over(wOff))
+      .select("__blk", "__o")
+    blocked
+      .withColumn("__r", max(col(valueCol)).over(wLoc))
+      .join(broadcast(offsets), Seq("__blk"), "left")
+      // greatest skips nulls and is null only when BOTH sides are — exactly
+      // the empty-global-frame semantics of the single-window form
+      .withColumn(out, greatest(col("__r"), col("__o")))
+      .drop("__blk", "__r", "__o")
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic: D = sup |F_a − F_b|
     * between `valueCol`'s distributions in groups `a` and `b` of
     * `groupCol`. Returns one row (n_a, n_b, ks_d), unpinned — callers
     * round at their output edge. Ties are exact (both CDFs evaluate after
     * each full tie group); values pre-aggregate to their distinct grain so
-    * the one ordered window runs over |support|, not the input (shrink-
-    * before-window). CDF values are exact integer/integer divisions. */
+    * the ordered scan runs over |support|, not the input (shrink-before-
+    * window) — and because a continuous support can approach |facts|, the
+    * running sums use [[prefixSum]]'s range-blocked combine, never one
+    * global single-partition window. CDF values are exact integer/integer
+    * divisions. */
   def ksStatistic(df: DataFrame, valueCol: String, groupCol: String,
                   a: String, b: String): DataFrame = {
     val pv = df.filter(col(groupCol).isin(a, b))
       .groupBy(col(valueCol).as("__v"))
       .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("__c1"),
         sum(when(col(groupCol) === b, 1L).otherwise(0L)).as("__c2"))
-    val w = Window.orderBy("__v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = pv.agg(sum("__c1").as("n_a"), sum("__c2").as("n_b"))
-    pv.withColumn("__f1", sum("__c1").over(w))
-      .withColumn("__f2", sum("__c2").over(w))
+    prefixSum(pv, "__v", Seq("__c1", "__c2"))
+      .withColumnRenamed("__c1_cum", "__f1")
+      .withColumnRenamed("__c2_cum", "__f2")
       .crossJoin(broadcast(tot))
       .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
         max(abs(col("__f1").cast("double") / col("n_a").cast("double") -

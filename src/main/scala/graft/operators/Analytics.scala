@@ -400,10 +400,12 @@ object Analytics {
     * Plan: the naive dominance test is an all-pairs quadratic theta join;
     * the 2-D skyline collapses to ONE sorted pass — reduce to price grain
     * (only the max-date row per price can survive), then a price-ordered
-    * window: a price level is on the skyline iff its max date strictly
-    * beats every strictly-cheaper level's max date (running max over the
-    * preceding frame). Raw data values throughout — no float discipline
-    * needed. Scale: fact agg to |distinct prices| + one window over it. */
+    * scan: a price level is on the skyline iff its max date strictly
+    * beats every strictly-cheaper level's max date (strict prefix max).
+    * Raw data values throughout — no float discipline needed. Scale: fact
+    * agg to |distinct prices|, then [[graft.api.Graft.prefixMax]]'s range-
+    * blocked combine — prices are near-unique so the grain is orders-sized
+    * and a single global window would funnel it through one partition. */
   def q152(s: SparkSession, d: String): DataFrame = {
     val byPD = orders(s, d)
       .groupBy("o_totalprice", "o_orderdate").agg(count(lit(1)).as("n"))
@@ -413,10 +415,7 @@ object Analytics {
       .join(byPD.withColumnRenamed("o_orderdate", "dmax"),
         Seq("o_totalprice", "dmax"))
       .withColumnRenamed("n", "n_orders")
-    val prev = Window.orderBy("o_totalprice")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    grain
-      .withColumn("best_cheaper", max("dmax").over(prev))
+    graft.api.Graft.prefixMax(grain, "o_totalprice", "dmax", "best_cheaper")
       .filter(col("best_cheaper").isNull || col("dmax") > col("best_cheaper"))
       .select(col("o_totalprice"), col("dmax").as("o_orderdate"), col("n_orders"))
       .orderBy("o_totalprice")
@@ -437,7 +436,8 @@ object Analytics {
   def q156(s: SparkSession, d: String): DataFrame = {
     val day0 = 1704067200000000L
     val daily = events(s, d).filter(col("event_type") === "purchase")
-      .groupBy(expr(s"(ts div 1000 - ${day0}L) div 86400000000L").as("day"))
+      .groupBy(expr(sqlFloorDiv(s"ts div 1000 - ${day0}L", "86400000000L"))
+        .as("day"))
       .agg(r2(sum("value")).as("rev"))
     val g = daily.agg(r4(avg("rev")).as("mu"), count(lit(1)).as("n_days"))
     val w = Window.orderBy("day")

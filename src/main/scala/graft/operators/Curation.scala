@@ -119,6 +119,24 @@ object Curation {
       .select("doc_id", "lang", "source", "bucket", "rate")
       .orderBy("doc_id")
 
+  /** Per-source exact-K cap — the "no domain may dominate the mix" guard a
+    * training-data build runs before mixing: keep at most 5 docs per
+    * source, chosen by content-stable sha256(doc_id) order (zero RNG
+    * state — every rerun, partitioning and engine keeps the same rows;
+    * resample = change the salt). q94 rate-samples WITHIN strata, q130
+    * draws a global fixed k; this is the per-stratum fixed-k companion.
+    *
+    * Scale: one shuffle on source + the WindowGroupLimit per-group heap
+    * ([[graft.api.Graft.topKPerGroup]]) — the `rn <= k` filter is pushed
+    * into the window sort, so no group ever materializes fully sorted. */
+  def q155(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.topKPerGroup(
+        documents(s, d).select(col("doc_id"), col("source"))
+          .withColumn("hkey", sha2(col("doc_id").cast("string"), 256)),
+        Seq("source"), Seq(col("hkey"), col("doc_id")), 5, "rn")
+      .select("doc_id", "source", "rn")
+      .orderBy("doc_id")
+
   /** Quality-WEIGHTED reproducible sampling: keep a doc with probability
     * proportional to its q79 quality score (here quality*0.5), decided by
     * the same content-stable hash bucket as q94 — the "sample good data
@@ -334,6 +352,7 @@ object Curation {
     "q93_dedup_components" -> q93,
     "q101_dedup_cluster_keep" -> q101,
     "q94_sample_stratified" -> q94,
+    "q155_sample_per_group" -> q155,
     "q104_sample_weighted" -> q104,
     "q130_sample_weighted_k" -> q130,
     "q105_curation_pipeline" -> q105,
@@ -449,6 +468,13 @@ object Curation {
          |FROM k
          |ORDER BY ${sqlRnd("ln(u) / CAST(n_chars AS DOUBLE)", 10)} DESC, doc_id
          |LIMIT 20""".stripMargin,
+    "q155_sample_per_group" ->
+      """SELECT doc_id, source, rn FROM (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
     "q94_sample_stratified" ->
       """WITH b AS (SELECT doc_id, lang, source,
         |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,

@@ -139,7 +139,42 @@ object Joins {
       .orderBy("ev_a", "ev_b")
   }
 
+  /** Blocked fuzzy (entity-resolution) join: part-name pairs within
+    * Levenshtein distance 4, candidates generated by a BLOCKING KEY (the
+    * name's last token) so the expensive string metric only runs inside
+    * blocks — the standard record-linkage shape (dedupe/Splink style):
+    * an EQUI join on the block key plus the edit-distance residual, never
+    * an all-pairs cross. Readout = distinct name pairs with their distance
+    * and how many part-key pairs they cover, top-20.
+    *
+    * Determinism: Levenshtein is exact integer DP (identical in any
+    * engine); pair identity is the canonical (least, greatest) name order;
+    * ties in the top-20 break on the full name pair. Scale: candidates are
+    * Σ block² — governed by the blocking key's selectivity, the knob every
+    * ER pipeline tunes (tighten with length bands or double-metaphone
+    * blocks for open vocabularies); the metric itself is row-local. */
+  def q158(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d).select(col("p_partkey"), col("p_name"),
+      regexp_extract(col("p_name"), "(\\S+)$", 1).as("blk"))
+    val a = p.select(col("p_partkey").as("k_a"), col("p_name").as("name_a"),
+      col("blk"))
+    val b = p.select(col("p_partkey").as("k_b"), col("p_name").as("name_b"),
+      col("blk").as("blk_b"))
+    a.join(b, col("blk") === col("blk_b") && col("k_a") < col("k_b") &&
+        col("name_a") =!= col("name_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= lit(4))
+      .select(least(col("name_a"), col("name_b")).as("na"),
+        greatest(col("name_a"), col("name_b")).as("nb"))
+      .groupBy("na", "nb")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
+      .select("na", "nb", "dist", "n_pairs")
+      .orderBy(col("n_pairs").desc, col("na"), col("nb"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_fuzzy_name_join" -> q158,
     "q10_join_broadcast" -> q10,
     "q11_join_3way_revenue" -> q11,
     "q12_join_left_outer" -> q12,
@@ -152,6 +187,18 @@ object Joins {
     "q39_join_interval_bucketed" -> q39)
 
   val oracle: Map[String, String] = Map(
+    "q158_fuzzy_name_join" ->
+      """WITH p AS (SELECT p_partkey, p_name,
+        |    regexp_extract(p_name, '(\S+)$', 1) AS blk FROM part),
+        |cand AS (SELECT least(a.p_name, b.p_name) AS na,
+        |    greatest(a.p_name, b.p_name) AS nb
+        |  FROM p a JOIN p b ON a.blk = b.blk
+        |    AND a.p_partkey < b.p_partkey AND a.p_name <> b.p_name
+        |    AND levenshtein(a.p_name, b.p_name) <= 4)
+        |SELECT na, nb, CAST(levenshtein(na, nb) AS BIGINT) AS dist,
+        |  count(*) AS n_pairs
+        |FROM cand GROUP BY 1, 2
+        |ORDER BY n_pairs DESC, na, nb LIMIT 20""".stripMargin,
     "q10_join_broadcast" ->
       """SELECT n_nationkey, n_name, r_name FROM nation JOIN region
         |ON n_regionkey = r_regionkey ORDER BY n_nationkey""".stripMargin,

@@ -370,27 +370,35 @@ object Recommender {
   }
 
   /** Calibration (reliability) bins of the q62 bias predictor: predictions
-    * deciled by value (ntile over the pinned pred with (user, item)
-    * tiebreaks), per-bin count, mean predicted vs mean actual rating, and
+    * deciled by RANK (near-equal-count bins, whole tie groups kept
+    * together), per-bin count, mean predicted vs mean actual rating, and
     * the calibration gap — the "is the model systematically over/under-
     * predicting in any score range" check run before shipping any scorer.
-    * Means average the ALREADY-4dp-pinned per-row values, so both engines
-    * average identical doubles.
     *
-    * Scale: ntile here is a global sort window over the (user,item)-sized
-    * prediction relation — fine at interaction scale after aggregation;
-    * at raw-fact scale the bin assignment swaps to q128's broadcast
-    * quantile bounds (Graft.equiDepthBuckets), which needs no global
-    * window. */
+    * Plan: predictions shrink to their distinct-pred grain (count + rating
+    * sum per pinned pred), [[graft.api.Graft.prefixSum]] gives each pred
+    * its cumulative rank WITHOUT a global single-partition window (the
+    * defect the earlier global-ntile form had), and bin =
+    * ⌈rank·10/N⌉ is exact integer arithmetic — bit-identical cross-engine,
+    * no percentile interpolation to drift. Per-bin means divide sums of
+    * identical pinned doubles under the 4 dp output pin. Unlike ntile,
+    * equal predictions always land in the same bin (counts are near-equal
+    * rather than exactly equal — the right semantics for calibration,
+    * where splitting a tie group across bins would be arbitrary). */
   def q136(s: SparkSession, d: String): DataFrame = {
-    biasScored(s, d)
-      .withColumn("bin", ntile(10).over(
-        Window.orderBy(col("pred"), col("user_id"), col("item"))).cast("long"))
+    val pv = biasScored(s, d).groupBy("pred")
+      .agg(count(lit(1)).as("npv"), sum("rating").as("sr"))
+    val tot = pv.agg(sum("npv").as("ntot"))
+    graft.api.Graft.prefixSum(pv, "pred", Seq("npv"))
+      .crossJoin(broadcast(tot))
+      .withColumn("bin", expr("(npv_cum * 10 + ntot - 1) div ntot"))
       .groupBy("bin")
-      .agg(count(lit(1)).as("n"),
-        r4(avg("pred")).as("avg_pred"),
-        r4(avg("rating")).as("avg_actual"),
-        r4(abs(avg("pred") - avg("rating"))).as("gap"))
+      .agg(sum("npv").as("n"),
+        r4(sum(col("pred") * col("npv")) / sum("npv").cast("double"))
+          .as("avg_pred"),
+        r4(sum("sr") / sum("npv").cast("double")).as("avg_actual"),
+        r4(abs(sum(col("pred") * col("npv")) / sum("npv").cast("double") -
+          sum("sr") / sum("npv").cast("double"))).as("gap"))
       .orderBy("bin")
   }
 
@@ -500,13 +508,21 @@ object Recommender {
          |    ${sr4("mu.mu + bu.bu + bi.bi")} AS pred,
          |    ${sr4("r.rating")} AS rating
          |  FROM r JOIN bu USING (user_id) JOIN bi USING (item) CROSS JOIN mu),
-         |binned AS (SELECT pred, rating,
-         |    CAST(ntile(10) OVER (ORDER BY pred, user_id, item) AS BIGINT) AS bin
-         |  FROM scored)
-         |SELECT bin, count(*) AS n, ${sr4("avg(pred)")} AS avg_pred,
-         |  ${sr4("avg(rating)")} AS avg_actual,
-         |  ${sr4("abs(avg(pred) - avg(rating))")} AS gap
-         |FROM binned GROUP BY 1 ORDER BY bin""".stripMargin,
+         |pv AS (SELECT pred, count(*) AS npv, sum(rating) AS sr
+         |  FROM scored GROUP BY 1),
+         |tot AS (SELECT CAST(sum(npv) AS BIGINT) AS ntot FROM pv),
+         |cum AS (SELECT pred, npv, sr,
+         |    CAST(sum(npv) OVER (ORDER BY pred ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS c
+         |  FROM pv),
+         |b AS (SELECT CAST((c * 10 + ntot - 1) // ntot AS BIGINT) AS bin,
+         |    npv, pred * npv AS sp, sr
+         |  FROM cum CROSS JOIN tot)
+         |SELECT bin, CAST(sum(npv) AS BIGINT) AS n,
+         |  ${sr4("sum(sp) / CAST(sum(npv) AS DOUBLE)")} AS avg_pred,
+         |  ${sr4("sum(sr) / CAST(sum(npv) AS DOUBLE)")} AS avg_actual,
+         |  ${sr4("abs(sum(sp) / CAST(sum(npv) AS DOUBLE) - sum(sr) / CAST(sum(npv) AS DOUBLE))")} AS gap
+         |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
     "q137_covisit_decay" ->
       s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
          |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),

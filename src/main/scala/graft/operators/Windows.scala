@@ -202,9 +202,10 @@ object Windows {
     val iv = graft.api.Graft.validityIntervals(
       log, Seq("user_id", "event_type"), "us", Seq("event_id"))
     val live = iv
-      .withColumn("k_min", expr(s"(us - ${day0}L + ${dayUs}L - 1) div ${dayUs}L"))
-      .withColumn("k_max", expr(
-        s"CASE WHEN valid_to IS NULL THEN 30L ELSE (valid_to - ${day0}L - 1) div ${dayUs}L END"))
+      .withColumn("k_min",
+        expr(sqlFloorDiv(s"us - ${day0}L + ${dayUs}L - 1", s"${dayUs}L")))
+      .withColumn("k_max", expr(s"CASE WHEN valid_to IS NULL THEN 30L ELSE " +
+        sqlFloorDiv(s"valid_to - ${day0}L - 1", s"${dayUs}L") + " END"))
       // k_max >= 0 matters: Spark's sequence(hi, lo) DESCENDS when hi > lo
       // (DuckDB's generate_series returns empty), so a clamped-to-0 start
       // against a negative end must never reach the explode

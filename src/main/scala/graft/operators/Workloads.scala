@@ -270,6 +270,40 @@ object Workloads {
       .limit(20)
   }
 
+  /** Strict ORDERED 3-step funnel (view → click → purchase): a user
+    * advances a step only with an event STRICTLY AFTER their previous
+    * step's timestamp — q36 measures any click→purchase pair in a window,
+    * this measures the canonical ordered progression (first view, first
+    * click after it, first purchase after that), the product-analytics
+    * "where do users fall out of the flow" readout.
+    *
+    * Determinism: every step timestamp is an integer `min(µs)`; the only
+    * doubles are the two output rates (exact-integer numerator/denominator
+    * under a 4 dp pin, divide-by-zero guarded with nullif). Scale: three
+    * per-user min aggregations chained by equi joins on user_id — each
+    * stage shrinks to the surviving-user grain, nothing is ever
+    * per-event × per-event. */
+  def q157(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_type"),
+      expr("ts div 1000").as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("us") > col("t1"))
+      .groupBy("user_id").agg(min("us").as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("us") > col("t2"))
+      .groupBy("user_id").agg(min("us").as("t3"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("n_click"))))
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_purchase"))))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        r4(col("n_click").cast("double") /
+          nullif(col("n_view"), lit(0L)).cast("double")).as("rate_click"),
+        r4(col("n_purchase").cast("double") /
+          nullif(col("n_click"), lit(0L)).cast("double")).as("rate_purchase"))
+  }
+
   /** Funnel latency: for each CLICK, the user's first purchase within the
     * following hour; readout = click count, converted-click count, rate,
     * and the exact median time-to-convert — the latency distribution q36's
@@ -321,7 +355,8 @@ object Workloads {
     val day0 = 1704067200000000L // 2024-01-01T00:00:00Z epoch µs
     val weekUs = 7L * 86400000000L
     val ev = events(s, d).select(col("user_id"), col("event_type"),
-      col("value"), expr(s"(ts div 1000 - ${day0}L) div ${weekUs}L").as("wk"))
+      col("value"),
+      expr(sqlFloorDiv(s"ts div 1000 - ${day0}L", s"${weekUs}L")).as("wk"))
     val first = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
     val sizes = first.groupBy("cohort_wk").agg(count(lit(1)).as("n_users"))
     val spend = ev.filter(col("event_type") === "purchase")
@@ -342,6 +377,7 @@ object Workloads {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q150_funnel_ttc" -> q150,
     "q151_cohort_ltv" -> q151,
+    "q157_funnel_steps" -> q157,
     "q131_attribution_last_touch" -> q131,
     "q154_attribution_credit_split" -> q154,
     "q111_lateral_topk" -> q111,
@@ -373,6 +409,21 @@ object Workloads {
          |  ${sr4("c.cum_rev / CAST(s.n_users AS DOUBLE)")} AS ltv_per_user
          |FROM cum c JOIN sizes s USING (cohort_wk)
          |ORDER BY cohort_wk, age_wk""".stripMargin,
+    "q157_funnel_steps" ->
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         |v AS (SELECT user_id, min(us) AS t1 FROM ev
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT ev.user_id, min(us) AS t2 FROM ev JOIN v USING (user_id)
+         |  WHERE event_type = 'click' AND us > t1 GROUP BY ev.user_id),
+         |p AS (SELECT ev.user_id, min(us) AS t3 FROM ev JOIN c USING (user_id)
+         |  WHERE event_type = 'purchase' AND us > t2 GROUP BY ev.user_id),
+         |n AS (SELECT (SELECT count(*) FROM v) AS n_view,
+         |  (SELECT count(*) FROM c) AS n_click,
+         |  (SELECT count(*) FROM p) AS n_purchase)
+         |SELECT n_view, n_click, n_purchase,
+         |  ${sr4("CAST(n_click AS DOUBLE) / CAST(nullif(n_view, 0) AS DOUBLE)")} AS rate_click,
+         |  ${sr4("CAST(n_purchase AS DOUBLE) / CAST(nullif(n_click, 0) AS DOUBLE)")} AS rate_purchase
+         |FROM n""".stripMargin,
     "q150_funnel_ttc" ->
       s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
          |  FROM events),

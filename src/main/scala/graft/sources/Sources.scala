@@ -162,9 +162,13 @@ object Sources {
     * at 100 TB that means task-scheduling overhead and NameNode/listing
     * pressure dominating scans, so periodic compaction is a standing
     * pipeline chore. Sizing reads the file system's own byte count (never
-    * a data scan); the rewrite goes through a temp directory then swaps,
-    * so a failed compaction leaves the original intact. `coalesce` (not
-    * `repartition`) — merging partitions needs no shuffle. */
+    * a data scan); the rewrite goes through a temp directory, the original
+    * is renamed ASIDE (not deleted) before the swap, and only a fully
+    * completed swap drops it — so a crash at any step leaves a complete
+    * copy of the data on disk (under `path`, `path__compact_old`, or
+    * `path__compact_tmp`; rename is atomic per step on HDFS-like stores,
+    * though the full sequence is not one atomic operation). `coalesce`
+    * (not `repartition`) — merging partitions needs no shuffle. */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): Unit = {
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
@@ -172,11 +176,17 @@ object Sources {
     val bytes = fs.getContentSummary(hadoopPath).getLength
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
     spark.read.parquet(path).coalesce(n)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(hadoopPath, true)
-    if (!fs.rename(tmp, hadoopPath))
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a prior crash
+    if (!fs.rename(hadoopPath, old))
+      throw new java.io.IOException(s"compaction: cannot set aside $path")
+    if (!fs.rename(tmp, hadoopPath)) {
+      fs.rename(old, hadoopPath) // roll back — original untouched
       throw new java.io.IOException(s"compaction swap failed for $path")
+    }
+    fs.delete(old, true)
   }
 
   /** Skew-safe aggregation pattern: two-phase groupBy with an explicit salt.

@@ -540,6 +540,39 @@ class GraftApiSpec extends AnyFunSuite {
     assert(Graft.triangles(star, "x", "y").count() == 0)
   }
 
+  test("prefixSum/prefixMax equal the single-window forms; no wide global window in plan") {
+    import org.apache.spark.sql.expressions.Window
+    // distinct-order grain over a fact table: per-price order counts
+    val pv = Tables.orders(s, d).groupBy(col("o_totalprice").as("v"))
+      .agg(count(lit(1)).as("c"), max("o_orderdate").as("dm"))
+    val wIncl = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wStrict = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val naive = pv.select(col("v"), sum("c").over(wIncl).as("c_cum"),
+      max("dm").over(wStrict).as("pm"))
+    val api = Graft.prefixMax(Graft.prefixSum(pv, "v", Seq("c")), "v", "dm", "pm")
+      .select("v", "c_cum", "pm")
+    assert(api.except(naive).isEmpty && naive.except(api).isEmpty)
+    // the decomposition really decomposed: every unpartitioned Window in
+    // the optimized plan reads the ≤|blocks| per-block totals, never the
+    // price-grain relation itself
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val globals = api.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.nonEmpty, "expected the bounded per-block offsets window")
+    globals.foreach { w =>
+      val n = s.sessionState.executePlan(w.child).executedPlan.execute().count()
+      assert(n <= 64, s"global window input must be block-count-sized, got $n")
+    }
+    // empty input stays empty, single row gets null strict-prefix max
+    val one = pv.limit(1)
+    val oneR = Graft.prefixMax(Graft.prefixSum(one, "v", Seq("c")), "v", "dm", "pm")
+      .select("c_cum", "pm").collect()
+    assert(oneR.length == 1 && oneR(0).isNullAt(1))
+    assert(Graft.prefixSum(pv.limit(0), "v", Seq("c")).count() == 0)
+  }
+
   test("adamicAdar/triangles facades reproduce q133/q134 exactly") {
     val aa = Graft.adamicAdar(Tables.cappedRatings(s, d), "user_id", "item")
       .select(col("item_a"), col("item_b"), col("common_users"),

@@ -470,6 +470,42 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"shuffle-based cartesian in: ${offenders.mkString(", ")}")
   }
 
+  test("inventory-wide sweep: no unpartitioned Window over an unbounded input") {
+    // An unpartitioned Window is planned as a SINGLE partition holding its
+    // whole input — fine for calendar/dimension/block-count relations,
+    // fatal for anything fact-proportional (the r5 q136/q145/q152 defect
+    // class). This lint walks every optimized plan and, for each Window
+    // with no partition expressions, counts its actual input at sf0.001:
+    // every fact-proportional relation here (documents 500, events 1000,
+    // orders 1500, lineitem 6000) exceeds 256 rows, while every legitimate
+    // global-window input (nations 25, suppliers 10, 31-day calendars,
+    // ≤32 prefix-scan blocks, ≤100-item catalogs) stays under it.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val skip = Set("q65_als_recommend", "q66_als_rmse",
+      "q70_dedup_near_minhash", "q93_dedup_components", "q101_dedup_cluster_keep",
+      "q105_curation_pipeline", "q113_item_pagerank")
+    // Documented exemptions — global windows whose input is bounded by a
+    // DOMAIN, not by the fact count, but which exceeds the threshold at
+    // this SF: q34's moving average runs over the daily o_orderdate grain,
+    // capped at the ~2.4k-day order-date calendar no matter the fact scale
+    // (a sliding frame, so the prefix-scan decomposition doesn't apply).
+    val exempt = Set("q34_window_moving_avg")
+    val limit = 256L
+    val offenders = SparkEntry.queries
+      .filterNot(kv => skip(kv._1) || exempt(kv._1)).toSeq
+      .sortBy(_._1).flatMap { case (name, fn) =>
+        val opt = fn(s, d).queryExecution.optimizedPlan
+        val globals = opt.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+        globals.flatMap { w =>
+          val n = s.sessionState.executePlan(w.child).executedPlan
+            .execute().count()
+          if (n > limit) Some(s"$name (global-window input: $n rows)") else None
+        }
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window over a fact-proportional input in:\n  ${offenders.mkString("\n  ")}")
+  }
+
   test("salted aggregation spreads a hot key over >1 reducer bucket and stays exact") {
     // 50k-row hot key + uniform tail, deliberately skewed
     val hot = s.range(50000).select(lit("hot").as("k"), lit(1.0).as("v"))

@@ -30,6 +30,20 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("sqlFloorDiv floors for ALL signs (Spark div truncates; DuckDB // floors)") {
+    val xs = (-25L to 25L).toSeq
+    val rows = s.createDataFrame(xs.map(Tuple1(_))).toDF("x")
+      .select(col("x"), expr(Tables.sqlFloorDiv("x", "7")).as("fd"),
+        expr("x div 7").as("td"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (x, fd, td) =>
+      assert(fd == Math.floorDiv(x, 7L), s"floorDiv($x, 7): got $fd")
+      assert(td == x / 7L, s"truncating div sanity for $x")
+    }
+    // and they genuinely differ on negatives — the cross-engine trap exists
+    assert(rows.exists { case (x, fd, td) => x < 0 && fd != td })
+  }
+
   test("dedup idempotence: q44 applied to its own output is a no-op") {
     val once = operators.SetOps.q44(s, d)
     // one row per (user_id, event_type) — re-deduplicating changes nothing
