@@ -149,26 +149,27 @@ object Joins {
     *
     * Determinism: Levenshtein is exact integer DP (identical in any
     * engine); pair identity is the canonical (least, greatest) name order;
-    * ties in the top-20 break on the full name pair. Scale: candidates are
-    * Σ block² — governed by the blocking key's selectivity, the knob every
-    * ER pipeline tunes (tighten with length bands or double-metaphone
-    * blocks for open vocabularies); the metric itself is row-local. */
+    * ties in the top-20 break on the full name pair. Scale: the metric
+    * runs on the DISTINCT-NAME grain (dedupe-before-metric — the first
+    * rule of every ER pipeline: |distinct names| ≪ |rows|), so the
+    * blocked self-join is |distinct|²-within-block, and the row-level
+    * pair count is recovered exactly as cnt(na)·cnt(nb) (each cross
+    * key-pair appears once under the k_a < k_b canonicalization). The
+    * oracle states the naive row-level key-pair form; blocking-key
+    * selectivity (length bands, double-metaphone for open vocabularies)
+    * remains the scale knob for the distinct grain itself. */
   def q158(s: SparkSession, d: String): DataFrame = {
-    val p = part(s, d).select(col("p_partkey"), col("p_name"),
-      regexp_extract(col("p_name"), "(\\S+)$", 1).as("blk"))
-    val a = p.select(col("p_partkey").as("k_a"), col("p_name").as("name_a"),
+    val names = part(s, d).groupBy("p_name").agg(count(lit(1)).as("cnt"))
+      .withColumn("blk", regexp_extract(col("p_name"), "(\\S+)$", 1))
+    val a = names.select(col("p_name").as("name_a"), col("cnt").as("cnt_a"),
       col("blk"))
-    val b = p.select(col("p_partkey").as("k_b"), col("p_name").as("name_b"),
+    val b = names.select(col("p_name").as("name_b"), col("cnt").as("cnt_b"),
       col("blk").as("blk_b"))
-    a.join(b, col("blk") === col("blk_b") && col("k_a") < col("k_b") &&
-        col("name_a") =!= col("name_b") &&
+    a.join(b, col("blk") === col("blk_b") && col("name_a") < col("name_b") &&
         levenshtein(col("name_a"), col("name_b")) <= lit(4))
-      .select(least(col("name_a"), col("name_b")).as("na"),
-        greatest(col("name_a"), col("name_b")).as("nb"))
-      .groupBy("na", "nb")
-      .agg(count(lit(1)).as("n_pairs"))
-      .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
-      .select("na", "nb", "dist", "n_pairs")
+      .select(col("name_a").as("na"), col("name_b").as("nb"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"),
+        (col("cnt_a") * col("cnt_b")).as("n_pairs"))
       .orderBy(col("n_pairs").desc, col("na"), col("nb"))
       .limit(20)
   }

