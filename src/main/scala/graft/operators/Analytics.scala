@@ -91,6 +91,33 @@ object Analytics {
       .limit(20)
   }
 
+  /** SEASONALLY-adjusted anomaly detection: daily purchase revenue scored
+    * against its own WEEKDAY's mean/std (q116 scores raw values against a
+    * global per-type baseline; this removes the weekly cycle first, the
+    * difference between "Saturday is always low" and "this Saturday is
+    * anomalous") — top-5 |z| days. The staple ops-monitoring readout.
+    *
+    * Determinism: day index is exact floor-div µs arithmetic, daily
+    * revenue pins 2 dp BEFORE the per-weekday stats, so both engines
+    * aggregate identical doubles; z pins 4 dp with a day tiebreak and a
+    * nullif guard on a zero spread (ANSI mode throws on /0). Scale: fact
+    * agg to the ≤|days| series, weekday stats are a 7-row broadcast. */
+  def q142(s: SparkSession, d: String): DataFrame = {
+    val day0 = 1704067200000000L
+    val daily = events(s, d).filter(col("event_type") === "purchase")
+      .groupBy(expr(sqlFloorDiv(s"ts div 1000 - ${day0}L", "86400000000L"))
+        .as("day"))
+      .agg(r2(sum("value")).as("rev"))
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+    val st = daily.groupBy("dow")
+      .agg(avg("rev").as("mu"), stddev_samp(col("rev")).as("sigma"))
+    daily.join(broadcast(st), "dow")
+      .select(col("day"), col("dow"), col("rev"),
+        r4((col("rev") - col("mu")) / nullif(col("sigma"), lit(0.0))).as("z"))
+      .orderBy(abs(col("z")).desc, col("day"))
+      .limit(5)
+  }
+
   /** Calendar gap-fill: dense hourly activity series per event_type — every
     * (type, hour) cell between the corpus's first and last hour, absent
     * cells filled with zeros (215 of 3600 cells at sf0.01). The time-series
@@ -467,6 +494,7 @@ object Analytics {
     "q58_regression_aggs" -> q58,
     "q112_table_profile" -> q112,
     "q116_anomaly_zscore" -> q116,
+    "q142_seasonal_anomaly" -> q142,
     "q117_gap_fill_hourly" -> q117,
     "q118_ewma_daily_revenue" -> q118,
     "q119_winsorized_stats" -> q119,
@@ -735,6 +763,19 @@ object Analytics {
          |    CAST(min(c_nationkey) AS DOUBLE), CAST(max(c_nationkey) AS DOUBLE) FROM customer)
          |SELECT column_name, n_rows, n_nonnull, n_distinct, min_v, max_v
          |FROM p ORDER BY column_name""".stripMargin,
+    "q142_seasonal_anomaly" ->
+      s"""WITH daily AS (SELECT
+         |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS day,
+         |    ${sr2("sum(value)")} AS rev
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |dw AS (SELECT day, ((day % 7) + 7) % 7 AS dow, rev FROM daily),
+         |st AS (SELECT dow, avg(rev) AS mu, stddev_samp(rev) AS sigma
+         |  FROM dw GROUP BY 1)
+         |SELECT d.day, d.dow, d.rev,
+         |  ${sr4("(d.rev - st.mu) / nullif(st.sigma, 0e0)")} AS z
+         |FROM dw d JOIN st USING (dow)
+         |ORDER BY abs(${sr4("(d.rev - st.mu) / nullif(st.sigma, 0e0)")}) DESC, d.day
+         |LIMIT 5""".stripMargin,
     "q116_anomaly_zscore" ->
       s"""WITH st AS (SELECT event_type, avg(value) AS mu,
          |    stddev_samp(value) AS sigma FROM events GROUP BY 1)

@@ -142,9 +142,51 @@ object Retrieval {
       .limit(20)
   }
 
+  /** Reciprocal-rank fusion of a LEXICAL and a SEMANTIC ranker — the
+    * standard hybrid-retrieval combiner (RRF, Cormack et al.): top-20 from
+    * q100's BM25 ({hash, join, dup} query) fused with the top-20 cosine
+    * neighbors of probe vector 0, fused score Σ 1/(60+rank) over the
+    * rankers that returned the doc, top-10. Rank-based fusion needs no
+    * score calibration between rankers — exactly why production retrieval
+    * stacks use it over score interpolation.
+    *
+    * Determinism: ranks are exact integers from already-pinned scores with
+    * doc tiebreaks; 1/(60+r) is the identical IEEE division in both
+    * engines and the fused sum has ≤2 addends — bit-identical, pinned 5 dp
+    * at the edge. Scale: both ranker outputs are top-k-bounded (20 rows),
+    * so every window here is k-sized; the heavy lifting (BM25 posting
+    * join, cosine scan) is the already-scale-audited q71/q100 machinery. */
+  def q159(s: SparkSession, d: String): DataFrame = {
+    graft.plans.CosineSim.register(s)
+    val W = org.apache.spark.sql.expressions.Window
+    val lex = q100(s, d)
+      .withColumn("r_lex", row_number().over(
+        W.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "r_lex")
+    val e = embeddings(s, d)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val probe = e.filter(col("vec_id") === 0).select(col("v").as("p"))
+    val sem20 = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        graft.Tables.r5(expr("cosine_sim(p, v)")).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(20)
+    val sem = sem20.withColumn("r_sem", row_number().over(
+        W.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "r_sem")
+    lex.join(sem, Seq("doc_id"), "full")
+      .select(col("doc_id"), col("r_lex"), col("r_sem"),
+        graft.Tables.r5(
+          coalesce(lit(1.0) / (lit(60L) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60L) + col("r_sem")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_posting_lists" -> q153,
     "q100_bm25_rank" -> q100,
+    "q159_rrf_fusion" -> q159,
     "q102_embed_quantize" -> q102,
     "q103_lsh_rp_buckets" -> q103)
 
@@ -166,6 +208,40 @@ object Retrieval {
          |SELECT s.w, s.df, s.total_tf, hp.head_postings
          |FROM stats s JOIN hp USING (w)
          |ORDER BY df DESC, w LIMIT 20""".stripMargin,
+    "q159_rrf_fusion" ->
+      s"""WITH $wordsCte,
+         |d2 AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM w WHERE len(words) >= 1),
+         |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d2),
+         |tok AS (SELECT doc_id, unnest(words) AS wd FROM w),
+         |tf AS (SELECT doc_id, wd, count(*) AS tf FROM tok
+         |  WHERE wd IN ('hash', 'join', 'dup') GROUP BY 1, 2),
+         |dfq AS (SELECT wd, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, tf.wd,
+         |    ln(1e0 + (st.n_docs - dfq.df + 0.5e0) / (dfq.df + 0.5e0)) *
+         |      ((tf.tf * 2.2e0) /
+         |        (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * (d2.dl / st.avgdl)))) AS sc
+         |  FROM tf JOIN dfq USING (wd) JOIN d2 USING (doc_id), st),
+         |ag AS (SELECT doc_id, count(*) AS n_terms,
+         |    coalesce(sum(CASE WHEN wd = 'hash' THEN sc END), 0e0)
+         |      + coalesce(sum(CASE WHEN wd = 'join' THEN sc END), 0e0)
+         |      + coalesce(sum(CASE WHEN wd = 'dup' THEN sc END), 0e0) AS score
+         |  FROM sc GROUP BY 1),
+         |lex0 AS (SELECT doc_id, ${sr4("score")} AS bm25 FROM ag
+         |  ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |lex AS (SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_lex FROM lex0),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+         |cosr AS (SELECT e.vec_id AS doc_id,
+         |    ${sr5("list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v)))")} AS cos
+         |  FROM e, p WHERE e.vec_id <> 0),
+         |sem0 AS (SELECT doc_id, cos FROM cosr ORDER BY cos DESC, doc_id LIMIT 20),
+         |sem AS (SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY cos DESC, doc_id) AS BIGINT) AS r_sem FROM sem0)
+         |SELECT doc_id, r_lex, r_sem,
+         |  ${sr5("coalesce(1e0 / (60 + r_lex), 0e0) + coalesce(1e0 / (60 + r_sem), 0e0)")} AS rrf
+         |FROM lex FULL JOIN sem USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "q100_bm25_rank" ->
       s"""WITH $wordsCte,
          |d2 AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM w WHERE len(words) >= 1),

@@ -183,6 +183,37 @@ object Windows {
       .orderBy("status")
   }
 
+  /** Session summary statistics — the companion readout to q32 (session
+    * ASSIGNMENT) and q115 (paths): session count, mean depth
+    * (events/session), mean duration, and the bounce rate (single-event
+    * sessions) — the top-of-dashboard engagement numbers every clickstream
+    * product reports.
+    *
+    * Determinism: depth and duration are exact integers (count, max−min
+    * µs); every output ratio is an integer-sum / integer-count division
+    * written the same way in both engines, pinned 4 dp. Scale: the one
+    * (user|ts) sessionization shuffle shared with q32/q131, a
+    * (user, session)-keyed agg, then a one-row global agg. */
+  def q143(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.api.Graft.sessionize(
+      events(s, d).withColumn("ts_us", expr("ts div 1000"))
+        .select(col("user_id"), col("event_id"), col("ts_us")),
+      "user_id", "ts_us", 1800000000L, Seq("event_id"))
+    val per = sess.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("depth"),
+        (max("ts_us") - min("ts_us")).as("dur_us"))
+    per.agg(count(lit(1)).as("n_sessions"),
+        sum("depth").as("sd"), sum("dur_us").as("sdur"),
+        sum(when(col("depth") === 1, 1L).otherwise(0L)).as("nb"))
+      .select(col("n_sessions"),
+        r4(col("sd").cast("double") / col("n_sessions").cast("double"))
+          .as("avg_depth"),
+        r4(col("sdur").cast("double") / col("n_sessions").cast("double") /
+          lit(1e6)).as("avg_duration_sec"),
+        r4(col("nb").cast("double") / col("n_sessions").cast("double"))
+          .as("bounce_rate"))
+  }
+
   /** Daily panel construction: the q127 SCD2 intervals resampled to one
     * state row per (entity, day-start) over January 2024, aggregated to a
     * calendar-dense daily summary (live entities, users, mean pinned
@@ -237,6 +268,7 @@ object Windows {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_scd2_intervals" -> q127,
     "q139_snapshot_diff" -> q139,
+    "q143_session_stats" -> q143,
     "q146_daily_panel" -> q146,
     "q30_window_topk_per_group" -> q30,
     "q31_window_running_sum" -> q31,
@@ -247,6 +279,31 @@ object Windows {
     "q115_session_paths" -> q115)
 
   val oracle: Map[String, String] = Map(
+    "q143_session_stats" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id
+         |             ORDER BY epoch_us(ts), event_id) IS NULL
+         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+         |             ORDER BY epoch_us(ts), event_id) > 1800000000
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events),
+         |se AS (SELECT user_id, event_id, ts_us,
+         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM e),
+         |per AS (SELECT user_id, session_id, count(*) AS depth,
+         |    max(ts_us) - min(ts_us) AS dur_us
+         |  FROM se GROUP BY 1, 2),
+         |g AS (SELECT count(*) AS n_sessions,
+         |    CAST(sum(depth) AS BIGINT) AS sd,
+         |    CAST(sum(dur_us) AS BIGINT) AS sdur,
+         |    CAST(sum(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+         |  FROM per)
+         |SELECT n_sessions,
+         |  ${sr4("CAST(sd AS DOUBLE) / CAST(n_sessions AS DOUBLE)")} AS avg_depth,
+         |  ${sr4("CAST(sdur AS DOUBLE) / CAST(n_sessions AS DOUBLE) / 1e6")} AS avg_duration_sec,
+         |  ${sr4("CAST(nb AS DOUBLE) / CAST(n_sessions AS DOUBLE)")} AS bounce_rate
+         |FROM g""".stripMargin,
     "q146_daily_panel" ->
       s"""WITH log AS (SELECT user_id, event_type, epoch_us(ts) AS us,
          |    value, event_id FROM events),

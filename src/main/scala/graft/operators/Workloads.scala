@@ -270,6 +270,36 @@ object Workloads {
       .limit(20)
   }
 
+  /** TPC-H Q9 shape (product-type profit), adapted to this corpus's
+    * reduced columns: per (nation, order-year) profit over the 'widget'
+    * part family, profit = revenue − 0.8·retailprice·quantity (the corpus
+    * has no partsupp/ps_supplycost, so cost is modeled off the part's own
+    * retail price). The classic 5-way star-join profitability rollup.
+    *
+    * Scale: the lineitem⋈orders fact-fact join shuffles on the order key;
+    * part (name-filtered), supplier and nation are dimensions — broadcast;
+    * the profit expression is row-local over parquet-exact doubles, summed
+    * per (nation, year) under the 2 dp pin. */
+  def q144(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d).select("l_orderkey", "l_partkey", "l_suppkey",
+      "l_extendedprice", "l_discount", "l_quantity")
+    val o = orders(s, d)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+    val p = part(s, d).filter(col("p_name").contains("widget"))
+      .select("p_partkey", "p_retailprice")
+    val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
+    val n = nation(s, d).select("n_nationkey", "n_name")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "o_year")
+      .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          col("p_retailprice") * col("l_quantity") * lit(0.8))).as("profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("n_name", "o_year")
+  }
+
   /** Strict ORDERED 3-step funnel (view → click → purchase): a user
     * advances a step only with an event STRICTLY AFTER their previous
     * step's timestamp — q36 measures any click→purchase pair in a window,
@@ -378,6 +408,7 @@ object Workloads {
     "q150_funnel_ttc" -> q150,
     "q151_cohort_ltv" -> q151,
     "q157_funnel_steps" -> q157,
+    "q144_tpch_q9_profit" -> q144,
     "q131_attribution_last_touch" -> q131,
     "q154_attribution_credit_split" -> q154,
     "q111_lateral_topk" -> q111,
@@ -409,6 +440,16 @@ object Workloads {
          |  ${sr4("c.cum_rev / CAST(s.n_users AS DOUBLE)")} AS ltv_per_user
          |FROM cum c JOIN sizes s USING (cohort_wk)
          |ORDER BY cohort_wk, age_wk""".stripMargin,
+    "q144_tpch_q9_profit" ->
+      s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  ${sr2("sum(l_extendedprice * (1.0 - l_discount) - p_retailprice * l_quantity * 0.8e0)")} AS profit,
+         |  count(*) AS n_lines
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%widget%'
+         |GROUP BY 1, 2 ORDER BY n_name, o_year""".stripMargin,
     "q157_funnel_steps" ->
       s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
          |v AS (SELECT user_id, min(us) AS t1 FROM ev
