@@ -343,6 +343,32 @@ object Graft {
     fact.filter(might(col(factKey)))
   }
 
+  /** Blocked fuzzy (entity-resolution) join over a string column: pairs of
+    * DISTINCT values within Levenshtein `maxDist`, candidates restricted
+    * to equal `blockKey` (an expression over the value column — last
+    * token, length band, phonetic code…). Dedupe-before-metric: the
+    * expensive string DP runs on the |distinct values| grain and the
+    * row-level pair count is recovered exactly as cnt(a)·cnt(b). Returns
+    * (name_a, name_b, dist, n_pairs) with name_a < name_b canonical
+    * order. Blocking-key selectivity is THE scale knob — Σ block² on the
+    * distinct grain; the metric itself is row-local. */
+  def blockedFuzzyJoin(df: DataFrame, valueCol: String, blockKey: Column,
+                       maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val names = df.groupBy(valueCol).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__blk", blockKey)
+    val a = names.select(col(valueCol).as("name_a"),
+      col("__cnt").as("__cnt_a"), col("__blk"))
+    val b = names.select(col(valueCol).as("name_b"),
+      col("__cnt").as("__cnt_b"), col("__blk").as("__blk_b"))
+    a.join(b, col("__blk") === col("__blk_b") &&
+        col("name_a") < col("name_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= lit(maxDist))
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"),
+        (col("__cnt_a") * col("__cnt_b")).as("n_pairs"))
+  }
+
   /** Assign each row a range block id in [0, nBlocks) by comparing
     * `orderCol` against broadcast block bounds from ONE mergeable
     * `approx_percentile` aggregation — the deterministic, exchange-free

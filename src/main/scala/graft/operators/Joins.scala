@@ -158,21 +158,13 @@ object Joins {
     * oracle states the naive row-level key-pair form; blocking-key
     * selectivity (length bands, double-metaphone for open vocabularies)
     * remains the scale knob for the distinct grain itself. */
-  def q158(s: SparkSession, d: String): DataFrame = {
-    val names = part(s, d).groupBy("p_name").agg(count(lit(1)).as("cnt"))
-      .withColumn("blk", regexp_extract(col("p_name"), "(\\S+)$", 1))
-    val a = names.select(col("p_name").as("name_a"), col("cnt").as("cnt_a"),
-      col("blk"))
-    val b = names.select(col("p_name").as("name_b"), col("cnt").as("cnt_b"),
-      col("blk").as("blk_b"))
-    a.join(b, col("blk") === col("blk_b") && col("name_a") < col("name_b") &&
-        levenshtein(col("name_a"), col("name_b")) <= lit(4))
+  def q158(s: SparkSession, d: String): DataFrame =
+    graft.api.Graft.blockedFuzzyJoin(part(s, d).select("p_name"), "p_name",
+        regexp_extract(col("p_name"), "(\\S+)$", 1), 4)
       .select(col("name_a").as("na"), col("name_b").as("nb"),
-        levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"),
-        (col("cnt_a") * col("cnt_b")).as("n_pairs"))
+        col("dist"), col("n_pairs"))
       .orderBy(col("n_pairs").desc, col("na"), col("nb"))
       .limit(20)
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q158_fuzzy_name_join" -> q158,

@@ -189,6 +189,54 @@ object Recommender {
         r4(avg(col("ndcg"))).as("ndcg_at_5"))
   }
 
+  /** The END-TO-END recommender evaluation pipeline in one query — the
+    * q105 composition proof for THIS family: leakage-free per-user
+    * temporal split (q135's integer-boundary protocol, 70% train / 30%
+    * test) → fit the popularity recommender on TRAIN ONLY → top-5 recs →
+    * precision@5 / recall@5 against TEST purchases (q67's machinery, but
+    * with the train/test separation q67 itself doesn't model). This is
+    * the evaluation loop every recommender ships behind: q67 measures
+    * in-sample, this measures the honest out-of-time readout.
+    *
+    * Determinism: split assignment is exact integer boundary arithmetic;
+    * hit counts are integers; the two averaged ratios divide integers by
+    * constants/integers under the 4 dp pin. Scale: one (user|ts) window
+    * shuffle for the split, a train-side item count, a 5-row broadcast of
+    * the recs, per-user test-side integer aggs. */
+  def q160(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), expr("ts div 1000").as("us"),
+      get_json_object(col("props"), "$.k").cast("long").as("item"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val tagged = e
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("user_id")))
+      .withColumn("split",
+        when(col("rn") * 100 <= col("cnt") * 70, "train").otherwise("test"))
+    val recs = tagged
+      .filter(col("split") === "train" &&
+        col("event_type").isin("click", "view"))
+      .groupBy("item").agg(count(lit(1)).as("pop"))
+      .orderBy(col("pop").desc, col("item")).limit(5)
+      .select("item")
+    val rel = tagged
+      .filter(col("split") === "test" && col("event_type") === "purchase")
+      .select("user_id", "item").distinct()
+    val nrel = rel.groupBy("user_id").agg(count(lit(1)).as("n_rel"))
+    val hits = rel.join(broadcast(recs), "item")
+      .groupBy("user_id").agg(count(lit(1)).as("n_hits"))
+    val per = nrel.join(hits, Seq("user_id"), "left")
+      .select(col("n_rel"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+    val sizes = tagged.agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    per.agg(count(lit(1)).as("n_test_users"),
+        r4(avg(col("n_hits") / lit(5.0))).as("p_at_5"),
+        r4(avg(col("n_hits").cast("double") / col("n_rel"))).as("r_at_5"))
+      .crossJoin(broadcast(sizes))
+      .select("n_train", "n_test", "n_test_users", "p_at_5", "r_at_5")
+  }
+
   /** Pure-DataFrame TF-IDF (tf · ln(N/df)), top term per document — not
     * HashingTF, so the oracle can reproduce it exactly. */
   def q68(s: SparkSession, d: String): DataFrame = {
@@ -485,6 +533,7 @@ object Recommender {
     "q65_als_recommend" -> q65,
     "q66_als_rmse" -> q66,
     "q67_ranking_metrics" -> q67,
+    "q160_rec_pipeline" -> q160,
     "q68_tfidf_terms" -> q68)
 
   val oracle: Map[String, String] = Map(
@@ -700,6 +749,36 @@ object Recommender {
          |FROM r tr JOIN top5 p ON tr.user_id = p.u
          |JOIN r rv ON rv.user_id = p.v AND rv.item = tr.item
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q160_rec_pipeline" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),
+         |t AS (SELECT user_id, event_type, item,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY user_id) AS cnt
+         |  FROM e),
+         |tagged AS (SELECT user_id, event_type, item,
+         |    CASE WHEN rn * 100 <= cnt * 70 THEN 'train' ELSE 'test' END AS split
+         |  FROM t),
+         |pop AS (SELECT item, count(*) AS pop FROM tagged
+         |  WHERE split = 'train' AND event_type IN ('click', 'view') GROUP BY 1),
+         |recs AS (SELECT item FROM pop ORDER BY pop DESC, item LIMIT 5),
+         |rel AS (SELECT DISTINCT user_id, item FROM tagged
+         |  WHERE split = 'test' AND event_type = 'purchase'),
+         |nrel AS (SELECT user_id, count(*) AS n_rel FROM rel GROUP BY 1),
+         |hits AS (SELECT r.user_id, count(*) AS n_hits
+         |  FROM rel r JOIN recs USING (item) GROUP BY 1),
+         |per AS (SELECT n.n_rel, coalesce(h.n_hits, 0) AS n_hits
+         |  FROM nrel n LEFT JOIN hits h USING (user_id)),
+         |sizes AS (SELECT
+         |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+         |  FROM tagged),
+         |m AS (SELECT count(*) AS n_test_users,
+         |    ${sr4("avg(n_hits / 5.0e0)")} AS p_at_5,
+         |    ${sr4("avg(CAST(n_hits AS DOUBLE) / n_rel)")} AS r_at_5
+         |  FROM per)
+         |SELECT n_train, n_test, n_test_users, p_at_5, r_at_5
+         |FROM m CROSS JOIN sizes""".stripMargin,
     "q67_ranking_metrics" ->
       s"""WITH ev AS (SELECT user_id, event_type,
          |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),

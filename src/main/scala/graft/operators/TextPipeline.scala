@@ -124,6 +124,25 @@ object TextPipeline {
       .orderBy("doc_id")
   }
 
+  /** Language-ID CONFUSION MATRIX — the quality measurement on top of
+    * q78's classifier: per (actual, predicted) language pair, the doc
+    * count and the share of the actual language's docs (row-normalized),
+    * the readout that tells a corpus build WHICH languages its cheap
+    * n-gram classifier confuses before it routes documents by `pred_lang`
+    * (accuracy alone hides asymmetric confusions). Exact integer counts;
+    * the share is an int/int division under the 4 dp pin. Scale: q78's
+    * vocabulary-profile machinery plus a lang²-sized aggregation. */
+  def q161(s: SparkSession, d: String): DataFrame = {
+    val pred = q78(s, d).select(col("actual_lang"), col("pred_lang"))
+    val per = pred.groupBy("actual_lang").agg(count(lit(1)).as("n_actual"))
+    pred.groupBy("actual_lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .join(broadcast(per), "actual_lang")
+      .select(col("actual_lang"), col("pred_lang"), col("n"),
+        r4(col("n").cast("double") / col("n_actual").cast("double"))
+          .as("share"))
+      .orderBy("actual_lang", "pred_lang")
+  }
+
   /** Quality scoring: length/punctuation/stopword ratios combined into a
     * [0,1] score. All ratios are exact int/int divisions → cross-engine
     * deterministic; the score formula is identical text in both engines. */
@@ -393,6 +412,7 @@ object TextPipeline {
     "q76_dedup_ngram_jaccard" -> q76,
     "q77_dedup_cosine_nn" -> q77,
     "q78_text_langid" -> q78,
+    "q161_langid_confusion" -> q161,
     "q79_text_quality" -> q79,
     "q83_token_count" -> q83,
     "q84_doc_fingerprint" -> q84,
@@ -486,6 +506,28 @@ object TextPipeline {
          |    ${sr5("list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))")} AS cos
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |WHERE cos >= 0.5 ORDER BY vec_a, vec_b""".stripMargin,
+    "q161_langid_confusion" ->
+      s"""WITH $wordsCte,
+         |words AS (SELECT doc_id, lang, unnest(words) AS wd FROM w),
+         |prof AS (SELECT lang AS plang, wd FROM (
+         |    SELECT lang, wd, row_number() OVER (PARTITION BY lang
+         |      ORDER BY count(*) DESC, wd) AS rn
+         |    FROM words GROUP BY lang, wd) WHERE rn <= 20),
+         |dd AS (SELECT DISTINCT doc_id, wd FROM words),
+         |scores AS (SELECT doc_id, plang, count(*) AS score
+         |  FROM dd JOIN prof USING (wd) GROUP BY 1, 2),
+         |top AS (SELECT doc_id, plang FROM (
+         |    SELECT doc_id, plang, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, plang) AS rn FROM scores) WHERE rn = 1),
+         |pr AS (SELECT d.lang AS actual_lang, plang AS pred_lang
+         |  FROM top JOIN documents d USING (doc_id)),
+         |per AS (SELECT actual_lang, count(*) AS n_actual FROM pr GROUP BY 1),
+         |conf AS (SELECT actual_lang, pred_lang, count(*) AS n
+         |  FROM pr GROUP BY 1, 2)
+         |SELECT c.actual_lang, c.pred_lang, c.n,
+         |  ${sr4("CAST(c.n AS DOUBLE) / CAST(p.n_actual AS DOUBLE)")} AS share
+         |FROM conf c JOIN per p USING (actual_lang)
+         |ORDER BY actual_lang, pred_lang""".stripMargin,
     "q78_text_langid" ->
       s"""WITH $wordsCte,
          |words AS (SELECT doc_id, lang, unnest(words) AS wd FROM w),

@@ -540,6 +540,36 @@ class GraftApiSpec extends AnyFunSuite {
     assert(Graft.triangles(star, "x", "y").count() == 0)
   }
 
+  test("blockedFuzzyJoin: pair counts equal the naive row-level join; blocks bound candidates") {
+    val sp = s
+    import sp.implicits._
+    val rows = Seq("cold rod", "bold rod", "cold rod", "blue cap", "glue cap",
+      "cold rod", "bold rod", "blue cap").toDF("nm")
+    val api = Graft.blockedFuzzyJoin(rows, "nm",
+      regexp_extract(col("nm"), "(\\S+)$", 1), 2)
+      .orderBy("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // cold rod(3) x bold rod(2) dist 1; blue cap(2) x glue cap(1) dist 1;
+    // cross-block pairs (rod vs cap) never compared
+    assert(api.toSeq == Seq(("blue cap", "glue cap", 1L, 2L),
+      ("bold rod", "cold rod", 1L, 6L)))
+    // row-level naive equivalence on the real corpus slice (q158's input)
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
+      regexp_extract(col("p_name"), "(\\S+)$", 1).as("blk"))
+    val naive = p.as("a").join(p.as("b"),
+        col("a.blk") === col("b.blk") &&
+        col("a.p_partkey") < col("b.p_partkey") &&
+        col("a.p_name") =!= col("b.p_name") &&
+        levenshtein(col("a.p_name"), col("b.p_name")) <= lit(4))
+      .select(least(col("a.p_name"), col("b.p_name")).as("name_a"),
+        greatest(col("a.p_name"), col("b.p_name")).as("name_b"))
+      .groupBy("name_a", "name_b").agg(count(lit(1)).as("n_pairs"))
+    val fac = Graft.blockedFuzzyJoin(Tables.part(s, d).select("p_name"),
+      "p_name", regexp_extract(col("p_name"), "(\\S+)$", 1), 4)
+      .select("name_a", "name_b", "n_pairs")
+    assert(fac.except(naive).isEmpty && naive.except(fac).isEmpty)
+  }
+
   test("prefixSum/prefixMax equal the single-window forms; no wide global window in plan") {
     import org.apache.spark.sql.expressions.Window
     // distinct-order grain over a fact table: per-price order counts
