@@ -488,7 +488,31 @@ object Analytics {
         regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
       .orderBy("l_returnflag")
 
+  /** Per-user behavioral diversity: Shannon entropy (nats) of the user's
+    * event-type mix plus their event volume — the segmentation feature
+    * separating single-purpose users (entropy→0) from broad browsers
+    * (entropy→ln 5), the standard engagement-diversity readout next to
+    * q114's RFM monetary axes.
+    *
+    * Determinism: all counts exact integers; entropy is ≤5 addends of
+    * (c/n)·ln(c/n) — identical term sets both engines, pinned 4 dp.
+    * Scale: two chained aggs on the SAME user_id key (one shuffle,
+    * second agg reuses the exchange); output is the user grain. */
+  def q168(s: SparkSession, d: String): DataFrame = {
+    val ct = events(s, d).groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+    val tot = ct.groupBy("user_id").agg(sum("c").as("n"))
+    ct.join(tot, "user_id")
+      .groupBy("user_id")
+      .agg(max("n").as("n_events"),
+        count(lit(1)).as("n_types"),
+        r4(-sum((col("c").cast("double") / col("n")) *
+          log(col("c").cast("double") / col("n")))).as("entropy"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_user_entropy" -> q168,
     "q38_window_distribution" -> q38,
     "q57_edit_distance" -> q57,
     "q58_regression_aggs" -> q58,
@@ -511,6 +535,15 @@ object Analytics {
     "q156_cusum_changepoint" -> q156)
 
   val oracle: Map[String, String] = Map(
+    "q168_user_entropy" ->
+      s"""WITH ct AS (SELECT user_id, event_type, count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |tot AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n
+         |  FROM ct GROUP BY 1)
+         |SELECT ct.user_id, max(n) AS n_events, count(*) AS n_types,
+         |  ${sr4("-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))")} AS entropy
+         |FROM ct JOIN tot USING (user_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q156_cusum_changepoint" ->
       s"""WITH daily AS (SELECT (epoch_us(ts) - 1704067200000000) // 86400000000 AS day,
          |    ${sr2("sum(value)")} AS rev

@@ -515,7 +515,61 @@ object Recommender {
       .orderBy("user_id", "rnk")
   }
 
+  /** Bayesian-shrunk item score — the "top rated" list done right: raw
+    * per-item mean purchase value is noise for thin items, so each item's
+    * mean is shrunk toward the GLOBAL mean with prior weight m=25
+    * ((m·μ + Σv)/(m + n), the Dirichlet/IMDb-top-250 estimator). Items
+    * with few observations collapse to μ; well-observed items keep their
+    * own mean — the ranking a raw avg (q61) gets wrong on sparse tails.
+    *
+    * Determinism: both sums are double adds whose cross-engine drift is
+    * ≪ the 4 dp pin (≤1e4 addends of magnitude ≤1e3 → ≤1e-8 abs); the
+    * bayes ordering could only flip for items within drift of each other,
+    * a ~1e-12 event on continuous values. Scale: one item-grain agg plus
+    * a one-row global broadcast — nothing beyond q61's plan. */
+  def q165(s: SparkSession, d: String): DataFrame = {
+    val buys = events(s, d).filter(col("event_type") === "purchase")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+        col("value"))
+    val g = buys.agg((sum("value") / count(lit(1))).as("mu"))
+    buys.groupBy("item")
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      .crossJoin(broadcast(g))
+      .select(col("item"), col("n"), r4(col("sv") / col("n")).as("raw_mean"),
+        r4((lit(25.0) * col("mu") + col("sv")) / (lit(25.0) + col("n")))
+          .as("bayes_score"))
+      .orderBy(col("bayes_score").desc, col("item"))
+      .limit(20)
+  }
+
+  /** Time-decayed trending score: per item, Σ 0.5^((K − k)/7) over click
+    * events at day index k with K the corpus horizon (2024-01-31) — a
+    * 7-day half-life popularity that surfaces items hot NOW over items
+    * merely big historically (the recency companion to q61's all-time
+    * counts; streaming rollups maintain it as one mergeable sum).
+    *
+    * Determinism: day indexes are exact integer floor-division; both
+    * engines evaluate the SAME pow(0.5, k/7) terms (libm-level agreement,
+    * any drift ≤ ulp) and the ≤1e4-addend sum stays ≪ the 4 dp pin.
+    * Scale: map-side-combinable single agg on the item grain. */
+  def q166(s: SparkSession, d: String): DataFrame = {
+    val day0 = 1704067200000000L // 2024-01-01T00:00:00Z epoch µs
+    val horizon = 30L // day index of 2024-01-31
+    events(s, d).filter(col("event_type") === "click")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+        expr(graft.Tables.sqlFloorDiv(s"ts div 1000 - ${day0}L",
+          "86400000000L")).as("k"))
+      .groupBy("item")
+      .agg(count(lit(1)).as("n_clicks"),
+        r4(sum(pow(lit(0.5), (lit(horizon) - col("k")).cast("double") / lit(7.0))))
+          .as("trend_score"))
+      .orderBy(col("trend_score").desc, col("item"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_item_bayes_score" -> q165,
+    "q166_trending_decay" -> q166,
     "q136_calibration_bins" -> q136,
     "q137_covisit_decay" -> q137,
     "q147_negative_samples" -> q147,
@@ -537,6 +591,24 @@ object Recommender {
     "q68_tfidf_terms" -> q68)
 
   val oracle: Map[String, String] = Map(
+    "q165_item_bayes_score" ->
+      s"""WITH buys AS (SELECT CAST(json_extract(props, '$$.k') AS BIGINT) AS item,
+         |    value FROM events WHERE event_type = 'purchase'),
+         |g AS (SELECT sum(value) / count(*) AS mu FROM buys),
+         |per AS (SELECT item, count(*) AS n, sum(value) AS sv
+         |  FROM buys GROUP BY 1)
+         |SELECT item, n, ${sr4("sv / n")} AS raw_mean,
+         |  ${sr4("(25.0e0 * mu + sv) / (25.0e0 + n)")} AS bayes_score
+         |FROM per, g
+         |ORDER BY bayes_score DESC, item LIMIT 20""".stripMargin,
+    "q166_trending_decay" ->
+      s"""WITH c AS (SELECT CAST(json_extract(props, '$$.k') AS BIGINT) AS item,
+         |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS k
+         |  FROM events WHERE event_type = 'click')
+         |SELECT item, count(*) AS n_clicks,
+         |  ${sr4("sum(pow(0.5e0, CAST(30 - k AS DOUBLE) / 7.0e0))")} AS trend_score
+         |FROM c GROUP BY 1
+         |ORDER BY trend_score DESC, item LIMIT 20""".stripMargin,
     "q147_negative_samples" ->
       s"""WITH r0 AS ($ratingsSql),
          |r AS (SELECT user_id, item FROM r0),

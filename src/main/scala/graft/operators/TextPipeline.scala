@@ -404,7 +404,46 @@ object TextPipeline {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Bigram COLLOCATIONS by pointwise mutual information — the phrase-
+    * mining statistic (Church & Hanks 1990): PMI = ln(p(ab)/(p(a)p(b)))
+    * with p(ab) = c_ab/B over adjacent word pairs and p(x) = c_x/N over
+    * unigrams, min support c_ab ≥ 5, top-20. High-PMI pairs are the
+    * multi-word terms a tokenizer/stopword pipeline should treat as
+    * units; the corpus-statistics companion to q68's TF-IDF.
+    *
+    * Determinism: all counts exact integers; PMI is one ln of an
+    * int-ratio product under the 4 dp pin; (pmi, bigram) ordering ties
+    * impossible at distinct count triples, tiebreak on the bigram.
+    * Scale: bigram explode is row-linear (|words|−1 per doc); the two
+    * unigram joins key on the support-filtered bigram grain (≪ corpus);
+    * totals are one-row broadcasts. */
+  def q167(s: SparkSession, d: String): DataFrame = {
+    val bg = docWords(s, d).filter(size(col("words")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(words) - 1),
+          |  i -> struct(element_at(words, i) AS wa,
+          |              element_at(words, i + 1) AS wb))""".stripMargin))
+        .as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+    val uni = words1(s, d).groupBy("w").agg(count(lit(1)).as("cu"))
+    val totals = uni.agg(sum("cu").as("n_uni"))
+      .crossJoin(bg.agg(count(lit(1)).as("n_bi")))
+    bg.groupBy("wa", "wb").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+      .join(uni.select(col("w").as("wa"), col("cu").as("c_a")), "wa")
+      .join(uni.select(col("w").as("wb"), col("cu").as("c_b")), "wb")
+      .crossJoin(broadcast(totals))
+      .select(concat_ws(" ", col("wa"), col("wb")).as("bigram"),
+        col("c_ab"), col("c_a"), col("c_b"),
+        r4(log((col("c_ab").cast("double") / col("n_bi")) /
+          ((col("c_a").cast("double") / col("n_uni")) *
+           (col("c_b").cast("double") / col("n_uni"))))).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_bigram_pmi" -> q167,
     "q98_text_repetition" -> q98,
     "q99_text_logprob" -> q99,
     "q125_token_drift" -> q125,
@@ -423,6 +462,24 @@ object TextPipeline {
   private val wordsCte = s"w AS ($wordsSql)"
 
   val oracle: Map[String, String] = Map(
+    "q167_bigram_pmi" ->
+      s"""WITH $wordsCte,
+         |bg AS (SELECT unnest(list_transform(generate_series(1, len(words) - 1),
+         |    i -> words[i] || ' ' || words[i + 1])) AS b
+         |  FROM w WHERE len(words) >= 2),
+         |bp AS (SELECT string_split(b, ' ')[1] AS wa,
+         |    string_split(b, ' ')[2] AS wb FROM bg),
+         |uni AS (SELECT unnest(words) AS wd FROM w),
+         |cu AS (SELECT wd, count(*) AS c FROM uni GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM uni) AS n_uni,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM bp) AS n_bi),
+         |cab AS (SELECT wa, wb, count(*) AS c_ab FROM bp
+         |  GROUP BY 1, 2 HAVING count(*) >= 5)
+         |SELECT cab.wa || ' ' || cab.wb AS bigram, cab.c_ab,
+         |  a.c AS c_a, b.c AS c_b,
+         |  ${sr4("ln((CAST(cab.c_ab AS DOUBLE) / n_bi) / ((CAST(a.c AS DOUBLE) / n_uni) * (CAST(b.c AS DOUBLE) / n_uni)))")} AS pmi
+         |FROM cab JOIN cu a ON cab.wa = a.wd JOIN cu b ON cab.wb = b.wd, tot
+         |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin,
     "q125_token_drift" ->
       s"""WITH $wordsCte,
          |tok AS (SELECT lang, unnest(words) AS wd FROM w),

@@ -404,7 +404,83 @@ object Workloads {
       .orderBy("cohort_wk", "age_wk")
   }
 
+  /** TPC-H Q21 shape adapted to the reduced columns (no commit/receipt
+    * dates): suppliers who kept MULTI-SUPPLIER orders waiting — per order
+    * the latest ship date, kept only when ≥2 distinct suppliers
+    * participated AND exactly ONE supplier shipped on that latest date
+    * (the unambiguous straggler), counted per blamed supplier. The
+    * classic "which supplier delays shared orders" operational readout.
+    *
+    * Determinism: dates and counts are exact; the unique-latest filter
+    * makes the blame assignment well-defined without tiebreaks. Scale:
+    * both aggregations key on l_orderkey — ONE shuffle produces the
+    * per-order stats and the same-keyed blame agg reuses the exchange;
+    * count(DISTINCT) expands map-side; supplier dim broadcasts. */
+  def q162(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+    val per = l.groupBy("l_orderkey").agg(
+      countDistinct("l_suppkey").as("nsup"),
+      max("l_shipdate").as("maxsd"))
+    val blame = l.join(per, "l_orderkey")
+      .filter(col("l_shipdate") === col("maxsd") && col("nsup") >= 2)
+      .groupBy("l_orderkey")
+      .agg(countDistinct("l_suppkey").as("nlate"), max("l_suppkey").as("supp"))
+      .filter(col("nlate") === 1)
+    blame.groupBy("supp").agg(count(lit(1)).as("n_wait"))
+      .join(broadcast(supplier(s, d).select("s_suppkey", "s_name")),
+        col("supp") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_wait"))
+      .orderBy(col("n_wait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q22 shape: per-nation count and balance mass of RICH IDLE
+    * customers — above the positive-balance average yet with zero orders
+    * (the untapped-segment readout). Anti join + one-row broadcast cutoff.
+    *
+    * Determinism: the cutoff is a double average whose cross-engine drift
+    * is ≤ n·eps·avg ≈ 1e-9 absolute; acctbals are spread over ~1e4, so a
+    * customer landing within the drift band of the cutoff is a ~1e-13
+    * event — the comparison cannot flip on this corpus (and the output
+    * sum is 2 dp-pinned). Scale: customer-grain agg broadcasts one row;
+    * the anti join shuffles on custkey with orders pre-projected to the
+    * key column only. */
+  def q163(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select("c_custkey", "c_nationkey", "c_acctbal")
+    val cut = c.filter(col("c_acctbal") > 0.0).agg(avg("c_acctbal").as("cut"))
+    c.crossJoin(broadcast(cut)).filter(col("c_acctbal") > col("cut"))
+      .join(orders(s, d).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"), r2(sum("c_acctbal")).as("total_bal"))
+      .orderBy("c_nationkey")
+  }
+
+  /** TPC-H Q16 shape (partsupp stood in by observed lineitem supply):
+    * distinct-supplier density per (brand, size) for parts outside an
+    * excluded brand/type family — "how many suppliers could I source this
+    * segment from" assortment analytics.
+    *
+    * Determinism: pure integer counts over exact predicates. Scale: part
+    * prunes to (key, brand, size) before the fact join (dimension
+    * broadcast, filter pushed to the scan); count(DISTINCT suppkey)
+    * expands map-side on the (brand, size) grain. */
+  def q164(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d)
+      .filter(col("p_brand") =!= "Brand#45" && !col("p_type").startsWith("MEDIUM"))
+      .select("p_partkey", "p_brand", "p_size")
+    lineitem(s, d).select("l_partkey", "l_suppkey")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_tpch_q21_waiting" -> q162,
+    "q163_tpch_q22_idle_rich" -> q163,
+    "q164_tpch_q16_supplier_density" -> q164,
     "q150_funnel_ttc" -> q150,
     "q151_cohort_ltv" -> q151,
     "q157_funnel_steps" -> q157,
@@ -422,6 +498,35 @@ object Workloads {
     "q37_retention_cohorts" -> q37)
 
   val oracle: Map[String, String] = Map(
+    "q162_tpch_q21_waiting" ->
+      """WITH per AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS nsup,
+        |    max(l_shipdate) AS maxsd FROM lineitem GROUP BY 1),
+        |blame AS (SELECT l.l_orderkey, count(DISTINCT l.l_suppkey) AS nlate,
+        |    max(l.l_suppkey) AS supp
+        |  FROM lineitem l JOIN per p ON l.l_orderkey = p.l_orderkey
+        |  WHERE l.l_shipdate = p.maxsd AND p.nsup >= 2
+        |  GROUP BY 1),
+        |w AS (SELECT supp, count(*) AS n_wait FROM blame
+        |  WHERE nlate = 1 GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_wait
+        |FROM w JOIN supplier ON supp = s_suppkey
+        |ORDER BY n_wait DESC, s_suppkey LIMIT 20""".stripMargin,
+    "q163_tpch_q22_idle_rich" ->
+      s"""WITH cut AS (SELECT avg(c_acctbal) AS cut FROM customer
+         |  WHERE c_acctbal > 0),
+         |rich AS (SELECT c_custkey, c_nationkey, c_acctbal
+         |  FROM customer, cut WHERE c_acctbal > cut.cut),
+         |idle AS (SELECT * FROM rich r WHERE NOT EXISTS
+         |  (SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey))
+         |SELECT c_nationkey, count(*) AS n_cust,
+         |  ${sr2("sum(c_acctbal)")} AS total_bal
+         |FROM idle GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q164_tpch_q16_supplier_density" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 20""".stripMargin,
     "q151_cohort_ltv" ->
       s"""WITH ev AS (SELECT user_id, event_type, value,
          |    (epoch_us(ts) - 1704067200000000) // 604800000000 AS wk FROM events),
