@@ -183,7 +183,65 @@ object Retrieval {
       .limit(10)
   }
 
+  /** MMR diversity re-rank (Carbonell & Goldstein 1998) of probe-0's
+    * cosine top-10: greedily select 5, each step maximizing
+    * λ·rel(i) − (1−λ)·max_{s∈selected} sim(i,s) with λ=0.7 — the standard
+    * redundancy-penalized re-ranker that stops a retrieval page (or a RAG
+    * context window) being five near-copies of the same hit. Output:
+    * selection rank, relevance, the similarity actually penalized, and
+    * the MMR score at pick time.
+    *
+    * Determinism: rel and the 10×10 sim matrix are 5 dp-pinned BEFORE the
+    * greedy loop, the MMR combination is identical 2-term arithmetic on
+    * pinned values, and every argmax tiebreaks on cand id — the selection
+    * sequence is exactly reproducible cross-engine. Scale: the corpus-
+    * proportional work is ONE brute-force probe scan (q71's audited map
+    * pass); everything after operates on a localCheckpointed ≤10-row pool
+    * (k² sims, 4 unrolled greedy steps) — constant-size no matter the
+    * corpus, and the checkpoint stops the tiny pool's lineage from
+    * re-running the scan per step. */
+  def q170(s: SparkSession, d: String): DataFrame = {
+    graft.plans.CosineSim.register(s)
+    val e = embeddings(s, d)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val probe = e.filter(col("vec_id") === 0).select(col("v").as("p"))
+    val pool = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id").as("cand"), col("v"),
+        graft.Tables.r5(expr("cosine_sim(p, v)")).as("rel"))
+      .orderBy(col("rel").desc, col("cand")).limit(10)
+      .localCheckpoint()
+    val sims = pool.select(col("cand").as("ca"), col("v").as("va"))
+      .crossJoin(pool.select(col("cand").as("cb"), col("v").as("vb")))
+      .filter(col("ca") =!= col("cb"))
+      .select(col("ca"), col("cb"),
+        graft.Tables.r5(expr("cosine_sim(va, vb)")).as("sim"))
+      .localCheckpoint()
+    val rel = pool.select("cand", "rel")
+    var acc = rel.orderBy(col("rel").desc, col("cand")).limit(1)
+      .select(col("cand"), col("rel"), lit(0.0).as("max_sim"),
+        graft.Tables.r5(lit(0.7) * col("rel")).as("mmr"),
+        lit(1L).as("rank"))
+    for (t <- 2 to 5) {
+      val selIds = acc.select(col("cand").as("cb"))
+      val next = rel.join(acc.select("cand"), Seq("cand"), "left_anti")
+        .join(sims.join(selIds, "cb"), col("cand") === col("ca"))
+        .groupBy(col("cand"), col("rel"))
+        .agg(max("sim").as("max_sim"))
+        .select(col("cand"), col("rel"), col("max_sim"),
+          graft.Tables.r5(lit(0.7) * col("rel") - lit(0.3) * col("max_sim"))
+            .as("mmr"),
+          lit(t.toLong).as("rank"))
+        .orderBy(col("mmr").desc, col("cand")).limit(1)
+      acc = acc.unionByName(next).localCheckpoint()
+    }
+    acc.select(col("rank"), col("cand").as("cand_id"), col("rel"),
+        col("max_sim"), col("mmr"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_mmr_rerank" -> q170,
     "q153_posting_lists" -> q153,
     "q100_bm25_rank" -> q100,
     "q159_rrf_fusion" -> q159,
@@ -193,6 +251,46 @@ object Retrieval {
   private val wordsCte = s"w AS (${TextPipeline.wordsSql})"
 
   val oracle: Map[String, String] = Map(
+    "q170_mmr_rerank" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |probe AS (SELECT v AS p FROM e WHERE vec_id = 0),
+         |pool AS (SELECT vec_id AS cand, v,
+         |    ${sr5("list_dot_product(p, v) / (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(v, v)))")} AS rel
+         |  FROM e, probe WHERE vec_id <> 0
+         |  ORDER BY rel DESC, cand LIMIT 10),
+         |sims AS (SELECT a.cand AS ca, b.cand AS cb,
+         |    ${sr5("list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))")} AS sim
+         |  FROM pool a, pool b WHERE a.cand <> b.cand),
+         |s1 AS (SELECT cand, rel, 0.0e0 AS max_sim,
+         |    ${sr5("0.7e0 * rel")} AS mmr, CAST(1 AS BIGINT) AS rank
+         |  FROM pool ORDER BY rel DESC, cand LIMIT 1),
+         |s2 AS (SELECT p.cand, p.rel, max(sim) AS max_sim,
+         |    ${sr5("0.7e0 * p.rel - 0.3e0 * max(sim)")} AS mmr, CAST(2 AS BIGINT) AS rank
+         |  FROM pool p JOIN sims ON p.cand = sims.ca
+         |  WHERE sims.cb IN (SELECT cand FROM s1) AND p.cand NOT IN (SELECT cand FROM s1)
+         |  GROUP BY 1, 2 ORDER BY mmr DESC, p.cand LIMIT 1),
+         |sel2 AS (SELECT cand FROM s1 UNION ALL SELECT cand FROM s2),
+         |s3 AS (SELECT p.cand, p.rel, max(sim) AS max_sim,
+         |    ${sr5("0.7e0 * p.rel - 0.3e0 * max(sim)")} AS mmr, CAST(3 AS BIGINT) AS rank
+         |  FROM pool p JOIN sims ON p.cand = sims.ca
+         |  WHERE sims.cb IN (SELECT cand FROM sel2) AND p.cand NOT IN (SELECT cand FROM sel2)
+         |  GROUP BY 1, 2 ORDER BY mmr DESC, p.cand LIMIT 1),
+         |sel3 AS (SELECT cand FROM sel2 UNION ALL SELECT cand FROM s3),
+         |s4 AS (SELECT p.cand, p.rel, max(sim) AS max_sim,
+         |    ${sr5("0.7e0 * p.rel - 0.3e0 * max(sim)")} AS mmr, CAST(4 AS BIGINT) AS rank
+         |  FROM pool p JOIN sims ON p.cand = sims.ca
+         |  WHERE sims.cb IN (SELECT cand FROM sel3) AND p.cand NOT IN (SELECT cand FROM sel3)
+         |  GROUP BY 1, 2 ORDER BY mmr DESC, p.cand LIMIT 1),
+         |sel4 AS (SELECT cand FROM sel3 UNION ALL SELECT cand FROM s4),
+         |s5 AS (SELECT p.cand, p.rel, max(sim) AS max_sim,
+         |    ${sr5("0.7e0 * p.rel - 0.3e0 * max(sim)")} AS mmr, CAST(5 AS BIGINT) AS rank
+         |  FROM pool p JOIN sims ON p.cand = sims.ca
+         |  WHERE sims.cb IN (SELECT cand FROM sel4) AND p.cand NOT IN (SELECT cand FROM sel4)
+         |  GROUP BY 1, 2 ORDER BY mmr DESC, p.cand LIMIT 1)
+         |SELECT rank, cand AS cand_id, rel, max_sim, mmr FROM (
+         |  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+         |  UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5)
+         |ORDER BY rank""".stripMargin,
     "q153_posting_lists" ->
       s"""WITH w AS (${TextPipeline.wordsSql}),
          |tok AS (SELECT doc_id, unnest(words) AS w FROM w),

@@ -442,8 +442,49 @@ object TextPipeline {
       .limit(20)
   }
 
+  /** RAKE-style keyword extraction (Rose et al. 2010): candidate phrases
+    * are maximal stopword-free word runs (q79's stopword list, phrases
+    * capped at 3 words as rake-nltk does), each word scored deg/freq
+    * (deg = Σ length of phrases containing it, freq = its phrase-instance
+    * count), phrase score = Σ word scores — the co-occurrence-degree
+    * heuristic that surfaces multi-word key terms without any model.
+    * Top-20 phrases.
+    *
+    * Determinism: phrase extraction is row-local string surgery (two
+    * identical regex passes — the second catches the alternate members of
+    * consecutive-stopword chains the first pass's non-overlapping scan
+    * skips); deg/freq are exact integers and each phrase sums ≤3 such
+    * ratios under the 4 dp pin. Scale: extraction is a pure map; word
+    * stats and the score join key on the word / distinct-phrase grains —
+    * row-linear, no windows, no all-pairs anywhere. */
+  def q169(s: SparkSession, d: String): DataFrame = {
+    val stopPat = " (the|a|of|in|and|to) "
+    val t2 = documents(s, d).select(col("doc_id"),
+      regexp_replace(regexp_replace(
+          concat(lit(" "), lower(col("text")), lit(" ")), stopPat, " | "),
+        stopPat, " | ").as("sraw"))
+    val phr = t2.select(col("doc_id"), explode(split(col("sraw"), "\\|")).as("p"))
+      .select(col("doc_id"), expr(
+        "slice(filter(split(trim(p), ' '), w -> w != ''), 1, 3)").as("pw"))
+      .filter(size(col("pw")) >= 1)
+      .select(col("doc_id"), concat_ws(" ", col("pw")).as("phrase"), col("pw"))
+    val wstat = phr.select(explode(col("pw")).as("wd"), size(col("pw")).as("plen"))
+      .groupBy("wd").agg(count(lit(1)).as("freq"),
+        sum("plen").cast("long").as("deg"))
+    phr.groupBy("phrase").agg(count(lit(1)).as("n_occur"))
+      .select(col("phrase"), col("n_occur"),
+        explode(split(col("phrase"), " ")).as("wd"))
+      .join(wstat, "wd")
+      .groupBy("phrase", "n_occur")
+      .agg(count(lit(1)).as("n_words"),
+        r4(sum(col("deg").cast("double") / col("freq"))).as("rake_score"))
+      .orderBy(col("rake_score").desc, col("phrase"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q167_bigram_pmi" -> q167,
+    "q169_rake_keywords" -> q169,
     "q98_text_repetition" -> q98,
     "q99_text_logprob" -> q99,
     "q125_token_drift" -> q125,
@@ -462,6 +503,25 @@ object TextPipeline {
   private val wordsCte = s"w AS ($wordsSql)"
 
   val oracle: Map[String, String] = Map(
+    "q169_rake_keywords" ->
+      s"""WITH t2 AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(' ' || lower(text) || ' ',
+         |    ' (the|a|of|in|and|to) ', ' | ', 'g'), ' (the|a|of|in|and|to) ', ' | ', 'g') AS s
+         |  FROM documents),
+         |ph AS (SELECT doc_id,
+         |    list_slice(list_filter(string_split(trim(p), ' '), w -> w != ''), 1, 3) AS pw
+         |  FROM (SELECT doc_id, unnest(string_split(s, '|')) AS p FROM t2)
+         |  WHERE len(list_filter(string_split(trim(p), ' '), w -> w != '')) >= 1),
+         |phr AS (SELECT doc_id, array_to_string(pw, ' ') AS phrase, pw FROM ph),
+         |wstat AS (SELECT wd, count(*) AS freq, CAST(sum(plen) AS BIGINT) AS deg
+         |  FROM (SELECT unnest(pw) AS wd, len(pw) AS plen FROM phr) GROUP BY 1),
+         |dp AS (SELECT phrase, count(*) AS n_occur FROM phr GROUP BY 1)
+         |SELECT x.phrase, x.n_occur, count(*) AS n_words,
+         |  ${sr4("sum(CAST(deg AS DOUBLE) / freq)")} AS rake_score
+         |FROM (SELECT dp.phrase, dp.n_occur,
+         |      unnest(string_split(dp.phrase, ' ')) AS wd FROM dp) x
+         |JOIN wstat USING (wd) GROUP BY 1, 2
+         |ORDER BY rake_score DESC, phrase LIMIT 20""".stripMargin,
     "q167_bigram_pmi" ->
       s"""WITH $wordsCte,
          |bg AS (SELECT unnest(list_transform(generate_series(1, len(words) - 1),

@@ -396,4 +396,66 @@ class OperatorGoldenSpec extends AnyFunSuite {
     }
     assert(cs.map(_._3).sum <= touchedTotal + 1e-6)
   }
+
+  test("r6 additions golden properties at sf0.001") {
+    // q160: split partitions every event; both metrics are probabilities;
+    // the train share is ~70% up to per-user integer rounding
+    val rp = operators.Recommender.q160(s, d).head()
+    val nEvents = Tables.events(s, d).count()
+    assert(rp.getLong(0) + rp.getLong(1) == nEvents)
+    val trainShare = rp.getLong(0).toDouble / nEvents
+    assert(trainShare > 0.6 && trainShare < 0.8, s"train share $trainShare")
+    assert(rp.getDouble(3) >= 0.0 && rp.getDouble(3) <= 1.0)
+    assert(rp.getDouble(4) >= 0.0 && rp.getDouble(4) <= 1.0)
+    // q162: blame counts positive and non-increasing, suppliers distinct
+    val wt = operators.Workloads.q162(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(wt.nonEmpty && wt.forall(_._2 >= 1L))
+    assert(wt.map(_._1).distinct.length == wt.length)
+    assert(wt.sliding(2).forall { case Array(a, b) => a._2 >= b._2; case _ => true })
+    // q163: idle-rich segments are a strict customer subset with valid keys
+    val ir = operators.Workloads.q163(s, d).collect()
+    val nCust = Tables.customer(s, d).count()
+    assert(ir.map(_.getLong(1)).sum < nCust)
+    assert(ir.forall(r => r.getLong(0) >= 0L && r.getLong(0) <= 24L))
+    // q165: shrinkage pulls every item BETWEEN its raw mean and the global
+    // mean (the defining property of the estimator)
+    val mu = {
+      val b = Tables.events(s, d).filter(col("event_type") === "purchase")
+      b.agg(sum("value") / count(lit(1))).head().getDouble(0)
+    }
+    operators.Recommender.q165(s, d).collect().foreach { r =>
+      val (raw, bayes) = (r.getDouble(2), r.getDouble(3))
+      val (lo, hi) = (math.min(raw, mu), math.max(raw, mu))
+      assert(bayes >= lo - 1e-4 && bayes <= hi + 1e-4,
+        s"bayes $bayes outside [$lo, $hi]")
+    }
+    // q166: each decayed term is in (0, 1] so 0 < score <= n_clicks
+    operators.Recommender.q166(s, d).collect().foreach { r =>
+      assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= r.getLong(1) + 1e-9)
+    }
+    // q167: min support respected; PMI finite
+    operators.TextPipeline.q167(s, d).collect().foreach { r =>
+      assert(r.getLong(1) >= 5L && !r.getDouble(4).isNaN && !r.getDouble(4).isInfinite)
+    }
+    // q168: entropy bounded by ln(#types); types bounded by the 5 kinds
+    operators.Analytics.q168(s, d).collect().foreach { r =>
+      assert(r.getLong(2) <= 5L)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= math.log(5.0) + 1e-4)
+    }
+    // q169: phrases are <=3 words, stopword-free, positively scored
+    val stops = Set("the", "a", "of", "in", "and", "to")
+    operators.TextPipeline.q169(s, d).collect().foreach { r =>
+      val ws = r.getString(0).split(" ")
+      assert(ws.length <= 3 && ws.forall(w => !stops.contains(w)))
+      assert(r.getDouble(3) > 0.0)
+    }
+    // q170: 5 distinct picks; the first is the relevance argmax with no
+    // penalty; later picks never exceed the first's relevance
+    val mmr = operators.Retrieval.q170(s, d).orderBy("rank").collect()
+    assert(mmr.length == 5)
+    assert(mmr.map(_.getLong(1)).distinct.length == 5)
+    assert(mmr.head.getDouble(3) == 0.0)
+    assert(mmr.tail.forall(_.getDouble(2) <= mmr.head.getDouble(2) + 1e-9))
+  }
 }
