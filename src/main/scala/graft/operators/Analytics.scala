@@ -511,7 +511,104 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** STL-style additive decomposition of daily purchase revenue:
+    * trend = centered 7-day moving average, seasonal = per-weekday mean
+    * of the detrended series, residual = rev − trend − seasonal — the
+    * classic series split q142's z-scores build on implicitly, here
+    * materialized so downstream anomaly/forecast logic can consume each
+    * component. Output is the full daily panel in day order.
+    *
+    * Determinism: every sum an engine could order differently is forced
+    * into EXACT INTEGER space — the 2 dp-pinned daily revenue rides as a
+    * scaled long, so the trend's sliding-frame sum (Spark re-adds frames
+    * in order, DuckDB sums a segment tree — different float orders!) and
+    * the seasonal group sum are order-free integers; every float is a
+    * single integer/integer division at a pinned output edge, and the
+    * residual subtracts only pinned values. Scale: the global windows run
+    * on the CALENDAR grain (≤ a few k rows at any fact scale, the q34
+    * exemption class — under the plan-lint threshold at every SF);
+    * everything fact-proportional is one keyed day agg. */
+  def q171(s: SparkSession, d: String): DataFrame = {
+    val day0 = 1704067200000000L
+    val daily = events(s, d).filter(col("event_type") === "purchase")
+      .groupBy(expr(sqlFloorDiv(s"ts div 1000 - ${day0}L", "86400000000L"))
+        .as("day"))
+      .agg(r2(sum("value")).as("rev"))
+      .withColumn("rev100", floor(col("rev") * 100 + lit(0.5)).cast("long"))
+    val w = Window.orderBy("day").rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("trend", r4(sum("rev100").over(w).cast("double") /
+        (count(lit(1)).over(w) * 100L).cast("double")))
+      .withColumn("det",
+        floor((col("rev") - col("trend")) * 10000 + lit(0.5)).cast("long"))
+    val seas = t.groupBy(pmod(col("day"), lit(7L)).as("dow"))
+      .agg(r4(sum("det").cast("double") /
+        (count(lit(1)) * 10000L).cast("double")).as("seasonal"))
+    t.withColumn("dow", pmod(col("day"), lit(7L)))
+      .join(broadcast(seas), "dow")
+      .select(col("day"), col("dow"), col("rev"), col("trend"),
+        col("seasonal"),
+        r4(col("rev") - col("trend") - col("seasonal")).as("resid"))
+      .orderBy("day")
+  }
+
+  /** Discount ELASTICITY by brand: the OLS slope of quantity on discount
+    * (covar_pop/var_pop) per p_brand — "does discounting this brand
+    * actually move volume", the pricing-analytics readout built from the
+    * same moment machinery as q58's global regression but segmented.
+    *
+    * Determinism: both moment aggregates are pinned 4 dp only at the
+    * output edge; their cross-engine accumulation drift is ≤1e-10 on
+    * these magnitudes (|q|≤50, |d|≤0.1) — far under the pin; var=0
+    * (single-point brands) is nullif-guarded. Scale: part prunes to
+    * (key, brand) and broadcasts; ONE (brand) shuffle carries partial
+    * moments (covar/var are algebraic — map-side combinable). */
+  def q174(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d).select("p_partkey", "p_brand")
+    lineitem(s, d).select("l_partkey", "l_discount", "l_quantity")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        r4(avg("l_discount")).as("avg_discount"),
+        r4(covar_pop(col("l_discount"), col("l_quantity")) /
+          nullif(var_pop(col("l_discount")), lit(0.0))).as("slope"))
+      .orderBy("p_brand")
+  }
+
+  /** Churn-model FEATURE ENGINEERING: the per-user feature vector every
+    * retention model starts from — total/7-day/30-day event counts,
+    * days since last activity, purchase count, 2 dp-pinned spend, and
+    * distinct active days, all as of the corpus horizon (2024-01-31).
+    * One conditional-aggregation pass; the training-table companion to
+    * q114's RFM segments (which bucket; this emits raw features).
+    *
+    * Determinism: every feature except spend is exact integer arithmetic
+    * on floor-div day indexes against pinned epoch constants; spend is a
+    * pinned sum. Scale: ONE user-grain aggregation — count(DISTINCT day)
+    * expands map-side; no joins, no windows. */
+  def q175(s: SparkSession, d: String): DataFrame = {
+    val day0 = 1704067200000000L
+    val horizon = 30L
+    events(s, d)
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr(sqlFloorDiv(s"ts div 1000 - ${day0}L", "86400000000L")).as("day"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("day") > horizon - 7L, 1L).otherwise(0L)).as("n_7d"),
+        sum(when(col("day") > horizon - 30L, 1L).otherwise(0L)).as("n_30d"),
+        (lit(horizon) - max("day")).as("days_since_last"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        r2(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0)))).as("total_spend"),
+        countDistinct("day").as("active_days"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_stl_decompose" -> q171,
+    "q174_discount_elasticity" -> q174,
+    "q175_user_features" -> q175,
     "q168_user_entropy" -> q168,
     "q38_window_distribution" -> q38,
     "q57_edit_distance" -> q57,
@@ -535,6 +632,43 @@ object Analytics {
     "q156_cusum_changepoint" -> q156)
 
   val oracle: Map[String, String] = Map(
+    "q171_stl_decompose" ->
+      s"""WITH daily AS (SELECT
+         |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS day,
+         |    ${sr2("sum(value)")} AS rev
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |d2 AS (SELECT day, rev,
+         |    CAST(floor(rev * 100e0 + 0.5e0) AS BIGINT) AS rev100 FROM daily),
+         |t AS (SELECT day, rev,
+         |    ${sr4("CAST(sum(rev100) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) / CAST(count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) * 100 AS DOUBLE)")} AS trend
+         |  FROM d2),
+         |t2 AS (SELECT day, rev, trend,
+         |    CAST(floor((rev - trend) * 10000e0 + 0.5e0) AS BIGINT) AS det FROM t),
+         |seas AS (SELECT day % 7 AS dow,
+         |    ${sr4("CAST(sum(det) AS DOUBLE) / CAST(count(*) * 10000 AS DOUBLE)")} AS seasonal
+         |  FROM t2 GROUP BY 1)
+         |SELECT t2.day, t2.day % 7 AS dow, t2.rev, t2.trend, s.seasonal,
+         |  ${sr4("t2.rev - t2.trend - s.seasonal")} AS resid
+         |FROM t2 JOIN seas s ON t2.day % 7 = s.dow
+         |ORDER BY t2.day""".stripMargin,
+    "q174_discount_elasticity" ->
+      s"""SELECT p_brand, count(*) AS n_lines,
+         |  ${sr4("avg(l_discount)")} AS avg_discount,
+         |  ${sr4("covar_pop(l_discount, l_quantity) / nullif(var_pop(l_discount), 0.0)")} AS slope
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q175_user_features" ->
+      s"""WITH e AS (SELECT user_id, event_type, value,
+         |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS day
+         |  FROM events)
+         |SELECT user_id, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN day > 23 THEN 1 ELSE 0 END) AS BIGINT) AS n_7d,
+         |  CAST(sum(CASE WHEN day > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_30d,
+         |  30 - max(day) AS days_since_last,
+         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+         |  ${sr2("sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0e0 END)")} AS total_spend,
+         |  count(DISTINCT day) AS active_days
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "q168_user_entropy" ->
       s"""WITH ct AS (SELECT user_id, event_type, count(*) AS c
          |  FROM events GROUP BY 1, 2),

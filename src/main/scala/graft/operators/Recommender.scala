@@ -567,7 +567,38 @@ object Recommender {
       .limit(20)
   }
 
+  /** Item LIFECYCLE profile: per item the first/last day seen, calendar
+    * span, distinct active days, and the fill ratio active/span — the
+    * catalog-health readout separating steadily-available items from
+    * flash-in-the-pan ones (feeds availability-aware recommendation and
+    * q166's trending interpretation).
+    *
+    * Determinism: day indexes are exact integer floor-division; span and
+    * active-day counts are integers; the one ratio divides them under the
+    * 4 dp pin. Scale: ONE item-grain aggregation, count(DISTINCT day)
+    * expands map-side; no joins, no windows. */
+  def q173(s: SparkSession, d: String): DataFrame = {
+    val day0 = 1704067200000000L
+    events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+        expr(graft.Tables.sqlFloorDiv(s"ts div 1000 - ${day0}L",
+          "86400000000L")).as("day"))
+      .groupBy("item")
+      .agg(count(lit(1)).as("n_events"),
+        min("day").as("first_day"), max("day").as("last_day"),
+        countDistinct("day").as("active_days"))
+      .select(col("item"), col("n_events"), col("first_day"),
+        col("last_day"),
+        (col("last_day") - col("first_day") + 1L).as("span_days"),
+        col("active_days"),
+        r4(col("active_days").cast("double") /
+          (col("last_day") - col("first_day") + 1L).cast("double"))
+          .as("fill_ratio"))
+      .orderBy("item")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_item_lifecycle" -> q173,
     "q165_item_bayes_score" -> q165,
     "q166_trending_decay" -> q166,
     "q136_calibration_bins" -> q136,
@@ -591,6 +622,17 @@ object Recommender {
     "q68_tfidf_terms" -> q68)
 
   val oracle: Map[String, String] = Map(
+    "q173_item_lifecycle" ->
+      s"""WITH e AS (SELECT CAST(json_extract(props, '$$.k') AS BIGINT) AS item,
+         |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS day
+         |  FROM events),
+         |g AS (SELECT item, count(*) AS n_events, min(day) AS first_day,
+         |    max(day) AS last_day, count(DISTINCT day) AS active_days
+         |  FROM e GROUP BY 1)
+         |SELECT item, n_events, first_day, last_day,
+         |  last_day - first_day + 1 AS span_days, active_days,
+         |  ${sr4("CAST(active_days AS DOUBLE) / CAST(last_day - first_day + 1 AS DOUBLE)")} AS fill_ratio
+         |FROM g ORDER BY item""".stripMargin,
     "q165_item_bayes_score" ->
       s"""WITH buys AS (SELECT CAST(json_extract(props, '$$.k') AS BIGINT) AS item,
          |    value FROM events WHERE event_type = 'purchase'),

@@ -66,7 +66,41 @@ object SetOps {
       .orderBy("user_id", "event_type")
   }
 
+  /** AUDIENCE OVERLAP matrix: pairwise Jaccard between the user sets of
+    * every event-type pair — "how much do my clicker and purchaser
+    * audiences overlap", the set-analytics readout behind segment-overlap
+    * dashboards and dedup'd reach estimates (q13's full-outer compares two
+    * fixed sets; this computes the full k² matrix).
+    *
+    * Determinism: intersections are exact integer counts from a distinct
+    * grain; union = |A|+|B|−|A∩B| in integers; one int/int division under
+    * the 4 dp pin. Scale: the self-join keys on user_id over the DISTINCT
+    * (type, user) grain — each user contributes ≤ C(k,2) pairs (k = event
+    * types ≤5), so fan-out is bounded by a constant, never user². At open
+    * k, the same shape degrades gracefully: fan-out is per-user k², and
+    * sketch unions (q92 KMV / HLL) replace exact counts. */
+  def q176(s: SparkSession, d: String): DataFrame = {
+    val a = graft.Tables.events(s, d)
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = a.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val inter = a.select(col("event_type").as("ta"), col("user_id"))
+      .join(a.select(col("event_type").as("tb"), col("user_id")), "user_id")
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("n_both"))
+    inter
+      .join(broadcast(sizes.select(col("event_type").as("ta"),
+        col("n").as("na"))), "ta")
+      .join(broadcast(sizes.select(col("event_type").as("tb"),
+        col("n").as("nb"))), "tb")
+      .select(col("ta"), col("tb"), col("na"), col("nb"), col("n_both"),
+        r4(col("n_both").cast("double") /
+          (col("na") + col("nb") - col("n_both")).cast("double"))
+          .as("jaccard"))
+      .orderBy("ta", "tb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_audience_overlap" -> q176,
     "q40_orderby_limit_topk" -> q40,
     "q41_union" -> q41,
     "q42_intersect" -> q42,
@@ -74,6 +108,18 @@ object SetOps {
     "q44_dedup_exact" -> q44)
 
   val oracle: Map[String, String] = Map(
+    "q176_audience_overlap" ->
+      s"""WITH a AS (SELECT DISTINCT event_type, user_id FROM events),
+         |sizes AS (SELECT event_type, count(*) AS n FROM a GROUP BY 1),
+         |inter AS (SELECT x.event_type AS ta, y.event_type AS tb,
+         |    count(*) AS n_both
+         |  FROM a x JOIN a y USING (user_id)
+         |  WHERE x.event_type < y.event_type GROUP BY 1, 2)
+         |SELECT ta, tb, sa.n AS na, sb.n AS nb, n_both,
+         |  ${sr4("CAST(n_both AS DOUBLE) / CAST(sa.n + sb.n - n_both AS DOUBLE)")} AS jaccard
+         |FROM inter JOIN sizes sa ON ta = sa.event_type
+         |JOIN sizes sb ON tb = sb.event_type
+         |ORDER BY ta, tb""".stripMargin,
     "q40_orderby_limit_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,

@@ -477,7 +477,50 @@ object Workloads {
       .limit(20)
   }
 
+  /** POSITION-BASED (U-shaped) multi-touch attribution — the third member
+    * of the attribution family (q131 last-touch, q154 linear): each
+    * purchase's value splits 40% to the FIRST in-session click, 40% to the
+    * LAST, the middle 20% shared equally — the model that credits both
+    * discovery and closing touches (1 touch → 100%, 2 → 50/50).
+    *
+    * Determinism: positions are integer ranks over (µs, id); weights are
+    * the same constant/int-denominator doubles in both engines; credits
+    * multiply a 2 dp-pinned value by those weights under the 4 dp sum pin.
+    * Scale: both windows share ONE purchase_id partitioning (single
+    * shuffle), everything else is q154's audited sessionize machinery. */
+  def q172(s: SparkSession, d: String): DataFrame = {
+    val sess = graft.api.Graft.sessionize(
+      events(s, d).withColumn("ts_us", expr("ts div 1000"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts_us")),
+      "user_id", "ts_us", 1800000000L, Seq("event_id"))
+    val p = sess.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("session_id"),
+        col("event_id").as("purchase_id"), r2(col("value")).as("v"),
+        col("ts_us").as("pt"))
+    val c = sess.filter(col("event_type") === "click")
+      .select(col("user_id"), col("session_id"),
+        col("event_id").as("click_id"), col("ts_us").as("ct"))
+    val wp = Window.partitionBy("purchase_id")
+    val ranked = p.join(c, Seq("user_id", "session_id"))
+      .filter(col("ct") < col("pt"))
+      .withColumn("n_touches", count(lit(1)).over(wp))
+      .withColumn("rnk",
+        row_number().over(wp.orderBy("ct", "click_id")))
+      .withColumn("wt",
+        when(col("n_touches") === 1, lit(1.0))
+          .when(col("n_touches") === 2, lit(0.5))
+          .when(col("rnk") === 1 || col("rnk") === col("n_touches"), lit(0.4))
+          .otherwise(lit(0.2) / (col("n_touches") - 2).cast("double")))
+    ranked.groupBy("click_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        r4(sum(col("v") * col("wt"))).as("credit"))
+      .orderBy(col("credit").desc, col("click_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_attribution_position" -> q172,
     "q162_tpch_q21_waiting" -> q162,
     "q163_tpch_q22_idle_rich" -> q163,
     "q164_tpch_q16_supplier_density" -> q164,
@@ -498,6 +541,39 @@ object Workloads {
     "q37_retention_cohorts" -> q37)
 
   val oracle: Map[String, String] = Map(
+    "q172_attribution_position" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+         |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id
+         |             ORDER BY epoch_us(ts), event_id) IS NULL
+         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+         |             ORDER BY epoch_us(ts), event_id) > 1800000000
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events),
+         |se AS (SELECT user_id, event_id, event_type, value, ts_us,
+         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM e),
+         |p AS (SELECT user_id, session_id, event_id AS purchase_id,
+         |      ${sr2("value")} AS v, ts_us AS pt
+         |      FROM se WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, session_id, event_id AS click_id, ts_us AS ct
+         |      FROM se WHERE event_type = 'click'),
+         |t AS (SELECT p.purchase_id, c.click_id, p.v, c.ct
+         |      FROM p JOIN c USING (user_id, session_id) WHERE c.ct < p.pt),
+         |rk AS (SELECT purchase_id, click_id, v,
+         |      count(*) OVER (PARTITION BY purchase_id) AS n_touches,
+         |      row_number() OVER (PARTITION BY purchase_id
+         |        ORDER BY ct, click_id) AS rnk
+         |      FROM t),
+         |sh AS (SELECT click_id, v * (CASE
+         |      WHEN n_touches = 1 THEN 1.0e0
+         |      WHEN n_touches = 2 THEN 0.5e0
+         |      WHEN rnk = 1 OR rnk = n_touches THEN 0.4e0
+         |      ELSE 0.2e0 / CAST(n_touches - 2 AS DOUBLE) END) AS credit
+         |      FROM rk)
+         |SELECT click_id, count(*) AS n_purchases,
+         |  ${sr4("sum(credit)")} AS credit
+         |FROM sh GROUP BY 1 ORDER BY credit DESC, click_id LIMIT 20""".stripMargin,
     "q162_tpch_q21_waiting" ->
       """WITH per AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS nsup,
         |    max(l_shipdate) AS maxsd FROM lineitem GROUP BY 1),
