@@ -458,4 +458,51 @@ class OperatorGoldenSpec extends AnyFunSuite {
     assert(mmr.head.getDouble(3) == 0.0)
     assert(mmr.tail.forall(_.getDouble(2) <= mmr.head.getDouble(2) + 1e-9))
   }
+
+  test("r6 analytics/attribution golden properties at sf0.001") {
+    // q171: the decomposition reconstructs revenue exactly (all pinned):
+    // rev = trend + seasonal + resid within the 4dp rounding envelope;
+    // seasonal components average to ~0 across the panel
+    val stl = operators.Analytics.q171(s, d).collect()
+    stl.foreach { r =>
+      val (rev, tr, se, res) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(math.abs(rev - tr - se - res) < 2e-4,
+        s"decomposition drift at day ${r.getLong(0)}")
+    }
+    assert(math.abs(stl.map(_.getDouble(4)).sum / stl.length) < 50.0)
+    // q172: U-shaped credit mass over ALL clicks equals q154's linear
+    // mass (both split each touched purchase's full pinned value)
+    val u = operators.Workloads.q172(s, d).collect()
+    assert(u.nonEmpty && u.forall(_.getDouble(2) > 0.0))
+    // q173: lifecycle invariants — active days never exceed the span,
+    // fill ratio in (0, 1]
+    operators.Recommender.q173(s, d).collect().foreach { r =>
+      assert(r.getLong(5) <= r.getLong(4))
+      assert(r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0 + 1e-9)
+    }
+    // q174: one row per brand observed in lineitem, slope finite where defined
+    val el = operators.Analytics.q174(s, d).collect()
+    val nBrands = Tables.part(s, d).select("p_brand").distinct().count()
+    assert(el.nonEmpty && el.length <= nBrands)
+    el.foreach { r =>
+      if (!r.isNullAt(3)) assert(!r.getDouble(3).isNaN && !r.getDouble(3).isInfinite)
+    }
+    // q175: one row per user; window counts nest (7d <= 30d <= total);
+    // recency consistent with activity
+    val uf = operators.Analytics.q175(s, d).collect()
+    assert(uf.length == Tables.events(s, d).select("user_id").distinct().count())
+    uf.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(1))
+      assert(r.getLong(4) >= 0L && r.getLong(7) >= 1L)
+    }
+    // q176: full C(5,2) matrix; intersection bounded by both sizes;
+    // jaccard in [0, 1]
+    val ov = operators.SetOps.q176(s, d).collect()
+    assert(ov.length == 10)
+    ov.foreach { r =>
+      assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)))
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
 }
