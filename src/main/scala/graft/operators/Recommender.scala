@@ -554,15 +554,11 @@ object Recommender {
     * Scale: map-side-combinable single agg on the item grain. */
   def q166(s: SparkSession, d: String): DataFrame = {
     val day0 = 1704067200000000L // 2024-01-01T00:00:00Z epoch µs
-    val horizon = 30L // day index of 2024-01-31
-    events(s, d).filter(col("event_type") === "click")
-      .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
-        expr(graft.Tables.sqlFloorDiv(s"ts div 1000 - ${day0}L",
-          "86400000000L")).as("k"))
-      .groupBy("item")
-      .agg(count(lit(1)).as("n_clicks"),
-        r4(sum(pow(lit(0.5), (lit(horizon) - col("k")).cast("double") / lit(7.0))))
-          .as("trend_score"))
+    graft.streaming.Streaming.trendingRollup(
+      events(s, d).filter(col("event_type") === "click")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+          expr(graft.Tables.sqlFloorDiv(s"ts div 1000 - ${day0}L",
+            "86400000000L")).as("k")))
       .orderBy(col("trend_score").desc, col("item"))
       .limit(20)
   }

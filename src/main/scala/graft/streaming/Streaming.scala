@@ -42,6 +42,18 @@ object Streaming {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("n_events"), col("sv"))
 
+  /** q166's trending-decay rollup as a streaming-maintainable aggregation:
+    * input rows carry (item, k day index); output per item the click count
+    * and the 7-day-half-life decayed score. ONE commutative+associative
+    * sum — a streaming sink in complete/update mode maintains it
+    * incrementally with no extra state, which is exactly the mergeability
+    * claim q166's scaladoc makes (StreamingSpec proves stream ≡ batch). */
+  def trendingRollup(df: DataFrame): DataFrame =
+    df.groupBy("item")
+      .agg(count(lit(1)).as("n_clicks"),
+        graft.Tables.r4(sum(pow(lit(0.5),
+          (lit(30L) - col("k")).cast("double") / lit(7.0)))).as("trend_score"))
+
   def q80(s: SparkSession, d: String): DataFrame =
     tumbling(events(s, d))
       .select(col("ws"), col("event_type"), col("n"), r2(col("sv")).as("sum_value"))

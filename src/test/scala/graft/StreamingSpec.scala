@@ -397,6 +397,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamKept == Set(1L, 4L), s"stream kept $streamKept")
     assert(streamKept == batchKept, "stream and batch curation disagree")
   }
+
+  test("trending-decay rollup: stream result equals batch result (q166's mergeability claim)") {
+    val sp = s
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val day0 = 1704067200000000L
+    val clicks = Tables.events(s, d).filter(col("event_type") === "click")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+        expr(graft.Tables.sqlFloorDiv(s"ts div 1000 - ${day0}L",
+          "86400000000L")).as("k"))
+      .as[(Long, Long)].collect().toIndexedSeq
+    val ms = MemoryStream[(Long, Long)]
+    ms.addData(clicks)
+    val streamed = runComplete(
+      streaming.Streaming.trendingRollup(ms.toDF.toDF("item", "k")),
+      "trending_out")
+    val batch = streaming.Streaming.trendingRollup(
+      clicks.toDF("item", "k"))
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+    assert(streamed.count() == batch.count())
+  }
 }
 
 /** Document row for the streaming-curation test. */
