@@ -593,7 +593,73 @@ object Recommender {
       .orderBy("item")
   }
 
+  /** Association RULES from the capped co-occurrence support — the
+    * market-basket readout beside q107's symmetric PMI: directed rules
+    * A→B with confidence c_ab/c_a and lift c_ab·N/(c_a·c_b), min support
+    * 10, top-20 by lift. Confidence is what a rule engine acts on
+    * ("users with A also have B"); lift says whether the rule beats
+    * chance — both needed, neither derivable from the other.
+    *
+    * Determinism: all counts exact integers off the shared pairSupport
+    * memo; both metrics are single int-ratio divisions pinned 4 dp, and
+    * pinned-equal ties break on (ante, cons). Scale: the pair explosion
+    * is the q107-audited capped self-join (≤50² per user); mirroring to
+    * directed form is a row-local union. */
+  def q178(s: SparkSession, d: String): DataFrame = {
+    val r = cappedRatings(s, d).select(col("user_id"), col("item"))
+    val n = r.agg(countDistinct(col("user_id")).as("n_users"))
+    val ci = r.groupBy("item").agg(count(lit(1)).as("c"))
+    val und = pairSupport(s, d)
+    val directed = und
+      .select(col("item_a").as("ante"), col("item_b").as("cons"), col("c_ab"))
+      .unionByName(und.select(col("item_b").as("ante"),
+        col("item_a").as("cons"), col("c_ab")))
+    directed.filter(col("c_ab") >= 10)
+      .join(ci.select(col("item").as("ante"), col("c").as("c_a")), "ante")
+      .join(ci.select(col("item").as("cons"), col("c").as("c_b")), "cons")
+      .crossJoin(broadcast(n))
+      .select(col("ante"), col("cons"), col("c_ab"),
+        r4(col("c_ab").cast("double") / col("c_a").cast("double"))
+          .as("confidence"),
+        r4((col("c_ab") * col("n_users")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("ante"), col("cons"))
+      .limit(20)
+  }
+
+  /** Weekly top-5 RANK CHURN: per week the top-5 clicked items with their
+    * rank, previous-week rank (null for new entrants) and the delta — the
+    * leaderboard-movement readout behind "trending up/down" badges, and
+    * the temporal companion to q166's point-in-time decay score.
+    *
+    * Determinism: integer floor-div week indexes, exact counts, ranks
+    * tiebroken on item; the previous-week lookup is an exact equi join on
+    * (item, wk−1), NOT a lag over observed weeks (which would silently
+    * skip absent weeks). Scale: rank windows partition by week (each
+    * partition ≤ catalog-sized); the self-join keys on (item, wk). */
+  def q180(s: SparkSession, d: String): DataFrame = {
+    val day0 = 1704067200000000L
+    val weekUs = 7L * 86400000000L
+    val wk = events(s, d).filter(col("event_type") === "click")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+        expr(graft.Tables.sqlFloorDiv(s"ts div 1000 - ${day0}L",
+          s"${weekUs}L")).as("wk"))
+      .groupBy("wk", "item").agg(count(lit(1)).as("n"))
+    val ranked = wk.withColumn("rnk",
+      row_number().over(Window.partitionBy("wk")
+        .orderBy(col("n").desc, col("item"))).cast("long"))
+    val prev = ranked.select(col("item"), (col("wk") + 1L).as("wk"),
+      col("rnk").as("prev_rnk"))
+    ranked.filter(col("rnk") <= 5)
+      .join(prev, Seq("item", "wk"), "left")
+      .select(col("wk"), col("item"), col("n"), col("rnk"), col("prev_rnk"),
+        (col("prev_rnk") - col("rnk")).as("delta"))
+      .orderBy("wk", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_assoc_rules" -> q178,
+    "q180_rank_churn" -> q180,
     "q173_item_lifecycle" -> q173,
     "q165_item_bayes_score" -> q165,
     "q166_trending_decay" -> q166,
@@ -618,6 +684,40 @@ object Recommender {
     "q68_tfidf_terms" -> q68)
 
   val oracle: Map[String, String] = Map(
+    "q178_assoc_rules" ->
+      s"""WITH r AS ($ratingsSql),
+         |capped AS (SELECT user_id, item FROM (
+         |    SELECT user_id, item, row_number() OVER (
+         |      PARTITION BY user_id ORDER BY ${sr4("rating")} DESC, item) AS rn
+         |    FROM r) WHERE rn <= 50),
+         |n AS (SELECT count(DISTINCT user_id) AS n_users FROM capped),
+         |ci AS (SELECT item, count(*) AS c FROM capped GROUP BY 1),
+         |p AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS c_ab
+         |  FROM capped a JOIN capped b
+         |    ON a.user_id = b.user_id AND a.item < b.item
+         |  GROUP BY 1, 2),
+         |dir AS (SELECT item_a AS ante, item_b AS cons, c_ab FROM p
+         |  UNION ALL SELECT item_b, item_a, c_ab FROM p)
+         |SELECT ante, cons, c_ab,
+         |  ${sr4("CAST(c_ab AS DOUBLE) / CAST(ca.c AS DOUBLE)")} AS confidence,
+         |  ${sr4("CAST(c_ab * n.n_users AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE)")} AS lift
+         |FROM dir JOIN ci ca ON dir.ante = ca.item
+         |JOIN ci cb ON dir.cons = cb.item CROSS JOIN n
+         |WHERE c_ab >= 10
+         |ORDER BY lift DESC, ante, cons LIMIT 20""".stripMargin,
+    "q180_rank_churn" ->
+      s"""WITH c AS (SELECT CAST(json_extract(props, '$$.k') AS BIGINT) AS item,
+         |    (epoch_us(ts) - 1704067200000000) // 604800000000 AS wk
+         |  FROM events WHERE event_type = 'click'),
+         |wkc AS (SELECT wk, item, count(*) AS n FROM c GROUP BY 1, 2),
+         |rk AS (SELECT wk, item, n, CAST(row_number() OVER (
+         |    PARTITION BY wk ORDER BY n DESC, item) AS BIGINT) AS rnk FROM wkc)
+         |SELECT rk.wk, rk.item, rk.n, rk.rnk, pv.prev_rnk,
+         |  pv.prev_rnk - rk.rnk AS delta
+         |FROM rk LEFT JOIN (SELECT item, wk + 1 AS wk, rnk AS prev_rnk
+         |  FROM rk) pv USING (item, wk)
+         |WHERE rk.rnk <= 5
+         |ORDER BY rk.wk, rk.rnk""".stripMargin,
     "q173_item_lifecycle" ->
       s"""WITH e AS (SELECT CAST(json_extract(props, '$$.k') AS BIGINT) AS item,
          |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS day

@@ -265,7 +265,32 @@ object Windows {
       .orderBy("day_us")
   }
 
+  /** Event-TYPE transition matrix (the Sankey-diagram edge list): per
+    * (from, to) consecutive-event pair the count and row-normalized
+    * probability — q108's Markov machinery lifted from items to the
+    * event-type level, the "what do users do next after X" flow readout.
+    *
+    * Determinism: lag order is (µs, id)-total; counts exact; prob one
+    * int/int division pinned 4 dp. Scale: ONE per-user window (bounded
+    * history per partition) + two same-keyed aggs; the matrix grain is
+    * k² ≤ 25 rows. */
+  def q177(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), expr("ts div 1000").as("us"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val tr = e.withColumn("from_type", lag("event_type", 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = tr.groupBy("from_type").agg(sum("n").as("n_from"))
+    tr.join(broadcast(tot), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        r4(col("n").cast("double") / col("n_from").cast("double")).as("prob"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_type_transitions" -> q177,
     "q127_scd2_intervals" -> q127,
     "q139_snapshot_diff" -> q139,
     "q143_session_stats" -> q143,
@@ -279,6 +304,19 @@ object Windows {
     "q115_session_paths" -> q115)
 
   val oracle: Map[String, String] = Map(
+    "q177_type_transitions" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+         |  FROM events),
+         |l AS (SELECT event_type AS to_type, lag(event_type) OVER (
+         |    PARTITION BY user_id ORDER BY us, event_id) AS from_type FROM e),
+         |tr AS (SELECT from_type, to_type, count(*) AS n FROM l
+         |  WHERE from_type IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+         |  FROM tr GROUP BY 1)
+         |SELECT tr.from_type, tr.to_type, tr.n,
+         |  ${sr4("CAST(tr.n AS DOUBLE) / CAST(tot.n_from AS DOUBLE)")} AS prob
+         |FROM tr JOIN tot USING (from_type)
+         |ORDER BY from_type, to_type""".stripMargin,
     "q143_session_stats" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
          |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id
