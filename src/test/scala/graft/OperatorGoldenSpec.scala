@@ -504,5 +504,32 @@ class OperatorGoldenSpec extends AnyFunSuite {
       assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)))
       assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
     }
+    // q177: probabilities row-normalize to 1 per from_type; transition
+    // count conserves the lag pair total
+    val tm = operators.Windows.q177(s, d).collect()
+    tm.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-3)
+    }
+    val nUsers = Tables.events(s, d).select("user_id").distinct().count()
+    assert(tm.map(_.getLong(2)).sum ==
+      Tables.events(s, d).count() - nUsers)
+    // q178: confidence in (0, 1]; directed rule count (pre-top-20) is
+    // exactly 2x the undirected supported pairs (support 10 filters this
+    // tiny corpus to zero rules — the bound checks still must hold)
+    val ar = operators.Recommender.q178(s, d).collect()
+    val nSupported = Tables.pairSupport(s, d).filter(col("c_ab") >= 10).count()
+    assert(ar.length == math.min(20L, 2L * nSupported))
+    ar.foreach { r =>
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0 + 1e-9)
+      assert(r.getDouble(4) > 0.0)
+    }
+    // q180: exactly <=5 per week, ranks 1..5, delta consistent with the
+    // prev_rnk nullability
+    val rc = operators.Recommender.q180(s, d).collect()
+    rc.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_.getLong(3)).sorted.sameElements(1L to rows.length.toLong))
+    }
+    rc.foreach { r => assert(r.isNullAt(4) == r.isNullAt(5)) }
   }
 }
