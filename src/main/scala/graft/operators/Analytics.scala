@@ -605,7 +605,56 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** GROWTH ACCOUNTING (the Social-Capital framework): per week, active
+    * users decomposed into NEW (first-ever week), RETAINED (also active
+    * the prior week) and RESURRECTED (returning after a gap), plus
+    * CHURNED (active the prior week, absent this one — attributed to the
+    * week they went missing) and the quick ratio (new+resurrected)/
+    * churned. The canonical "is this product compounding or leaking"
+    * readout on top of q37's retention matrix.
+    *
+    * Determinism: week indexes are integer floor-division, every status
+    * is a set-membership fact on the distinct (user, week) grain, counts
+    * exact; the quick ratio is one int/int division pinned 4 dp with a
+    * nullif guard (a week can churn nobody). Scale: one distinct
+    * (user, wk) shuffle, a user-grain first-week agg joined back, and a
+    * full-outer self equi join on (user, wk) vs (user, wk+1) — all keyed,
+    * nothing quadratic, output is the week grain. */
+  def q181(s: SparkSession, d: String): DataFrame = {
+    val day0 = 1704067200000000L
+    val weekUs = 7L * 86400000000L
+    val uw = events(s, d)
+      .select(col("user_id"),
+        expr(sqlFloorDiv(s"ts div 1000 - ${day0}L", s"${weekUs}L")).as("wk"))
+      .distinct()
+    val first = uw.groupBy("user_id").agg(min("wk").as("first_wk"))
+    val cur = uw.withColumn("is_cur", lit(1L))
+    val prev = uw.select(col("user_id"), (col("wk") + 1L).as("wk"),
+      lit(1L).as("is_prev"))
+    cur.join(prev, Seq("user_id", "wk"), "full")
+      .join(first, "user_id")
+      .select(col("wk"),
+        coalesce(col("is_cur"), lit(0L)).as("c"),
+        coalesce(col("is_prev"), lit(0L)).as("p"),
+        col("first_wk"))
+      .groupBy("wk")
+      .agg(
+        sum(when(col("c") === 1L && col("wk") === col("first_wk"), 1L)
+          .otherwise(0L)).as("n_new"),
+        sum(when(col("c") === 1L && col("p") === 1L, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("c") === 1L && col("p") === 0L &&
+          col("wk") > col("first_wk"), 1L).otherwise(0L)).as("n_resurrected"),
+        sum(when(col("c") === 0L && col("p") === 1L, 1L).otherwise(0L))
+          .as("n_churned"))
+      .withColumn("quick_ratio",
+        r4((col("n_new") + col("n_resurrected")).cast("double") /
+          nullif(col("n_churned"), lit(0L)).cast("double")))
+      .orderBy("wk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_growth_accounting" -> q181,
     "q171_stl_decompose" -> q171,
     "q174_discount_elasticity" -> q174,
     "q175_user_features" -> q175,
@@ -632,6 +681,25 @@ object Analytics {
     "q156_cusum_changepoint" -> q156)
 
   val oracle: Map[String, String] = Map(
+    "q181_growth_accounting" ->
+      s"""WITH uw AS (SELECT DISTINCT user_id,
+         |    (epoch_us(ts) - 1704067200000000) // 604800000000 AS wk
+         |  FROM events),
+         |f AS (SELECT user_id, min(wk) AS first_wk FROM uw GROUP BY 1),
+         |cur AS (SELECT user_id, wk, 1 AS is_cur FROM uw),
+         |prev AS (SELECT user_id, wk + 1 AS wk, 1 AS is_prev FROM uw),
+         |j AS (SELECT user_id, wk, coalesce(is_cur, 0) AS c,
+         |    coalesce(is_prev, 0) AS p
+         |  FROM cur FULL JOIN prev USING (user_id, wk)),
+         |g AS (SELECT j.wk,
+         |    CAST(sum(CASE WHEN c = 1 AND j.wk = f.first_wk THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         |    CAST(sum(CASE WHEN c = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+         |    CAST(sum(CASE WHEN c = 1 AND p = 0 AND j.wk > f.first_wk THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+         |    CAST(sum(CASE WHEN c = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+         |  FROM j JOIN f USING (user_id) GROUP BY 1)
+         |SELECT wk, n_new, n_retained, n_resurrected, n_churned,
+         |  ${sr4("CAST(n_new + n_resurrected AS DOUBLE) / CAST(nullif(n_churned, 0) AS DOUBLE)")} AS quick_ratio
+         |FROM g ORDER BY wk""".stripMargin,
     "q171_stl_decompose" ->
       s"""WITH daily AS (SELECT
          |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS day,

@@ -531,5 +531,26 @@ class OperatorGoldenSpec extends AnyFunSuite {
       assert(rows.map(_.getLong(3)).sorted.sameElements(1L to rows.length.toLong))
     }
     rc.foreach { r => assert(r.isNullAt(4) == r.isNullAt(5)) }
+    // q181: growth accounting conserves actives — every week's
+    // new + retained + resurrected equals its distinct active users, and
+    // churned at wk equals actives(wk-1) - retained(wk)
+    val day0 = 1704067200000000L
+    val weekUs = 7L * 86400000000L
+    val actives = Tables.events(s, d)
+      .select(col("user_id"),
+        expr(graft.Tables.sqlFloorDiv(s"ts div 1000 - ${day0}L",
+          s"${weekUs}L")).as("wk"))
+      .distinct().groupBy("wk").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ga = operators.Analytics.q181(s, d).collect()
+    ga.foreach { r =>
+      val wk = r.getLong(0)
+      val (nw, re, rs, ch) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nw + re + rs == actives.getOrElse(wk, 0L),
+        s"actives not conserved at week $wk")
+      assert(ch == actives.getOrElse(wk - 1, 0L) - re,
+        s"churn identity broken at week $wk")
+    }
   }
 }
