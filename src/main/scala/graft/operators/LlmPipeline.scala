@@ -250,7 +250,58 @@ object LlmPipeline {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Embedding HYGIENE: vectors whose L2 norm is an outlier within their
+    * label cohort (|z| top-20) — the pre-ANN sanity gate that catches
+    * corrupt/zero/blown-up embeddings before they poison similarity
+    * search (a near-zero norm makes cosine meaningless; a huge norm
+    * dominates dot-product retrieval).
+    *
+    * Determinism: the norm is a SEQUENTIAL index-order fold (Spark
+    * `aggregate` ≡ DuckDB `list_dot_product` term order), 5 dp-pinned
+    * before the per-label stats; z mirrors q116's audited shape with a
+    * nullif-guarded spread. Scale: one row-local map + a label-grain
+    * stats agg broadcast back + TakeOrderedAndProject. */
+  def q182(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        graft.Tables.r5(sqrt(expr(
+          "aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), 0D, (acc, x) -> acc + x * x)")))
+          .as("norm"))
+    val st = e.groupBy("label")
+      .agg(avg("norm").as("mu"), stddev_samp(col("norm")).as("sigma"))
+    e.join(broadcast(st), "label")
+      .select(col("vec_id"), col("label"), col("norm"),
+        r4((col("norm") - col("mu")) / nullif(col("sigma"), lit(0.0)))
+          .as("z"))
+      .orderBy(abs(col("z")).desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** Duplicate RATE by source: per provenance bucket, the share of docs
+    * whose normalized content hash occurs more than once corpus-wide —
+    * the "which feed is flooding me with copies" readout that turns q74's
+    * corpus-level dedup into a per-source quality score (feeds ranked by
+    * dup share are the first thing a crawl triages).
+    *
+    * Determinism: exact integer counts off q74's sha2 normalization; one
+    * int/int division pinned 4 dp. Scale: one hash-keyed agg + a
+    * hash-keyed join back + a source-grain agg — all keyed, row-linear. */
+  def q183(s: SparkSession, d: String): DataFrame = {
+    val h = documents(s, d)
+      .select(col("source"), sha2(lower(trim(col("text"))), 256).as("sha"))
+    val copies = h.groupBy("sha").agg(count(lit(1)).as("n_copies"))
+    h.join(copies, "sha")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_copies") > 1L, 1L).otherwise(0L)).as("n_dup_docs"))
+      .withColumn("dup_share",
+        r4(col("n_dup_docs").cast("double") / col("n_docs").cast("double")))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_embedding_outliers" -> q182,
+    "q183_dup_rate_by_source" -> q183,
     "q70_dedup_near_minhash" -> q70,
     "q71_sim_search_topk" -> q71,
     "q72_text_stats" -> q72,
@@ -266,6 +317,26 @@ object LlmPipeline {
     .mkString(",\n  ")
 
   val oracle: Map[String, String] = Map(
+    "q182_embedding_outliers" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |    ${sr5("sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))")} AS norm
+         |  FROM embeddings),
+         |st AS (SELECT label, avg(norm) AS mu, stddev_samp(norm) AS sigma
+         |  FROM e GROUP BY 1)
+         |SELECT vec_id, e.label, norm,
+         |  ${sr4("(norm - mu) / nullif(sigma, 0.0)")} AS z
+         |FROM e JOIN st ON e.label = st.label
+         |ORDER BY abs(${sr4("(norm - mu) / nullif(sigma, 0.0)")}) DESC, vec_id
+         |LIMIT 20""".stripMargin,
+    "q183_dup_rate_by_source" ->
+      s"""WITH h AS (SELECT source, sha256(lower(trim(text))) AS sha
+         |  FROM documents),
+         |c AS (SELECT sha, count(*) AS n_copies FROM h GROUP BY 1)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |  ${sr4("CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS dup_share
+         |FROM h JOIN c USING (sha)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q06_multimodal_resize" ->
       """WITH p AS (SELECT doc_id, text, length(text) AS len,
         |    greatest(1, (length(text) + 63) // 64) AS stride FROM documents),
