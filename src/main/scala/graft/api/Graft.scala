@@ -351,10 +351,15 @@ object Graft {
     * row-level pair count is recovered exactly as cnt(a)·cnt(b). Returns
     * (name_a, name_b, dist, n_pairs) with name_a < name_b canonical
     * order. Blocking-key selectivity is THE scale knob — Σ block² on the
-    * distinct grain; the metric itself is row-local. */
+    * distinct grain; the metric itself is row-local, and the join
+    * residual runs the codegen'd banded early-exit predicate
+    * [[graft.plans.LevWithin]] (O(k·n) with row-min abort) instead of the
+    * full O(n·m) builtin — the exact distance is recomputed only for the
+    * few pairs that survive. */
   def blockedFuzzyJoin(df: DataFrame, valueCol: String, blockKey: Column,
                        maxDist: Int): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    graft.plans.LevWithin.register(df.sparkSession)
     val names = df.groupBy(valueCol).agg(count(lit(1)).as("__cnt"))
       .withColumn("__blk", blockKey)
     val a = names.select(col(valueCol).as("name_a"),
@@ -363,7 +368,7 @@ object Graft {
       col("__cnt").as("__cnt_b"), col("__blk").as("__blk_b"))
     a.join(b, col("__blk") === col("__blk_b") &&
         col("name_a") < col("name_b") &&
-        levenshtein(col("name_a"), col("name_b")) <= lit(maxDist))
+        expr(s"lev_within(name_a, name_b, $maxDist)"))
       .select(col("name_a"), col("name_b"),
         levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"),
         (col("__cnt_a") * col("__cnt_b")).as("n_pairs"))

@@ -121,6 +121,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("ref_angle"),
         new ExpressionInfo(classOf[RefAngle].getName, "ref_angle"),
         (args: Seq[Expression]) => RefAngle(args.head)))
+    ext.injectFunction(
+      (FunctionIdentifier("lev_within"),
+        new ExpressionInfo(classOf[LevWithin].getName, "lev_within"),
+        (args: Seq[Expression]) => LevWithin(args.head, args(1), args(2))))
     ext.injectOptimizerRule(_ => SimilarityBandRewrite)
     ext.injectQueryStagePrepRule(BroadcastGuard(_))
   }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.plans.{CosineSim, RefAngle}
+import graft.plans.{CosineSim, LevWithin, RefAngle}
 
 /** The custom expressions' `doGenCode` must actually COMPILE — a Janino
   * parse error does not fail any query (UnsafeProjection/Predicate fall
@@ -49,5 +49,30 @@ class CodegenCompileSpec extends AnyFunSuite {
     pred.initialize(0)
     assert(pred.eval(in))
     assert(!pred.eval(row(Array(1.0, 0.0), Array(0.0, 1.0))))
+  }
+
+  test("LevWithin codegen compiles in predicate position and agrees with builtin levenshtein") {
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val s0 = BoundReference(0, StringType, nullable = true)
+    val s1 = BoundReference(1, StringType, nullable = true)
+    def srow(a: String, b: String): InternalRow =
+      InternalRow(UTF8String.fromString(a), UTF8String.fromString(b))
+    val pred = GeneratePredicate.generate(
+      LevWithin(s0, s1, Literal(2, IntegerType)))
+    pred.initialize(0)
+    assert(pred.eval(srow("kitten", "sitten")))       // dist 1
+    assert(pred.eval(srow("kitten", "sittin")))       // dist 2
+    assert(!pred.eval(srow("kitten", "sitting")))     // dist 3
+    assert(pred.eval(srow("", "ab")) && !pred.eval(srow("", "abc")))
+    // differential vs the builtin over corpus-like pairs for k in 0..4
+    val words = Seq("cold rod", "bold rod", "cold rodd", "blue cap",
+      "glue cap", "glue cup", "x", "", "abcdefgh", "abdcefhg")
+    for (a <- words; b <- words; k <- 0 to 4) {
+      val want = org.apache.spark.sql.catalyst.expressions.Levenshtein(
+        s0, s1).eval(srow(a, b)).asInstanceOf[Int] <= k
+      assert(LevWithin.within(a, b, k) == want,
+        s"lev_within('$a','$b',$k) disagrees with builtin")
+    }
   }
 }
