@@ -409,9 +409,28 @@ object Graft {
     * integer/pinned addends regroup exactly under associativity, so block
     * decomposition cannot change results for exact types; float callers
     * keep the same pin discipline a global window would need. */
+  /** Opt-in input validation for the prefix scans: set session conf
+    * `spark.graft.validateOrder=true` to eagerly verify `orderCol` is
+    * duplicate-free before building the scan. Off by default — the check is
+    * a count/countDistinct pass over the input, which a 100 TB caller
+    * should not pay silently; but with duplicates and no check the
+    * intra-tie placement (and thus results) is block-dependent, so tests
+    * and debug runs should turn this on. */
+  private def validateDistinctOrder(df: DataFrame, orderCol: String, op: String): Unit =
+    if (df.sparkSession.conf.getOption("spark.graft.validateOrder")
+          .exists(_.equalsIgnoreCase("true"))) {
+      val r = df.agg(count(col(orderCol)).as("n"),
+        count_distinct(col(orderCol)).as("d")).head()
+      require(r.getLong(0) == r.getLong(1),
+        s"$op: orderCol '$orderCol' has duplicates (${r.getLong(0)} rows, " +
+          s"${r.getLong(1)} distinct) — group to the order grain first; " +
+          "with ties the result is block-placement-dependent")
+    }
+
   def prefixSum(df: DataFrame, orderCol: String, valueCols: Seq[String],
                 suffix: String = "_cum"): DataFrame = {
     require(valueCols.nonEmpty, "prefixSum needs at least one value column")
+    validateDistinctOrder(df, orderCol, "prefixSum")
     val blocked = rangeBlocks(df, orderCol)
     val wLoc = Window.partitionBy("__blk").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -443,6 +462,7 @@ object Graft {
     * `orderCol` must be numeric with DISTINCT values. */
   def prefixMax(df: DataFrame, orderCol: String, valueCol: String,
                 out: String): DataFrame = {
+    validateDistinctOrder(df, orderCol, "prefixMax")
     val blocked = rangeBlocks(df, orderCol)
     val wLoc = Window.partitionBy("__blk").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -630,6 +650,20 @@ object Graft {
     * component converges in O(log D) rounds instead of D. Membership stays
     * linear in the input — never a pairwise edge list, which is quadratic
     * per bucket at 100 TB. */
+  /** Release a localCheckpoint's block-manager residents. `Dataset
+    * .unpersist` only covers CacheManager entries — an eager checkpoint's
+    * data lives as RDD storage blocks, reachable only through the plan's
+    * `LogicalRDD` leaf (its `rdd` accessor is public). The relation is
+    * unusable afterwards (lineage was truncated at checkpoint), so only
+    * call this on rounds that are never read again. blocking=false — the
+    * loop doesn't wait on eviction. */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        try r.rdd.unpersist(false) catch { case _: Exception => () }
+      case _ => ()
+    }
+
   def connectedComponents(mem: DataFrame, idCol: String, bucketCol: String,
                           maxRounds: Int = 50): DataFrame = {
     val m = mem.select(col(idCol), col(bucketCol).as("__bucket")).cache()
@@ -668,6 +702,13 @@ object Graft {
       changed = next.join(labels.withColumnRenamed("__label", "__prev"), idCol)
         .filter(col("__label") =!= col("__prev")).limit(1).count() > 0
       jumpCache.foreach(_.unpersist())
+      // Release round R−1's checkpoint blocks: `next` is already
+      // materialized (eager checkpoint) and `changed` already computed, so
+      // nothing references the old labels again. Without this every round
+      // leaves a block-manager resident behind — across a 182-query session
+      // that accumulation is exactly the GC-pressure mechanism behind the
+      // r6 mid-suite bench anomaly window.
+      dropCheckpoint(labels)
       labels = next
       round += 1
     }
@@ -889,13 +930,19 @@ object Graft {
       .union(e.select(col("__dst").as("__id")))
       .distinct().localCheckpoint()
     var ranks = nodes.select(col("__id"), lit(1.0).as("__r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ew.join(ranks.withColumnRenamed("__id", "__src"), "__src")
         .groupBy("__dst").agg(sum(col("__r") * col("__p")).as("__c"))
+      val prev = ranks
       ranks = nodes.join(contrib.withColumnRenamed("__dst", "__id"), Seq("__id"), "left")
         .select(col("__id"), graft.Tables.rnd(
           lit(1.0 - damping) + lit(damping) * coalesce(col("__c"), lit(0.0)), 10).as("__r"))
         .localCheckpoint()
+      // release iter i−1's checkpoint blocks (same reasoning as
+      // connectedComponents — the new eager checkpoint no longer reads
+      // them). i=1's prev is a projection over the shared `nodes`
+      // checkpoint, which IS read every round — the guard protects it.
+      if (i > 1) dropCheckpoint(prev)
     }
     ew.unpersist()
     ranks.select(col("__id").as("id"), col("__r").as("rank"))

@@ -712,12 +712,12 @@ object Analytics {
          |  FROM d2),
          |t2 AS (SELECT day, rev, trend,
          |    CAST(floor((rev - trend) * 10000e0 + 0.5e0) AS BIGINT) AS det FROM t),
-         |seas AS (SELECT day % 7 AS dow,
+         |seas AS (SELECT ((day % 7) + 7) % 7 AS dow,
          |    ${sr4("CAST(sum(det) AS DOUBLE) / CAST(count(*) * 10000 AS DOUBLE)")} AS seasonal
          |  FROM t2 GROUP BY 1)
-         |SELECT t2.day, t2.day % 7 AS dow, t2.rev, t2.trend, s.seasonal,
+         |SELECT t2.day, ((t2.day % 7) + 7) % 7 AS dow, t2.rev, t2.trend, s.seasonal,
          |  ${sr4("t2.rev - t2.trend - s.seasonal")} AS resid
-         |FROM t2 JOIN seas s ON t2.day % 7 = s.dow
+         |FROM t2 JOIN seas s ON ((t2.day % 7) + 7) % 7 = s.dow
          |ORDER BY t2.day""".stripMargin,
     "q174_discount_elasticity" ->
       s"""SELECT p_brand, count(*) AS n_lines,

@@ -93,7 +93,7 @@ case class CosineSim(left: Expression, right: Expression)
 
 object CosineSim {
   private val info = new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim")
-  private val builder = (args: Seq[Expression]) => {
+  private[plans] val builder = (args: Seq[Expression]) => {
     require(args.length == 2, "cosine_sim takes exactly 2 arguments")
     CosineSim(args.head, args(1))
   }
@@ -113,18 +113,23 @@ object CosineSim {
   * join rewrite ([[SimilarityBandRewrite]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Reuse the objects' arity-checked builders so a wrong-arity SQL call
+    // fails with a clean message, not an IndexOutOfBoundsException.
     ext.injectFunction(
       (FunctionIdentifier("cosine_sim"),
         new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-        (args: Seq[Expression]) => CosineSim(args.head, args(1))))
+        CosineSim.builder))
     ext.injectFunction(
       (FunctionIdentifier("ref_angle"),
         new ExpressionInfo(classOf[RefAngle].getName, "ref_angle"),
-        (args: Seq[Expression]) => RefAngle(args.head)))
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "ref_angle takes exactly 1 argument")
+          RefAngle(args.head)
+        }))
     ext.injectFunction(
       (FunctionIdentifier("lev_within"),
         new ExpressionInfo(classOf[LevWithin].getName, "lev_within"),
-        (args: Seq[Expression]) => LevWithin(args.head, args(1), args(2))))
+        LevWithin.builder))
     ext.injectOptimizerRule(_ => SimilarityBandRewrite)
     ext.injectQueryStagePrepRule(BroadcastGuard(_))
   }

@@ -101,7 +101,7 @@ object LevWithin {
   }
 
   private val info = new ExpressionInfo(classOf[LevWithin].getName, "lev_within")
-  private val builder = (args: Seq[Expression]) => {
+  private[plans] val builder = (args: Seq[Expression]) => {
     require(args.length == 3, "lev_within takes exactly 3 arguments")
     LevWithin(args.head, args(1), args(2))
   }

@@ -183,8 +183,12 @@ object Sources {
     if (!fs.rename(hadoopPath, old))
       throw new java.io.IOException(s"compaction: cannot set aside $path")
     if (!fs.rename(tmp, hadoopPath)) {
-      fs.rename(old, hadoopPath) // roll back — original untouched
-      throw new java.io.IOException(s"compaction swap failed for $path")
+      // roll back — original untouched; if even the rollback rename fails,
+      // say WHERE the data actually is instead of implying it's back in place
+      val rolledBack = fs.rename(old, hadoopPath)
+      val dataAt = if (rolledBack) path else old.toString
+      throw new java.io.IOException(
+        s"compaction swap failed for $path; original data is at $dataAt")
     }
     fs.delete(old, true)
   }

@@ -601,6 +601,22 @@ class GraftApiSpec extends AnyFunSuite {
       .select("c_cum", "pm").collect()
     assert(oneR.length == 1 && oneR(0).isNullAt(1))
     assert(Graft.prefixSum(pv.limit(0), "v", Seq("c")).count() == 0)
+    // opt-in duplicate-order detection: with spark.graft.validateOrder=true
+    // a duplicated order key fails fast instead of silently producing
+    // block-placement-dependent results; the distinct grain still passes
+    s.conf.set("spark.graft.validateOrder", "true")
+    try {
+      val dup = pv.union(pv.limit(5))
+      val eSum = intercept[IllegalArgumentException] {
+        Graft.prefixSum(dup, "v", Seq("c"))
+      }
+      assert(eSum.getMessage.contains("duplicates"))
+      val eMax = intercept[IllegalArgumentException] {
+        Graft.prefixMax(dup, "v", "dm", "pm")
+      }
+      assert(eMax.getMessage.contains("duplicates"))
+      assert(Graft.prefixSum(pv, "v", Seq("c")).count() == pv.count())
+    } finally s.conf.unset("spark.graft.validateOrder")
   }
 
   test("adamicAdar/triangles facades reproduce q133/q134 exactly") {
