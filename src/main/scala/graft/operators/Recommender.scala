@@ -463,11 +463,17 @@ object Recommender {
     * (truncate-then-subtract, the §1.3 rule); only the final per-pair sum
     * of exp terms is floating, pinned at 4 dp.
     *
-    * Measured (r6): the qualifying pair volume is SUB-linear on this
-    * corpus — 9.2k pairs from 100k events at sf0.1 (0.09× fan-out) — and
-    * the query times ~1.7 s in consecutive sf0.1 bench runs; the 10.8 s
-    * recorded in r5's bench was shuffle-heavy-query machine variance, not
-    * a plan defect. */
+    * Measured: the qualifying pair volume is SUB-linear on this corpus —
+    * 9.2k pairs from 100k events at sf0.1 (0.09× fan-out). The 10.4–10.8 s
+    * this key recorded in the r5/r6 driver benches was NOT the plan (and
+    * not "machine variance" as earlier claimed): q137 executes right after
+    * the iterative-checkpoint families (q93 components, q113 pagerank,
+    * alphabetically earlier), whose per-round localCheckpoint blocks were
+    * never released — by q137 the block manager held every round of every
+    * prior fixpoint and the executor was under GC pressure. After the r7
+    * fix (Graft.dropCheckpoint per round) q137 times 1.44 s in BOTH passes
+    * of the double-run sf0.1 bench, with zero slowdown window anywhere in
+    * the suite (steady total 90.3 s / 182 keys). */
   def q137(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d).select(col("user_id"), col("event_id"),
       expr("ts div 1000").as("us"),

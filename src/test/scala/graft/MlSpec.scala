@@ -36,51 +36,69 @@ class MlSpec extends AnyFunSuite {
       s"ALS rmse $alsRmse should be within 2x of baseline $baselineRmse")
   }
 
-  test("q59 approx_percentile within 2% of q29's exact quantiles") {
-    val exact = operators.Aggregates.q29(s, d).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val approx = operators.Aggregates.q59(s, d).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (k, (p50, p90)) =>
-      assert(math.abs(approx(k)._1 - p50) / p50 <= 0.02, s"$k p50")
-      assert(math.abs(approx(k)._2 - p90) / p90 <= 0.02, s"$k p90")
+  // Every shipped SF: the sketch error bounds must hold at each scale the
+  // driver can point the library at, not just the smallest (r6 verdict #7).
+  private val allSfs = Seq("sf0.001" -> TestSpark.sf0001,
+    "sf0.01" -> TestSpark.sf001, "sf0.1" -> TestSpark.sf01)
+
+  test("q59 approx_percentile within 2% of q29's exact quantiles at every SF") {
+    allSfs.foreach { case (sf, dir) =>
+      val exact = operators.Aggregates.q29(s, dir).collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val approx = operators.Aggregates.q59(s, dir).collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      assert(approx.keySet == exact.keySet, sf)
+      exact.foreach { case (k, (p50, p90)) =>
+        assert(math.abs(approx(k)._1 - p50) / p50 <= 0.02, s"$sf $k p50")
+        assert(math.abs(approx(k)._2 - p90) / p90 <= 0.02, s"$sf $k p90")
+      }
     }
   }
 
-  test("q22 approx_count_distinct within 3*rsd of exact (per event_type)") {
-    val approx = operators.Aggregates.q22(s, d).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = Tables.events(s, d).groupBy("event_type")
-      .agg(countDistinct("user_id").as("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (k, ex) =>
-      val err = math.abs(approx(k) - ex).toDouble / ex
-      assert(err <= 3 * 0.02, s"$k: approx=${approx(k)} exact=$ex err=$err")
+  test("q22 approx_count_distinct within 3*rsd of exact at every SF") {
+    allSfs.foreach { case (sf, dir) =>
+      val approx = operators.Aggregates.q22(s, dir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = Tables.events(s, dir).groupBy("event_type")
+        .agg(countDistinct("user_id").as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(approx.keySet == exact.keySet, sf)
+      exact.foreach { case (k, ex) =>
+        val err = math.abs(approx(k) - ex).toDouble / ex
+        assert(err <= 3 * 0.02, s"$sf $k: approx=${approx(k)} exact=$ex err=$err")
+      }
     }
   }
 
-  test("HLL sketches are MERGEABLE: per-partition sketch union equals whole-set estimate") {
+  test("HLL sketches are MERGEABLE: per-partition sketch union equals whole-set estimate, every SF") {
     // the 100 TB pattern SURVEY §4 candidate 2 asks about: build one HLL
     // sketch per shard (day/partition), union the binary sketches, estimate
     // once — no re-scan of raw data. Spark 4's DataSketches functions.
     import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate, hll_union_agg}
-    val ev = Tables.events(s, d)
-    val perType = ev.groupBy("event_type")
-      .agg(hll_sketch_agg(col("user_id")).as("sk"))
-    val merged = perType.agg(
-      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
-      .head().getLong(0)
-    val direct = ev.agg(
-      hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
-      .head().getLong(0)
-    val exact = ev.select("user_id").distinct().count()
-    // merging shard sketches must equal sketching the whole set (HLL union
-    // is lossless over the same lgK), and both must estimate well
-    assert(merged == direct, s"sketch union ($merged) != whole-set sketch ($direct)")
-    assert(math.abs(merged - exact).toDouble / exact < 0.05,
-      s"HLL estimate $merged vs exact $exact")
+    allSfs.foreach { case (sf, dir) =>
+      val ev = Tables.events(s, dir)
+      val perType = ev.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = perType.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .head().getLong(0)
+      val direct = ev.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+        .head().getLong(0)
+      val exact = ev.select("user_id").distinct().count()
+      // Merging shard sketches must match sketching the whole set. The match
+      // is EXACT only while sketches are in sparse/coupon mode (small
+      // cardinalities — sf0.001/sf0.01 here); past the promotion threshold
+      // the union's target-type conversion can shift the estimate by ~1%
+      // (measured at sf0.1: union 1488 vs direct 1499, exact 1500), so the
+      // law is asserted with that tolerance and both vs exact at 5%.
+      assert(math.abs(merged - direct).toDouble / direct < 0.02,
+        s"$sf: sketch union ($merged) too far from whole-set sketch ($direct)")
+      assert(math.abs(merged - exact).toDouble / exact < 0.05,
+        s"$sf: HLL union estimate $merged vs exact $exact")
+      assert(math.abs(direct - exact).toDouble / exact < 0.05,
+        s"$sf: HLL direct estimate $direct vs exact $exact")
+    }
   }
 
   test("MinHashLSH q70 is seed-stable and symmetric-by-construction") {
@@ -128,6 +146,37 @@ class MlSpec extends AnyFunSuite {
     // sf0.01 has verified shared-prefix near-dup groups; the LSH join must
     // surface at least one pair (recall > 0)
     assert(operators.LlmPipeline.q70(s, TestSpark.sf001).count() > 0)
+  }
+
+  test("q70 at sf0.1: pairs stay canonical, deduplicated, and distance-bounded") {
+    val t = operators.LlmPipeline.q70(s, TestSpark.sf01).cache()
+    try {
+      assert(t.count() > 0, "sf0.1 corpus has near-dups; recall must be > 0")
+      assert(t.filter(col("doc_a") >= col("doc_b")).count() == 0)
+      assert(t.select("doc_a", "doc_b").distinct().count() == t.count())
+      val mm = t.agg(min("dist"), max("dist")).head()
+      assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 0.6)
+    } finally t.unpersist()
+  }
+
+  /** Deterministic fingerprint: sha256 over the sorted row renderings. Any
+    * silent MLlib behavior change (initialization, solver order, default
+    * flip) moves it, failing loudly instead of shipping changed recs. */
+  private def fingerprint(df: org.apache.spark.sql.DataFrame): String = {
+    val lines = df.collect().map(_.toSeq.mkString(",")).sorted
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(lines.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  test("q65/q66 pinned at seed=42: ALS outputs match their recorded fingerprints") {
+    // Pins computed on Spark 4.1.2 at sf0.001 (r7). The scores/errors are
+    // 4 dp-rounded before hashing, so only a genuine factor-matrix change
+    // (not float noise far below the pin) can move these.
+    val f65 = fingerprint(operators.Recommender.q65(s, d))
+    val f66 = fingerprint(operators.Recommender.q66(s, d))
+    assert(f65 == "cc83cd93fce20aabfe249977456bca49ef9bc019280dc85513d1316b7d348345", s"q65 recommendation fingerprint moved: $f65")
+    assert(f66 == "0459a2a4a08433942dec1a3fb3c93c56b1ca7415621df8ac489a1818f4b7277d", s"q66 holdout-metrics fingerprint moved: $f66")
   }
 
   test("dedup family consistency: MinHash, exact Jaccard, and SimHash agree on near-dups") {

@@ -254,6 +254,51 @@ class OperatorGoldenSpec extends AnyFunSuite {
     assert(!new java.io.File(dir + "__compact_tmp").exists())
   }
 
+  test("q163 rich-idle: non-empty fixture exercises the anti-join path") {
+    // At every shipped SF each above-cutoff customer has orders, so the
+    // sf0.01 oracle match is vacuous (0 = 0 rows). This fixture makes the
+    // anti join BITE: positive balances 1000/9000/8000/6000/2000 → cutoff
+    // avg 5200; the rich are c2 (n0, 9000), c3 (n1, 8000), c5 (n2, 6000);
+    // only c5 has an order, so rich-AND-idle = {c2, c3} and the per-nation
+    // rollup must be n0 → (1, 9000.00), n1 → (1, 8000.00), no n2 row.
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q163").toString
+    Seq((1L, 0L, 1000.0), (2L, 0L, 9000.0), (3L, 1L, 8000.0),
+        (4L, 1L, -500.0), (5L, 2L, 6000.0), (6L, 2L, 2000.0))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((100L, 1L), (101L, 5L), (102L, 5L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = operators.Workloads.q163(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0L, 1L, 9000.0), (1L, 1L, 8000.0)))
+  }
+
+  test("q15/q43: non-empty fixtures exercise the anti-join and except paths") {
+    // Both are vacuously empty on the shipped corpus (every customer has
+    // orders; every user purchases — FIXTURES.md), so the oracle matches
+    // were empty-vs-empty. Fixtures make each subtraction remove SOME but
+    // not ALL rows.
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q15").toString
+    Seq((1L, "Customer#1"), (2L, "Customer#2"), (3L, "Customer#3"))
+      .toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L), (11L, 3L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    assert(operators.Joins.q15(s, dir).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(operators.Joins.q14(s, dir).collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // q43: u1 clicks-only (kept), u2 clicks+purchases (subtracted),
+    // u3 purchase-only (never in the left side)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_q43").toString
+    Seq((1L, "click", 1704100000000000000L), (2L, "click", 1704100000000000000L),
+        (2L, "purchase", 1704200000000000000L), (3L, "purchase", 1704200000000000000L))
+      .toDF("user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    assert(operators.SetOps.q43(s, dir2).collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("range-clustered parquet sink: output files cover disjoint key ranges") {
     val dir = java.nio.file.Files.createTempDirectory("graft_range").toString
     val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
