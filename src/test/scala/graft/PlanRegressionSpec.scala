@@ -506,6 +506,78 @@ class PlanRegressionSpec extends AnyFunSuite {
       s"unpartitioned Window over a fact-proportional input in:\n  ${offenders.mkString("\n  ")}")
   }
 
+  test("inventory-wide sweep: every BroadcastNestedLoopJoin's broadcast side is bounded") {
+    // A BNLJ compares every probe row against the ENTIRE broadcast side —
+    // sound only while the broadcast relation is bounded by construction
+    // (the one-row stats crossJoin, a ≤50-row candidate list, a dimension).
+    // This lint proves that claim for every key the same way the window
+    // lint does: walk each executed plan, find the broadcast child of each
+    // BNLJ, execute it, and reject anything fact-proportional (>256 rows
+    // at sf0.001 — facts are 500+). q18 is the deliberate cross join but
+    // its broadcast side is the 25-row nation dim, so it passes unskipped.
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val skip = Set("q65_als_recommend", "q66_als_rmse",
+      "q70_dedup_near_minhash", "q93_dedup_components", "q101_dedup_cluster_keep",
+      "q105_curation_pipeline", "q113_item_pagerank")
+    // Documented exemptions — broadcast sides that exceed the threshold but
+    // are NOT fact-proportional (or are the marked baseline):
+    // - q117 gapFill broadcasts the calendar spine (~720 hour rows): sized
+    //   by the time RANGE (days×24), identical at every SF — the design is
+    //   precisely that the calendar side broadcasts and the key side stays
+    //   partitioned (see Graft.gapFill's spine-broadcast test above).
+    // - q77 is the documented exact all-pairs cosine BASELINE (its scaladoc
+    //   points to q85/IVF as the scale path, and SimilarityBandRewrite
+    //   rewrites this very shape to a banded equi join once a side crosses
+    //   spark.graft.similarityRewrite.minSideBytes).
+    val exempt = Set("q117_gap_fill_hourly", "q77_dedup_cosine_nn")
+    val limit = 256L
+    // AQE off for this sweep: under AQE the executedPlan is an opaque
+    // AdaptiveSparkPlanExec leaf (collect finds nothing — the lint would
+    // pass VACUOUSLY) and its unfinalized stage subtrees can't be executed
+    // directly. The static plan is the pessimistic one anyway: AQE can only
+    // demote/refine these joins at runtime, never introduce a bigger BNLJ.
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      var found = 0
+      val offenders = SparkEntry.queries
+        .filterNot(kv => skip(kv._1) || exempt(kv._1)).toSeq
+        .sortBy(_._1).flatMap { case (name, fn) =>
+          val plan = fn(s, d).queryExecution.executedPlan
+          val bnljs = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+          found += bnljs.size
+          bnljs.flatMap { j =>
+            val build: SparkPlan = j.buildSide match {
+              case BuildLeft => j.left
+              case BuildRight => j.right
+            }
+            // strip exchange wrappers (incl. ReusedExchange aliases) down to
+            // the countable relation
+            import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+            import org.apache.spark.sql.execution.{InputAdapter, WholeStageCodegenExec}
+            def strip(p: SparkPlan): SparkPlan = p match {
+              case e: BroadcastExchangeExec => strip(e.child)
+              case r: ReusedExchangeExec => strip(r.child)
+              case i: InputAdapter => strip(i.child) // invisible in tree prints
+              case w: WholeStageCodegenExec => strip(w.child)
+              case other => other
+            }
+            val rel = strip(build)
+            val n = try rel.execute().count() catch { case ex: Throwable =>
+              fail(s"$name: BNLJ build side not countable: ${ex.getMessage}\n$rel")
+            }
+            if (n > limit) Some(s"$name (BNLJ broadcast side: $n rows)") else None
+          }
+        }
+      // the sweep must actually SEE the inventory's BNLJs (≈38 plans carry
+      // one) — zero found means the walk went vacuous, not that all is well
+      assert(found >= 20, s"BNLJ sweep looks vacuous: only $found joins found")
+      assert(offenders.isEmpty,
+        s"fact-proportional BNLJ broadcast side in:\n  ${offenders.mkString("\n  ")}")
+    } finally s.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("salted aggregation spreads a hot key over >1 reducer bucket and stays exact") {
     // 50k-row hot key + uniform tail, deliberately skewed
     val hot = s.range(50000).select(lit("hot").as("k"), lit(1.0).as("v"))
