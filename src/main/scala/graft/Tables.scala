@@ -148,6 +148,23 @@ object Tables {
         .groupBy("item_a", "item_b").agg(count(lit(1)).as("c_ab"))
     }
 
+  /** Item-pair co-rating dot products over [[ratings]] — the shared input
+    * of the item-similarity family (q63 top cosine pairs, q88 item-kNN
+    * predictions): one user-keyed self-join, pairs canonicalized
+    * i1 < i2, dot products partially aggregated map-side. Cached because
+    * two keys derive their cosines from it and the per-user pair
+    * explosion is each plan's dominant cost. Values are identical to the
+    * inline form (same plan, same summation); consumers still pin at
+    * their output edge. */
+  def itemDots(spark: SparkSession, sfDir: String): DataFrame =
+    memoized(spark, sfDir, "itemdots") {
+      val r = ratings(spark, sfDir)
+      val a = r.select(col("user_id"), col("item").as("i1"), col("rating").as("x1"))
+      val b = r.select(col("user_id"), col("item").as("i2"), col("rating").as("x2"))
+      a.join(b, "user_id").filter(col("i1") < col("i2"))
+        .groupBy("i1", "i2").agg(sum(col("x1") * col("x2")).as("dot"))
+    }
+
   /** The q62 mean-centered bias predictor scored over every observed
     * (user, item) — shared by q62 (the predictions themselves) and q136
     * (their calibration deciles). Both output columns carry the 4 dp pin,

@@ -50,15 +50,13 @@ object Recommender {
       .select("user_id", "item", "pred", "rating")
       .orderBy("user_id", "item")
 
-  /** Item–item cosine over shared-user rating vectors; top-20 pairs. */
+  /** Item–item cosine over shared-user rating vectors; top-20 pairs.
+    * The pair dot products come from the shared [[graft.Tables.itemDots]]
+    * memo (q88 derives its neighbor lists from the same relation). */
   def q63(s: SparkSession, d: String): DataFrame = {
     val r = ratings(s, d)
     val nrm = r.groupBy("item").agg(sum(col("rating") * col("rating")).as("sq"))
-    val a = r.select(col("user_id"), col("item").as("i1"), col("rating").as("x1"))
-    val b = r.select(col("user_id"), col("item").as("i2"), col("rating").as("x2"))
-    a.join(b, "user_id").filter(col("i1") < col("i2"))
-      .groupBy("i1", "i2")
-      .agg(sum(col("x1") * col("x2")).as("dot"))
+    graft.Tables.itemDots(s, d)
       .join(broadcast(nrm.select(col("item").as("i1"), col("sq").as("sq1"))), "i1")
       .join(broadcast(nrm.select(col("item").as("i2"), col("sq").as("sq2"))), "i2")
       .select(col("i1").as("item1"), col("i2").as("item2"),
@@ -289,10 +287,7 @@ object Recommender {
   def q88(s: SparkSession, d: String): DataFrame = {
     val r = ratings(s, d)
     val nrm = r.groupBy("item").agg(sum(col("rating") * col("rating")).as("sq"))
-    val a = r.select(col("user_id"), col("item").as("i1"), col("rating").as("x1"))
-    val b = r.select(col("user_id"), col("item").as("i2"), col("rating").as("x2"))
-    val half = a.join(b, "user_id").filter(col("i1") < col("i2"))
-      .groupBy("i1", "i2").agg(sum(col("x1") * col("x2")).as("dot"))
+    val half = graft.Tables.itemDots(s, d)
       .join(broadcast(nrm.select(col("item").as("i1"), col("sq").as("sq1"))), "i1")
       .join(broadcast(nrm.select(col("item").as("i2"), col("sq").as("sq2"))), "i2")
       .withColumn("sim", r5(col("dot") / (sqrt(col("sq1")) * sqrt(col("sq2")))))
