@@ -43,6 +43,9 @@ object Bench {
     try // shingle family — fills shingles5, used by q76/q84/q92/q93
       SparkEntry.queries("q84_doc_fingerprint")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    try // shingle-pair memo — shared by the resemblance/containment keys (q76/q129)
+      SparkEntry.queries("q76_dedup_ngram_jaccard")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     try // word-frequency family — fills words1, used by q49/q68/q69/q78/q99
       SparkEntry.queries("q69_heavy_hitters")(spark, sfDir).count()
     catch { case _: Throwable => () }

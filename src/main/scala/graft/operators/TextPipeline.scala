@@ -68,17 +68,29 @@ object TextPipeline {
       |      i -> array_to_string(list_slice(words, i, i + 4), ' '))) AS s
       |    FROM w WHERE len(words) >= 5)""".stripMargin
 
+  /** Undirected shared-shingle counts over the df≤50-pruned inverted
+    * index — the common pair relation of the resemblance (q76) and
+    * containment (q129) dedup keys: (doc_a < doc_b, |Sₐ∩S_b|). Memoized:
+    * the posting-list self-join is both keys' dominant cost, and
+    * containment's directed pairs are exactly these rows mirrored
+    * (shared-count is symmetric). */
+  private[operators] def shinglePairCounts(s: SparkSession, d: String): DataFrame =
+    graft.Tables.memoized(s, d, "shpairs50") {
+      val sh = shingles5(s, d)
+      val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
+      val pruned = sh.join(rare.select("sh"), "sh")
+      pruned.select(col("doc_id").as("doc_a"), col("sh"))
+        .join(pruned.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    }
+
   /** Exact n-gram Jaccard dedup: distinct 5-word shingles, inverted-index
     * join with a df≤50 common-shingle cap, pairs with Jaccard ≥ 0.4. */
   def q76(s: SparkSession, d: String): DataFrame = {
     val sh = shingles5(s, d)
-    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
-    val pruned = sh.join(rare.select("sh"), "sh")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    pruned.select(col("doc_id").as("doc_a"), col("sh"))
-      .join(pruned.select(col("doc_id").as("doc_b"), col("sh")), "sh")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    shinglePairCounts(s, d)
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jac", r5(col("shared") / (col("na") + col("nb") - col("shared"))))
@@ -385,18 +397,16 @@ object TextPipeline {
     * resemblance (Jaccard): containment(a→b) = |Sₐ∩S_b|/|Sₐ| catches
     * "b is a plus boilerplate" near-dups that symmetric Jaccard dilutes
     * below threshold (the containing doc's extra shingles inflate the
-    * union). Directed pairs at ≥ 0.8, same inverted-index join + df≤50
-    * posting-list cap as q76 — BOTH directions kept, since containment is
-    * not symmetric. */
+    * union). Directed pairs at ≥ 0.8, derived by mirroring the shared
+    * [[shinglePairCounts]] memo (q76's relation) — BOTH directions kept,
+    * since containment is not symmetric. */
   def q129(s: SparkSession, d: String): DataFrame = {
     val sh = shingles5(s, d)
-    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
-    val pruned = sh.join(rare.select("sh"), "sh")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    pruned.select(col("doc_id").as("doc_a"), col("sh"))
-      .join(pruned.select(col("doc_id").as("doc_b"), col("sh")), "sh")
-      .filter(col("doc_a") =!= col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    val half = shinglePairCounts(s, d)
+    val directed = half.union(half.select(
+      col("doc_b").as("doc_a"), col("doc_a").as("doc_b"), col("shared")))
+    directed
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .withColumn("containment", r5(col("shared") / col("na").cast("double")))
       .filter(col("containment") >= 0.8)
