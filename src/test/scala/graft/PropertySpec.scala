@@ -127,6 +127,29 @@ class PropertySpec extends AnyFunSuite {
     assert(r.isNullAt(2))
   }
 
+  test("containment dominates resemblance: every q76 pair reappears in q129's directed set") {
+    // containment(a→b) = shared/|Sa| >= shared/|Sa ∪ Sb| = jaccard(a,b),
+    // so at thresholds 0.8 vs 0.4 a q76 pair NEED not survive q129 — but
+    // the shared-count itself must agree exactly between the two keys
+    // (they now read one shinglePairCounts memo; this pins the law the
+    // refactor relies on) and containment >= jaccard must hold pairwise.
+    val d01 = TestSpark.sf001
+    val jac = operators.TextPipeline.q76(s, d01)
+      .select(col("doc_a"), col("doc_b"), col("shared").as("sh_j"), col("jac"))
+    val con = operators.TextPipeline.q129(s, d01)
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared").as("sh_c"), col("containment"))
+    val joined = jac.join(con, Seq("doc_a", "doc_b"), "left").collect()
+    assert(joined.nonEmpty, "sf0.01 has resemblance near-dups")
+    joined.foreach { r =>
+      if (!r.isNullAt(4)) {
+        assert(r.getLong(2) == r.getLong(4), s"shared-count mismatch: $r")
+        assert(r.getDouble(5) >= r.getDouble(3) - 1e-9,
+          s"containment < jaccard for pair: $r")
+      }
+    }
+  }
+
   test("q17 as-of result: every matched order predates its event") {
     val t = operators.Joins.q17(s, d)
     assert(t.filter(col("o_orderdate") >= col("tsc")).count() == 0)
