@@ -945,6 +945,10 @@ object Graft {
       if (i > 1) dropCheckpoint(prev)
     }
     ew.unpersist()
+    // the final ranks checkpoint is self-contained — the node set's blocks
+    // are no longer referenced by anything the caller can evaluate
+    // (iters=0 degenerates to a projection OVER nodes, so keep it then)
+    if (iters >= 1) dropCheckpoint(nodes)
     ranks.select(col("__id").as("id"), col("__r").as("rank"))
   }
 }
