@@ -519,7 +519,139 @@ object Workloads {
       .limit(20)
   }
 
+  /** TPC-H Q7 shape: cross-border shipping volume between one nation PAIR
+    * by ship year — the bilateral-trade readout (both directions kept,
+    * same-nation flows excluded). Exercises the double-dimension join:
+    * the supplier side tags each line's origin nation, the
+    * orders→customer side its destination.
+    *
+    * Determinism: revenue is the standard extendedprice·(1−discount)
+    * double sum under the 2 dp pin (≤1e5 addends ≤1e5 → drift ≪ pin);
+    * years are exact integer extractions in UTC. Scale: the two-nation
+    * filter prunes suppliers/customers to ~8% BEFORE the fact joins;
+    * supplier-side is dimension-broadcast, the orders⋈customer and
+    * lineitem⋈orders joins shuffle on their keys — the canonical Q7
+    * plan. Customer side is deliberately NOT broadcast-hinted: at the
+    * design point "2 of 25 nations of customers" is still fact-scale. */
+  def q184(s: SparkSession, d: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val n = nation(s, d).select("n_nationkey", "n_name")
+      .filter(col("n_name").isin(pair: _*))
+    val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(n.withColumnRenamed("n_name", "supp_nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val cust = customer(s, d).select("c_custkey", "c_nationkey")
+      .join(broadcast(n.withColumnRenamed("n_name", "cust_nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "cust_nation")
+    val oc = orders(s, d).select("o_orderkey", "o_custkey")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "cust_nation")
+    lineitem(s, d)
+      .filter(year(col("l_shipdate")).between(1996, 1997))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(oc, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8 shape: one nation's market share inside one region's demand
+    * for one part class, by order year — "how much of EUROPE's ECONOMY
+    * spend does NATION_3 supply". The share is a conditional sum over the
+    * SAME aggregated rows as the denominator: one pass, no second join.
+    *
+    * Determinism: numerator/denominator are double sums over identical
+    * row sets in both engines; the ratio is pinned at 4 dp (relative
+    * drift ~1e-12 ≪ pin). Scale: part-class and region-nation prunes are
+    * dimension broadcasts pushed below the fact joins; the customer
+    * restriction is a left-semi (no row multiplication); facts shuffle
+    * on their join keys only. A year with zero qualifying volume yields
+    * NULL share in both engines (0/0). */
+  def q185(s: SparkSession, d: String): DataFrame = {
+    val eurNations = nation(s, d)
+      .join(broadcast(region(s, d).filter(col("r_name") === "EUROPE")
+        .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val cust = customer(s, d).select("c_custkey", "c_nationkey")
+      .join(broadcast(eurNations), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val supN = supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val p = part(s, d).filter(col("p_type") === "ECONOMY").select("p_partkey")
+    lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .withColumn("vol", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        r4(sum(when(col("supp_nation") === "NATION_3", col("vol"))
+          .otherwise(lit(0.0))) / sum(col("vol"))).as("mkt_share"),
+        r2(sum(col("vol"))).as("total_vol"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q13 shape: the customer order-count distribution — how many
+    * customers placed 0, 1, 2, … orders (zero-order customers kept by the
+    * left outer join; count(o_custkey) ignores the null from a non-match).
+    * The classic two-level aggregation: per-customer count, then the
+    * histogram OF those counts.
+    *
+    * Determinism: pure integer counts. Scale: first agg shuffles on
+    * custkey (orders pre-projected to the key column), second agg runs on
+    * the count grain (≤ a few hundred distinct values — map-side combine
+    * collapses it before the exchange). */
+  def q186(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).select("c_custkey")
+      .join(orders(s, d).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey").agg(count(col("o_custkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q14 shape: promo-class revenue share per ship month — the
+    * campaign-effect time series (what % of each month's revenue came
+    * from PROMO-type parts). Month key is the exact integer yyyy·100+mm.
+    *
+    * Determinism: the share divides two double sums over identical rows,
+    * pinned at 4 dp; month extraction is exact UTC integer arithmetic.
+    * Scale: part prunes to (key, flag) and broadcasts; one month-grain
+    * agg with map-side combine — the fact is scanned exactly once. */
+  def q187(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d)
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    lineitem(s, d)
+      .select("l_partkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .withColumn("vol", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast("long").as("ym"))
+      .agg(
+        r4(lit(100.0) * sum(when(col("is_promo"), col("vol")).otherwise(lit(0.0)))
+          / sum(col("vol"))).as("promo_share"),
+        r2(sum(col("vol"))).as("revenue"))
+      .orderBy("ym")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_tpch_q7_nation_volume" -> q184,
+    "q185_tpch_q8_market_share" -> q185,
+    "q186_tpch_q13_order_distribution" -> q186,
+    "q187_tpch_q14_promo_share" -> q187,
     "q172_attribution_position" -> q172,
     "q162_tpch_q21_waiting" -> q162,
     "q163_tpch_q22_idle_rich" -> q163,
@@ -541,6 +673,59 @@ object Workloads {
     "q37_retention_cohorts" -> q37)
 
   val oracle: Map[String, String] = Map(
+    "q184_tpch_q7_nation_volume" ->
+      s"""WITH sup AS (SELECT s_suppkey, n_name AS supp_nation
+         |    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |    WHERE n_name IN ('NATION_1', 'NATION_2')),
+         |cust AS (SELECT c_custkey, n_name AS cust_nation
+         |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |    WHERE n_name IN ('NATION_1', 'NATION_2'))
+         |SELECT supp_nation, cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  ${sr2("sum(l_extendedprice * (1.0e0 - l_discount))")} AS revenue
+         |FROM lineitem
+         |JOIN sup ON l_suppkey = s_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN cust ON o_custkey = c_custkey
+         |WHERE supp_nation <> cust_nation
+         |  AND year(l_shipdate) BETWEEN 1996 AND 1997
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q185_tpch_q8_market_share" ->
+      s"""WITH eur AS (SELECT n_nationkey FROM nation
+         |    JOIN region ON n_regionkey = r_regionkey
+         |    WHERE r_name = 'EUROPE'),
+         |supn AS (SELECT s_suppkey, n_name AS supp_nation
+         |    FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+         |base AS (SELECT year(o_orderdate) AS yr, supp_nation,
+         |    l_extendedprice * (1.0e0 - l_discount) AS vol
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN supn ON l_suppkey = s_suppkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE p_type = 'ECONOMY'
+         |    AND EXISTS (SELECT 1 FROM customer c JOIN eur
+         |      ON c.c_nationkey = eur.n_nationkey
+         |      WHERE c.c_custkey = orders.o_custkey))
+         |SELECT CAST(yr AS BIGINT) AS o_year,
+         |  ${sr4("sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0.0e0 END) / sum(vol)")} AS mkt_share,
+         |  ${sr2("sum(vol)")} AS total_vol
+         |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q186_tpch_q13_order_distribution" ->
+      """WITH per AS (SELECT c_custkey, count(o_custkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM per GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q187_tpch_q14_promo_share" ->
+      s"""WITH base AS (SELECT
+         |    CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+         |    CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS is_promo,
+         |    l_extendedprice * (1.0e0 - l_discount) AS vol
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+         |SELECT ym,
+         |  ${sr4("100.0e0 * sum(CASE WHEN is_promo = 1 THEN vol ELSE 0.0e0 END) / sum(vol)")} AS promo_share,
+         |  ${sr2("sum(vol)")} AS revenue
+         |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
     "q172_attribution_position" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
          |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id
