@@ -647,7 +647,125 @@ object Workloads {
       .orderBy("ym")
   }
 
+  /** TPC-H Q17 shape: revenue locked in SMALL-quantity lines of one brand —
+    * lines whose quantity is under half their part's average, expressed as
+    * an average yearly figure (the "what would we gain dropping small
+    * orders" readout). The correlated per-part average is computed once
+    * and joined back — the decorrelated plan Catalyst would produce from
+    * the subquery form, written directly.
+    *
+    * Determinism: quantities are integer-valued doubles, so the per-part
+    * average and its half are EXACT in IEEE arithmetic (sums ≤2⁵³) — the
+    * threshold compare cannot drift cross-engine; output is 2 dp-pinned.
+    * Scale: the brand prune broadcasts; the per-part threshold is
+    * part-grain for ONE brand (dimension-sized) and broadcasts back onto
+    * the same pruned lines — the fact is scanned once. */
+  def q188(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d).filter(col("p_brand") === "Brand#13").select("p_partkey")
+    val l = lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val half = l.groupBy("l_partkey")
+      .agg((lit(0.5) * avg("l_quantity")).as("half_avg"))
+    l.join(broadcast(half), "l_partkey")
+      .filter(col("l_quantity") < col("half_avg"))
+      .agg(r2(sum("l_extendedprice") / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** TPC-H Q19 shape: revenue from lines matching an OR-of-ANDs predicate
+    * over part attributes × line quantity (three brand/size/quantity
+    * windows) — the classic disjunctive-join-predicate stress test. The
+    * disjunction lives in the JOIN condition; the planner keeps the
+    * partkey equi-join and evaluates the OR as a residual, never a
+    * cartesian.
+    *
+    * Determinism: integer-valued predicates, one 2 dp-pinned sum. Scale:
+    * part prunes to the 3-brand union (pushed to the scan) and
+    * broadcasts; the fact scans once with the quantity windows as
+    * residual filters. */
+  def q189(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d)
+      .filter(col("p_brand").isin("Brand#13", "Brand#22", "Brand#25"))
+      .select("p_partkey", "p_brand", "p_size")
+    lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey") && (
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#22" && col("p_size").between(1, 20) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#25" && col("p_size").between(1, 30) &&
+          col("l_quantity").between(20, 30))))
+      .agg(count(lit(1)).as("n_lines"),
+        r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue"))
+  }
+
+  /** TPC-H Q2 shape (partsupp stood in by observed supply): for each part
+    * of one size class, the supplier(s) achieving the part's MINIMUM unit
+    * cost — the min-cost-sourcing correlated subquery, decorrelated to a
+    * per-part min joined back on the same key.
+    *
+    * Determinism: unit cost is a per-row double division computed
+    * identically in both engines; the per-(part,supplier) min and the
+    * per-part min select among those identical values, so the equality
+    * join-back cannot drift (output cost additionally 4 dp-pinned).
+    * Scale: both aggs and the join-back key on l_partkey — one shuffle,
+    * reused exchange; part/supplier dims broadcast. */
+  def q190(s: SparkSession, d: String): DataFrame = {
+    val ps = lineitem(s, d).filter(col("l_quantity") > 0.0)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit"))
+      .groupBy("l_partkey", "l_suppkey").agg(min("unit").as("cost"))
+    val minCost = ps.groupBy("l_partkey").agg(min("cost").as("min_cost"))
+    val target = part(s, d).filter(col("p_size") === 15)
+      .select("p_partkey", "p_name")
+    val sup = supplier(s, d)
+      .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+      .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    ps.join(broadcast(target), col("l_partkey") === col("p_partkey"))
+      .join(minCost, "l_partkey")
+      .filter(col("cost") === col("min_cost"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(r2(col("s_acctbal")).as("s_acctbal"), col("s_name"),
+        col("n_name"), col("p_partkey"), col("p_name"),
+        r4(col("cost")).as("cost"))
+      .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q15 shape: the top supplier(s) by one quarter's revenue — a
+    * scalar-max subquery over a supplier-grain aggregate, kept as ties
+    * (all suppliers AT the max, the view-based original's semantics).
+    *
+    * Determinism: per-supplier revenue is pinned at 2 dp BEFORE the max
+    * and the equality compare, so the tie set is decided on identical
+    * doubles in both engines. Scale: one supplier-grain agg (map-side
+    * combined), a one-row broadcast max, and a dimension join. */
+  def q191(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .filter(col("l_shipdate").between(
+        lit("1997-01-01").cast("timestamp_ntz"),
+        lit("1997-03-31").cast("timestamp_ntz")))
+      .groupBy("l_suppkey")
+      .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("total_rev"))
+    val mx = rev.agg(max("total_rev").as("mx"))
+    rev.crossJoin(broadcast(mx)).filter(col("total_rev") === col("mx"))
+      .join(broadcast(supplier(s, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_tpch_q17_small_qty" -> q188,
+    "q189_tpch_q19_disjunctive" -> q189,
+    "q190_tpch_q2_min_cost" -> q190,
+    "q191_tpch_q15_top_supplier" -> q191,
     "q184_tpch_q7_nation_volume" -> q184,
     "q185_tpch_q8_market_share" -> q185,
     "q186_tpch_q13_order_distribution" -> q186,
@@ -673,6 +791,50 @@ object Workloads {
     "q37_retention_cohorts" -> q37)
 
   val oracle: Map[String, String] = Map(
+    "q188_tpch_q17_small_qty" ->
+      s"""WITH l AS (SELECT l_partkey, l_quantity, l_extendedprice
+         |    FROM lineitem JOIN part ON l_partkey = p_partkey
+         |    WHERE p_brand = 'Brand#13'),
+         |a AS (SELECT l_partkey, 0.5e0 * avg(l_quantity) AS half_avg
+         |    FROM l GROUP BY 1)
+         |SELECT ${sr2("sum(l_extendedprice) / 7.0e0")} AS avg_yearly
+         |FROM l JOIN a USING (l_partkey)
+         |WHERE l_quantity < half_avg""".stripMargin,
+    "q189_tpch_q19_disjunctive" ->
+      s"""SELECT count(*) AS n_lines,
+         |  ${sr2("sum(l_extendedprice * (1.0e0 - l_discount))")} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 20
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 30
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q190_tpch_q2_min_cost" ->
+      s"""WITH ps AS (SELECT l_partkey, l_suppkey,
+         |    min(l_extendedprice / l_quantity) AS cost
+         |  FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2),
+         |mc AS (SELECT l_partkey, min(cost) AS min_cost FROM ps GROUP BY 1),
+         |sup AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+         |SELECT ${sr2("s_acctbal")} AS s_acctbal, s_name, n_name,
+         |  p_partkey, p_name, ${sr4("cost")} AS cost
+         |FROM ps
+         |JOIN part ON ps.l_partkey = p_partkey AND p_size = 15
+         |JOIN mc ON ps.l_partkey = mc.l_partkey AND ps.cost = mc.min_cost
+         |JOIN sup ON ps.l_suppkey = s_suppkey
+         |ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 20""".stripMargin,
+    "q191_tpch_q15_top_supplier" ->
+      s"""WITH rev AS (SELECT l_suppkey,
+         |    ${sr2("sum(l_extendedprice * (1.0e0 - l_discount))")} AS total_rev
+         |  FROM lineitem
+         |  WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01'
+         |    AND TIMESTAMP '1997-03-31'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_rev
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
     "q184_tpch_q7_nation_volume" ->
       s"""WITH sup AS (SELECT s_suppkey, n_name AS supp_nation
          |    FROM supplier JOIN nation ON s_nationkey = n_nationkey
