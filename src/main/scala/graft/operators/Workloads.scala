@@ -761,7 +761,117 @@ object Workloads {
       .orderBy("s_suppkey")
   }
 
+  /** TPC-H Q11 shape (partsupp stood in by observed supply): parts whose
+    * supplied VALUE through one nation's suppliers exceeds 0.1% of that
+    * nation's total — the "important stock" concentration readout, a
+    * HAVING-against-global-scalar aggregation.
+    *
+    * Determinism: per-part values are pinned at 2 dp BEFORE the global
+    * sum and the cutoff compare, so both engines threshold identical
+    * doubles (a flip would need a pinned value within ~1e-10 of the
+    * cutoff — a measure-zero coincidence on continuous prices). Scale:
+    * nation's suppliers broadcast; one part-grain agg; the cutoff is a
+    * one-row broadcast. */
+  def q192(s: SparkSession, d: String): DataFrame = {
+    val sup = supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_5")
+        .select("n_nationkey")), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val v = lineitem(s, d).select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey").agg(r2(sum("l_extendedprice")).as("value"))
+    val cut = v.agg((sum("value") * lit(0.001)).as("cut"))
+    v.crossJoin(broadcast(cut)).filter(col("value") > col("cut"))
+      .select(col("l_partkey").as("p_partkey"), col("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q4 shape: order counts per priority for one quarter's orders
+    * that had at least one RETURNED line — the EXISTS-correlated count,
+    * planned as a left-semi join (no row multiplication from multi-line
+    * matches).
+    *
+    * Determinism: exact date window + integer counts. Scale: the quarter
+    * filter pushes to the orders scan; the semi join shuffles on orderkey
+    * with lineitem pre-filtered and pre-projected to the key. */
+  def q193(s: SparkSession, d: String): DataFrame = {
+    orders(s, d)
+      .filter(col("o_orderdate").between(
+        lit("1997-01-01").cast("timestamp_ntz"),
+        lit("1997-03-31").cast("timestamp_ntz")))
+      .select("o_orderkey", "o_orderpriority")
+      .join(lineitem(s, d).filter(col("l_returnflag") === "R")
+        .select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q12 shape (shipmode stood in by return flag): per line class,
+    * how many of one year's lines belong to HIGH-priority orders
+    * (1-URGENT/2-HIGH) vs low — the priority-mix-by-channel readout done
+    * as one conditional aggregation.
+    *
+    * Determinism: integer counts over exact predicates. Scale: the year
+    * filter pushes to the lineitem scan; one shuffle on orderkey joins
+    * the order priority in; the class-grain agg map-side combines. */
+  def q194(s: SparkSession, d: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem(s, d).filter(year(col("l_shipdate")) === 1997)
+      .select("l_orderkey", "l_returnflag")
+      .join(orders(s, d).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q6 shape: the forecast-revenue-change single-table scan — one
+    * conditional sum over a year × discount-band × quantity-cap slice.
+    * Trivial by design: it exists to prove the predicate stack pushes to
+    * the parquet scan and the agg runs without any exchange beyond the
+    * final one-row combine.
+    *
+    * Determinism: the discount literals are the same IEEE doubles in both
+    * engines; one 2 dp-pinned sum. Scale: pure scan+filter+partial-agg —
+    * the cheapest possible distributed plan. */
+  def q195(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(year(col("l_shipdate")) === 1997 &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24.0)
+      .agg(r2(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"))
+
+  /** TPC-H Q20 shape (partsupp stood in by observed supply): suppliers
+    * DOMINANT in some promo-class part — shipping over 20% of that part's
+    * total quantity — the nested-aggregate semi join (who could squeeze
+    * this part's supply).
+    *
+    * Determinism: quantities are integer-valued doubles, so both sums are
+    * exact and the 0.2× threshold multiplies identical exact values —
+    * no drift. Scale: promo parts broadcast; the (part, supplier) agg and
+    * the part-grain total key the same column — reused exchange; the
+    * final semi join is dimension-sized. */
+  def q196(s: SparkSession, d: String): DataFrame = {
+    val promo = part(s, d).filter(col("p_type") === "PROMO").select("p_partkey")
+    val shipped = lineitem(s, d).select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey").agg(sum("l_quantity").as("sq"))
+    val tot = shipped.groupBy("l_partkey").agg(sum("sq").as("tq"))
+    val qual = shipped.join(tot, "l_partkey")
+      .filter(col("sq") > col("tq") * lit(0.2))
+      .select("l_suppkey").distinct()
+    supplier(s, d).select("s_suppkey", "s_name")
+      .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .orderBy("s_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_tpch_q11_important_stock" -> q192,
+    "q193_tpch_q4_priority_exists" -> q193,
+    "q194_tpch_q12_priority_class" -> q194,
+    "q195_tpch_q6_forecast" -> q195,
+    "q196_tpch_q20_excess_supply" -> q196,
     "q188_tpch_q17_small_qty" -> q188,
     "q189_tpch_q19_disjunctive" -> q189,
     "q190_tpch_q2_min_cost" -> q190,
@@ -791,6 +901,50 @@ object Workloads {
     "q37_retention_cohorts" -> q37)
 
   val oracle: Map[String, String] = Map(
+    "q192_tpch_q11_important_stock" ->
+      s"""WITH sup AS (SELECT s_suppkey FROM supplier
+         |    JOIN nation ON s_nationkey = n_nationkey
+         |    WHERE n_name = 'NATION_5'),
+         |v AS (SELECT l_partkey, ${sr2("sum(l_extendedprice)")} AS value
+         |  FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+         |  GROUP BY 1)
+         |SELECT l_partkey AS p_partkey, value
+         |FROM v WHERE value > (SELECT sum(value) * 0.001e0 FROM v)
+         |ORDER BY value DESC, p_partkey""".stripMargin,
+    "q193_tpch_q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01'
+        |    AND TIMESTAMP '1997-03-31'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q194_tpch_q12_priority_class" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE year(l_shipdate) = 1997
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q195_tpch_q6_forecast" ->
+      s"""SELECT ${sr2("sum(l_extendedprice * l_discount)")} AS revenue
+         |FROM lineitem
+         |WHERE year(l_shipdate) = 1997
+         |  AND l_discount BETWEEN 0.05e0 AND 0.07e0
+         |  AND l_quantity < 24.0e0""".stripMargin,
+    "q196_tpch_q20_excess_supply" ->
+      """WITH shipped AS (SELECT l_partkey, l_suppkey,
+        |    sum(l_quantity) AS sq
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO' GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey, sum(sq) AS tq FROM shipped GROUP BY 1),
+        |qual AS (SELECT DISTINCT l_suppkey FROM shipped
+        |  JOIN tot USING (l_partkey) WHERE sq > tq * 0.2e0)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM qual WHERE l_suppkey = s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin,
     "q188_tpch_q17_small_qty" ->
       s"""WITH l AS (SELECT l_partkey, l_quantity, l_extendedprice
          |    FROM lineitem JOIN part ON l_partkey = p_partkey
