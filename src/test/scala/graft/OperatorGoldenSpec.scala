@@ -299,6 +299,47 @@ class OperatorGoldenSpec extends AnyFunSuite {
     assert(operators.SetOps.q43(s, dir2).collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("TPC-H matrix conservation laws: q186 partitions customers, q194 partitions lines, q184 excludes same-nation flows") {
+    // q186 (Q13): the order-count histogram must PARTITION the customer
+    // set (custdist sums to |customer|) and its weighted sum must equal
+    // |orders| — every order belongs to exactly one customer.
+    val dist = operators.Workloads.q186(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(dist.map(_._2).sum == Tables.customer(s, d).count())
+    assert(dist.map { case (c, n) => c * n }.sum == Tables.orders(s, d).count())
+    // q194 (Q12): high + low must equal the 1997 join cardinality — the
+    // conditional split loses no line.
+    val q12 = operators.Workloads.q194(s, d).collect()
+    val total1997 = Tables.lineitem(s, d)
+      .filter(year(col("l_shipdate")) === 1997)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(q12.map(r => r.getLong(1) + r.getLong(2)).sum == total1997)
+    // q184 (Q7): only cross-border pair flows within the ship-year window.
+    val q7 = operators.Workloads.q184(s, d).collect()
+    assert(q7.forall(r => r.getString(0) != r.getString(1)))
+    assert(q7.forall(r => r.getLong(2) == 1996L || r.getLong(2) == 1997L))
+  }
+
+  test("q190/q191: min-cost and top-supplier outputs are true extrema of their recomputed inputs") {
+    // q190 (Q2): every reported (part, cost) must equal the part's true
+    // minimum unit cost recomputed independently.
+    val got = operators.Workloads.q190(s, d).collect()
+      .map(r => (r.getLong(3), r.getDouble(5)))
+    val trueMin = Tables.lineitem(s, d).filter(col("l_quantity") > 0.0)
+      .groupBy("l_partkey")
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (pk, c) =>
+      assert(math.abs(c - math.floor(trueMin(pk) * 1e4 + 0.5) / 1e4) < 1e-9,
+        s"part $pk cost $c != 4dp-pinned true min ${trueMin(pk)}") }
+    // q191 (Q15): the reported revenue is the max over ALL suppliers in
+    // the quarter, and every row carries that same (tied) value.
+    val top = operators.Workloads.q191(s, d).collect()
+    assert(top.nonEmpty)
+    assert(top.map(_.getDouble(2)).distinct.length == 1)
+  }
+
   test("range-clustered parquet sink: output files cover disjoint key ranges") {
     val dir = java.nio.file.Files.createTempDirectory("graft_range").toString
     val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
