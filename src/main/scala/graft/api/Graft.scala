@@ -272,6 +272,44 @@ object Graft {
       .drop("__xs")
   }
 
+  /** Per-key Holt double-exponential (level + trend) smoothing over an
+    * ordered series: l₁ = x₁, b₁ = 0, then
+    * lᵢ = α·xᵢ + (1−α)(lᵢ₋₁+bᵢ₋₁) and bᵢ = β(lᵢ−lᵢ₋₁) + (1−β)bᵢ₋₁,
+    * returning the final (level, trend) per key plus a one-step forecast
+    * level+trend. The same collect-then-fold shape as [[ewma]] (the fold
+    * input is the pre-aggregated calendar-sized series, never fact rows);
+    * the 2-element state rides an ARRAY accumulator. Cross-engine
+    * determinism: both state components are pinned to 10 dp at every
+    * step — the β-update reuses the PINNED new level (the pinned
+    * expression is repeated verbatim), so DuckDB's `list_reduce` over a
+    * 2-element list replays the identical IEEE operations. */
+  def holt(df: DataFrame, keyCols: Seq[String], orderCol: String,
+           valCol: String, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(beta > 0 && beta <= 1, s"beta must be in (0, 1], got $beta")
+    val a = new java.math.BigDecimal(alpha.toString).toPlainString
+    val b = new java.math.BigDecimal(beta.toString).toPlainString
+    // nl must be one self-contained SQL expression (no lets in lambdas):
+    // the pinned new-level expression is spliced twice into the β-update.
+    val nl = s"floor((${a}e0 * x.v + (1e0 - ${a}e0) * " +
+      "(element_at(acc, 1) + element_at(acc, 2))) * 1e10 + 0.5e0) / 1e10"
+    df.groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        col(orderCol).as("o"), col(valCol).cast("double").as("v")))).as("__xs"))
+      .withColumn("n_points", size(col("__xs")).cast("long"))
+      .withColumn("__st", expr(
+        s"""aggregate(slice(__xs, 2, greatest(size(__xs) - 1, 0)),
+           |  array(CAST(element_at(__xs, 1).v AS DOUBLE), CAST(0e0 AS DOUBLE)),
+           |  (acc, x) -> array(
+           |    $nl,
+           |    floor((${b}e0 * (($nl) - element_at(acc, 1)) +
+           |      (1e0 - ${b}e0) * element_at(acc, 2)) * 1e10 + 0.5e0) / 1e10))""".stripMargin))
+      .withColumn("level", expr("element_at(__st, 1)"))
+      .withColumn("trend", expr("element_at(__st, 2)"))
+      .withColumn("forecast", col("level") + col("trend"))
+      .drop("__xs", "__st")
+  }
+
   /** Referential-integrity audit of one foreign-key edge: child rows,
     * orphaned child rows (no matching parent key), distinct parent keys,
     * and unreferenced parent keys — the data-quality gate run before any

@@ -653,7 +653,70 @@ object Analytics {
       .orderBy("wk")
   }
 
+  /** Kaplan–Meier user-retention survival curve: per lifetime day t, the
+    * number of users still at risk, the "deaths" (users whose activity
+    * ENDED at lifetime t — last event more than 7 days before the corpus
+    * horizon), and Ŝ(t) = Π_{t'≤t} (1 − d/n) — the censoring-aware
+    * retention estimator (users active near the horizon are censored:
+    * they count in the at-risk denominators but never as deaths, which is
+    * exactly what a naive "days retained" histogram gets wrong).
+    *
+    * Determinism: lifetimes are exact integer day arithmetic; the product
+    * is exp(Σ ln(1−d/n)) over ≤|days| pinned-magnitude terms (libm-level
+    * ln/exp agreement, drift ≪ the 4 dp pin), with an explicit zero flag
+    * so a 100%-hazard day yields exactly 0 in both engines rather than
+    * exp(−∞). Scale: one user-grain agg, a one-row horizon broadcast,
+    * then all windows run on the lifetime-day grain (≤ corpus days —
+    * dimension-sized, the documented single-partition exemption class). */
+  def q198(s: SparkSession, d: String): DataFrame = {
+    val life = events(s, d)
+      .select(col("user_id"),
+        expr("((ts div 1000) - 1704067200000000) div 86400000000").as("day"))
+      .groupBy("user_id")
+      .agg(min("day").as("first_day"), max("day").as("last_day"))
+    val h = life.agg(max("last_day").as("h"))
+    val lt = life.crossJoin(broadcast(h))
+      .select((col("last_day") - col("first_day")).as("t"),
+        when(col("last_day") <= col("h") - 7, 1L).otherwise(0L).as("death"))
+    val wRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lt.groupBy("t")
+      .agg(count(lit(1)).as("n_t"), sum("death").as("d"))
+      .withColumn("n_risk", sum("n_t").over(wRisk))
+      .withColumn("haz", col("d").cast("double") / col("n_risk"))
+      .withColumn("survival", r4(
+        when(sum(when(col("haz") >= 1.0, 1L).otherwise(0L)).over(wCum) > 0,
+          lit(0.0))
+        .otherwise(exp(sum(
+          when(col("haz") < 1.0, log(lit(1.0) - col("haz"))).otherwise(lit(0.0))
+        ).over(wCum)))))
+      .select("t", "n_risk", "d", "survival")
+      .orderBy("t")
+  }
+
+  /** Holt double-exponential (level + trend) smoothing of daily revenue
+    * per return flag — the trend-aware companion to q118's EWMA (which a
+    * steady ramp biases low; Holt's trend term tracks it), returning the
+    * final state and a one-step-ahead forecast. Runs on
+    * [[graft.api.Graft.holt]]: the recurrence folds over the
+    * PRE-AGGREGATED calendar-sized series, every step 10 dp-pinned so
+    * DuckDB's list_reduce replays identical IEEE ops. */
+  def q200(s: SparkSession, d: String): DataFrame = {
+    val daily = lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_shipdate").as("day"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("rev"))
+    graft.api.Graft.holt(daily, Seq("l_returnflag"), "day", "rev", 0.5, 0.3)
+      .select(col("l_returnflag"), col("n_points"),
+        col("level"), col("trend"), r2(col("forecast")).as("forecast"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_survival_km" -> q198,
+    "q200_holt_trend" -> q200,
     "q181_growth_accounting" -> q181,
     "q171_stl_decompose" -> q171,
     "q174_discount_elasticity" -> q174,
@@ -681,6 +744,45 @@ object Analytics {
     "q156_cusum_changepoint" -> q156)
 
   val oracle: Map[String, String] = Map(
+    "q198_survival_km" ->
+      s"""WITH life AS (SELECT user_id,
+         |    min((epoch_us(ts) - 1704067200000000) // 86400000000) AS first_day,
+         |    max((epoch_us(ts) - 1704067200000000) // 86400000000) AS last_day
+         |  FROM events GROUP BY 1),
+         |h AS (SELECT max(last_day) AS h FROM life),
+         |lt AS (SELECT last_day - first_day AS t,
+         |    CASE WHEN last_day <= h.h - 7 THEN 1 ELSE 0 END AS death
+         |  FROM life, h),
+         |byt AS (SELECT t, count(*) AS n_t,
+         |    CAST(sum(death) AS BIGINT) AS d FROM lt GROUP BY 1),
+         |wr AS (SELECT t, d,
+         |    CAST(sum(n_t) OVER (ORDER BY t DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS n_risk
+         |  FROM byt),
+         |hz AS (SELECT t, n_risk, d, CAST(d AS DOUBLE) / n_risk AS haz FROM wr)
+         |SELECT t, n_risk, d,
+         |  ${sr4("CASE WHEN sum(CASE WHEN haz >= 1.0e0 THEN 1 ELSE 0 END) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0 THEN 0.0e0 ELSE exp(sum(CASE WHEN haz < 1.0e0 THEN ln(1.0e0 - haz) ELSE 0.0e0 END) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END")}
+         |    AS survival
+         |FROM hz ORDER BY t""".stripMargin,
+    "q200_holt_trend" ->
+      s"""WITH daily AS (
+         |  SELECT l_returnflag, l_shipdate AS day,
+         |    ${sr2("sum(l_extendedprice * (1e0 - l_discount))")} AS rev
+         |  FROM lineitem GROUP BY 1, 2),
+         |ser AS (SELECT l_returnflag, list(rev ORDER BY day) AS xs
+         |        FROM daily GROUP BY 1),
+         |st AS (SELECT l_returnflag, CAST(len(xs) AS BIGINT) AS n_points,
+         |  list_reduce(list_transform(xs, y -> [y, 0e0]),
+         |    (acc, x) -> [
+         |      floor((0.5e0 * x[1] + (1e0 - 0.5e0) * (acc[1] + acc[2])) * 1e10 + 0.5e0) / 1e10,
+         |      floor((0.3e0 * ((floor((0.5e0 * x[1] + (1e0 - 0.5e0) * (acc[1] + acc[2])) * 1e10 + 0.5e0) / 1e10) - acc[1]) +
+         |        (1e0 - 0.3e0) * acc[2]) * 1e10 + 0.5e0) / 1e10
+         |    ]) AS st
+         |  FROM ser)
+         |SELECT l_returnflag, n_points, st[1] AS level, st[2] AS trend,
+         |  ${sr2("st[1] + st[2]")} AS forecast
+         |FROM st ORDER BY l_returnflag""".stripMargin,
     "q181_growth_accounting" ->
       s"""WITH uw AS (SELECT DISTINCT user_id,
          |    (epoch_us(ts) - 1704067200000000) // 604800000000 AS wk

@@ -658,7 +658,46 @@ object Recommender {
       .orderBy("wk", "rnk")
   }
 
+  /** Weighted Slope One rating prediction (Lemire & Maclachlan 2005): the
+    * per-pair average rating DEVIATION dev(j,i) = Σ(r_uj − r_ui)/c_ji over
+    * co-raters, then each observed (u, j) predicted from the user's OTHER
+    * items as Σᵢ c_ji·(dev(j,i) + r_ui) / Σᵢ c_ji — the no-training,
+    * incrementally-updatable collaborative predictor (beside q62's bias
+    * model and q88's item-kNN: Slope One weighs by co-rating SUPPORT where
+    * kNN weighs by similarity). Scored over every observed pair, so
+    * rating vs pred compare directly.
+    *
+    * Determinism: deviations are double ratios over identical row sets;
+    * the prediction's ≤|items| addends drift ≪ the 4 dp pin. Scale: the
+    * user-keyed self-join is the q107/q63 pair-explosion shape (Σ n_u² —
+    * cap per-user lists at open scale, see cappedRatings); the deviation
+    * matrix is items²-bounded and BROADCASTS while the catalog is
+    * dimension-sized — at open-catalog scale swap for a shuffle join on
+    * (j, i). The pair relation is derived twice (dev agg + score join);
+    * both derivations share the one ratings cache. */
+  def q197(s: SparkSession, d: String): DataFrame = {
+    val r = ratings(s, d)
+    val a = r.select(col("user_id"), col("item").as("j"), col("rating").as("rj"))
+    val b = r.select(col("user_id"), col("item").as("i"), col("rating").as("ri"))
+    val pr = a.join(b, "user_id").filter(col("j") =!= col("i"))
+    // dv is pinned at 10 dp and the prediction double-rounded (10 dp →
+    // 4 dp): ratings are rational averages of 2-decimal values, so the
+    // exact prediction can sit ON a 4 dp half-way point — both engines
+    // must collapse onto the same 10 dp grid point BEFORE the output pin
+    // or ulp-level summation drift splits the midpoint.
+    val dev = pr.groupBy("j", "i")
+      .agg(rnd(sum(col("rj") - col("ri")) / count(lit(1)), 10).as("dv"),
+        count(lit(1)).as("c"))
+    pr.join(broadcast(dev), Seq("j", "i"))
+      .groupBy(col("user_id"), col("j").as("item"))
+      .agg(r4(max("rj")).as("rating"),
+        r4(rnd(sum(col("c") * (col("dv") + col("ri"))) /
+          sum(col("c")).cast("double"), 10)).as("pred"))
+      .orderBy("user_id", "item")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_slope_one" -> q197,
     "q178_assoc_rules" -> q178,
     "q180_rank_churn" -> q180,
     "q173_item_lifecycle" -> q173,
@@ -685,6 +724,17 @@ object Recommender {
     "q68_tfidf_terms" -> q68)
 
   val oracle: Map[String, String] = Map(
+    "q197_slope_one" ->
+      s"""WITH r AS ($ratingsSql),
+         |pr AS (SELECT a.user_id, a.item AS j, a.rating AS rj,
+         |    b.item AS i, b.rating AS ri
+         |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item <> b.item),
+         |dev AS (SELECT j, i, ${sqlRnd("sum(rj - ri) / count(*)", 10)} AS dv,
+         |    count(*) AS c FROM pr GROUP BY 1, 2)
+         |SELECT pr.user_id, pr.j AS item, ${sr4("max(pr.rj)")} AS rating,
+         |  ${sr4(sqlRnd("sum(dev.c * (dev.dv + pr.ri)) / CAST(sum(dev.c) AS DOUBLE)", 10))} AS pred
+         |FROM pr JOIN dev ON pr.j = dev.j AND pr.i = dev.i
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q178_assoc_rules" ->
       s"""WITH r AS ($ratingsSql),
          |capped AS (SELECT user_id, item FROM (

@@ -492,7 +492,34 @@ object TextPipeline {
       .limit(20)
   }
 
+  /** Per-source distinct-trigram novelty ratio — the templatedness /
+    * boilerplate detector a training-mix builder runs per corpus slice: a
+    * source whose word-trigram stream is mostly REPEATS of a few templates
+    * scores low (novelty = distinct/total ≪ 1), natural prose scores high.
+    * The slice-grain companion to q98's per-document repetition score.
+    *
+    * Determinism: pure integer counts and one pinned ratio. Scale:
+    * row-linear explode, then a source-grain agg whose count(DISTINCT)
+    * expands map-side — never a pairwise comparison; trigram strings
+    * could be 64-bit hashed before the distinct at open scale (exact
+    * here, where collision-freeness is testable). */
+  def q199(s: SparkSession, d: String): DataFrame = {
+    documents(s, d)
+      .select(col("source"),
+        expr("filter(split(lower(text), ' '), w -> w != '')").as("words"))
+      .filter(size(col("words")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(words) - 2), i -> array_join(slice(words, i, 3), ' '))"))
+        .as("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_trigrams"), countDistinct("g").as("n_distinct"))
+      .withColumn("novelty",
+        r4(col("n_distinct").cast("double") / col("n_trigrams")))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_ngram_novelty" -> q199,
     "q167_bigram_pmi" -> q167,
     "q169_rake_keywords" -> q169,
     "q98_text_repetition" -> q98,
@@ -513,6 +540,18 @@ object TextPipeline {
   private val wordsCte = s"w AS ($wordsSql)"
 
   val oracle: Map[String, String] = Map(
+    "q199_ngram_novelty" ->
+      s"""WITH w AS (SELECT source,
+         |    list_filter(string_split(lower(text), ' '), x -> x != '') AS words
+         |  FROM documents),
+         |g AS (SELECT source,
+         |    unnest(list_transform(generate_series(1, len(words) - 2),
+         |      i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS g
+         |  FROM w WHERE len(words) >= 3)
+         |SELECT source, count(*) AS n_trigrams,
+         |  count(DISTINCT g) AS n_distinct,
+         |  ${sr4("CAST(count(DISTINCT g) AS DOUBLE) / count(*)")} AS novelty
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q169_rake_keywords" ->
       s"""WITH t2 AS (SELECT doc_id,
          |  regexp_replace(regexp_replace(' ' || lower(text) || ' ',
