@@ -714,7 +714,72 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** Population Stability Index between the month's first and second half
+    * of event values — the model-monitoring drift score that completes
+    * the drift family (q125 KL on token distributions, q145 KS on raw
+    * samples; PSI is the binned industry readout with its 0.1/0.25
+    * rule-of-thumb thresholds). 10 equal-width bins over the global
+    * range, Laplace-smoothed so empty-side bins stay finite.
+    *
+    * Determinism: bin edges derive from exact min/max picks; the bucket
+    * index is the same float expression on identical doubles in both
+    * engines (floor of identical IEEE ops — deterministic, unlike an
+    * engine-native width_bucket whose edge semantics differ); counts are
+    * exact, and each ln-contribution is pinned at 6 dp. Scale: one
+    * min/max broadcast, one bin-grain agg — a single fact pass. */
+  def q202(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("value"),
+      (expr("((ts div 1000) - 1704067200000000) div 86400000000") < 15)
+        .as("is_a"))
+    val mm = ev.agg(min("value").as("lo"), max("value").as("hi"))
+    val counts = ev.crossJoin(broadcast(mm))
+      .withColumn("bin", least(
+        floor((col("value") - col("lo")) * lit(10.0) / (col("hi") - col("lo"))),
+        lit(9.0)).cast("long"))
+      .groupBy("bin").agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("is_a"), 0L).otherwise(1L)).as("cb"))
+    val tot = counts.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("pa",
+        (col("ca") + 1).cast("double") / (col("na") + 10).cast("double"))
+      .withColumn("pb",
+        (col("cb") + 1).cast("double") / (col("nb") + 10).cast("double"))
+      .withColumn("psi_contrib",
+        rnd((col("pa") - col("pb")) * log(col("pa") / col("pb")), 6))
+      .select("bin", "ca", "cb", "psi_contrib")
+      .orderBy("bin")
+  }
+
+  /** Benford first-digit audit of order totals — the forensic
+    * data-quality screen (fabricated or unit-mixed monetary columns
+    * deviate from the log10(1+1/d) law) joining the q112/q120 table-audit
+    * family. Digit extracted via exact integer cents (leading char of
+    * floor(100·price)) — never via log10 of the value, whose 1-ulp
+    * libm disagreements near powers of ten would flip the digit.
+    *
+    * Determinism: digit extraction is exact; observed shares divide exact
+    * ints; the Benford reference applies libm log10 to small integer
+    * ratios under a 6 dp pin; the deviation subtracts two already-pinned
+    * values. Scale: single-pass digit-grain agg (≤9 groups). */
+  def q203(s: SparkSession, d: String): DataFrame = {
+    val dg = orders(s, d).filter(col("o_totalprice") >= 0.01)
+      .select(substring(floor(col("o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = dg.agg(sum("n").as("tot"))
+    dg.crossJoin(broadcast(tot))
+      .withColumn("p_obs", rnd(col("n").cast("double") / col("tot").cast("double"), 6))
+      .withColumn("p_benford",
+        rnd(log(10.0, lit(1.0) + lit(1.0) / col("digit").cast("double")), 6))
+      .withColumn("abs_dev", rnd(abs(col("p_obs") - col("p_benford")), 6))
+      .select("digit", "n", "p_obs", "p_benford", "abs_dev")
+      .orderBy("digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q202_psi_drift" -> q202,
+    "q203_benford_audit" -> q203,
     "q198_survival_km" -> q198,
     "q200_holt_trend" -> q200,
     "q181_growth_accounting" -> q181,
@@ -744,6 +809,34 @@ object Analytics {
     "q156_cusum_changepoint" -> q156)
 
   val oracle: Map[String, String] = Map(
+    "q202_psi_drift" ->
+      s"""WITH ev AS (SELECT value,
+         |    ((epoch_us(ts) - 1704067200000000) // 86400000000) < 15 AS is_a
+         |  FROM events),
+         |mm AS (SELECT min(value) AS lo, max(value) AS hi FROM ev),
+         |c AS (SELECT
+         |    CAST(least(floor((value - lo) * 10.0e0 / (hi - lo)), 9.0e0)
+         |      AS BIGINT) AS bin,
+         |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+         |  FROM ev, mm GROUP BY 1),
+         |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+         |    CAST(sum(cb) AS BIGINT) AS nb FROM c)
+         |SELECT bin, ca, cb,
+         |  ${sqlRnd("(CAST(ca + 1 AS DOUBLE) / (na + 10) - CAST(cb + 1 AS DOUBLE) / (nb + 10)) * ln((CAST(ca + 1 AS DOUBLE) / (na + 10)) / (CAST(cb + 1 AS DOUBLE) / (nb + 10)))", 6)} AS psi_contrib
+         |FROM c, t ORDER BY bin""".stripMargin,
+    "q203_benford_audit" ->
+      s"""WITH dg AS (SELECT
+         |    CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+         |      AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |    count(*) AS n
+         |  FROM orders WHERE o_totalprice >= 0.01e0 GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM dg)
+         |SELECT digit, n,
+         |  ${sqlRnd("CAST(n AS DOUBLE) / tot", 6)} AS p_obs,
+         |  ${sqlRnd("log10(1.0e0 + 1.0e0 / digit)", 6)} AS p_benford,
+         |  ${sqlRnd(s"abs(${sqlRnd("CAST(n AS DOUBLE) / tot", 6)} - ${sqlRnd("log10(1.0e0 + 1.0e0 / digit)", 6)})", 6)} AS abs_dev
+         |FROM dg, t ORDER BY digit""".stripMargin,
     "q198_survival_km" ->
       s"""WITH life AS (SELECT user_id,
          |    min((epoch_us(ts) - 1704067200000000) // 86400000000) AS first_day,

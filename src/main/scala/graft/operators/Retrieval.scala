@@ -240,7 +240,48 @@ object Retrieval {
       .orderBy("rank")
   }
 
+  /** Two unrolled Lloyd iterations of k-means (k=8) over the embedding
+    * corpus — assignment → centroid update → reassignment → per-cluster
+    * size and inertia. The native-SQL clustering step every IVF/coarse-
+    * quantizer build runs (q85's cells are exactly this with more
+    * rounds); unrolled so BOTH engines execute the identical dataflow
+    * with no model object in the loop.
+    *
+    * Determinism: seeds are the 8 lowest vec_ids; every squared-L2 is a
+    * strictly SEQUENTIAL 64-term fold (identical IEEE order in both
+    * engines — Spark `aggregate`, DuckDB `list_reduce`), so distances
+    * are bit-identical and the argmin (min-dist join-back, centroid-id
+    * tiebreak) cannot drift; updated centroid coordinates pin at 10 dp
+    * (per-dim averages are the one summation-order-dependent step);
+    * per-cluster inertia pins at 4 dp. Scale: assignment is
+    * fact × broadcast(8 centroids); the update is a (cluster, dim)-grain
+    * agg — row-linear in vectors, the standard distributed Lloyd shape
+    * (at real k, bucket by nprobe-style candidate lists first). */
+  def q204(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val seeds = e.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    def assign(cents: DataFrame): DataFrame = {
+      val dists = e.crossJoin(broadcast(cents))
+        .withColumn("dist", expr(
+          "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0e0, (a, x) -> a + x)"))
+      val m = dists.groupBy("vec_id").agg(min("dist").as("md"))
+      dists.join(m, "vec_id").filter(col("dist") === col("md"))
+        .groupBy("vec_id").agg(min("c_id").as("c_id"), min("md").as("dist"))
+    }
+    val upd = assign(seeds).join(e, "vec_id")
+      .select(col("c_id"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("c_id", "i").agg(rnd(avg("x"), 10).as("m"))
+      .groupBy("c_id")
+      .agg(expr("transform(sort_array(collect_list(struct(i, m))), s -> s.m)").as("cv"))
+    assign(upd).groupBy("c_id")
+      .agg(count(lit(1)).as("n_members"), r4(sum("dist")).as("inertia"))
+      .orderBy("c_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q204_kmeans_step" -> q204,
     "q170_mmr_rerank" -> q170,
     "q153_posting_lists" -> q153,
     "q100_bm25_rank" -> q100,
@@ -251,6 +292,35 @@ object Retrieval {
   private val wordsCte = s"w AS (${TextPipeline.wordsSql})"
 
   val oracle: Map[String, String] = Map(
+    "q204_kmeans_step" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |seeds AS (SELECT vec_id AS c_id, v AS cv FROM e
+         |  ORDER BY vec_id LIMIT 8),
+         |d1 AS (SELECT e.vec_id, s.c_id,
+         |    list_reduce(list_transform(generate_series(1, 64),
+         |      i -> (e.v[i] - s.cv[i]) * (e.v[i] - s.cv[i])),
+         |      (a, x) -> a + x) AS dist
+         |  FROM e CROSS JOIN seeds s),
+         |m1 AS (SELECT vec_id, min(dist) AS md FROM d1 GROUP BY 1),
+         |a1 AS (SELECT d1.vec_id, min(d1.c_id) AS c_id
+         |  FROM d1 JOIN m1 ON d1.vec_id = m1.vec_id AND d1.dist = m1.md
+         |  GROUP BY 1),
+         |pd AS (SELECT a1.c_id, t.i, ${sqlRnd("avg(e.v[t.i])", 10)} AS m
+         |  FROM a1 JOIN e USING (vec_id)
+         |  CROSS JOIN generate_series(1, 64) t(i)
+         |  GROUP BY 1, 2),
+         |c2 AS (SELECT c_id, list(m ORDER BY i) AS cv FROM pd GROUP BY 1),
+         |d2 AS (SELECT e.vec_id, c.c_id,
+         |    list_reduce(list_transform(generate_series(1, 64),
+         |      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])),
+         |      (a, x) -> a + x) AS dist
+         |  FROM e CROSS JOIN c2 c),
+         |m2 AS (SELECT vec_id, min(dist) AS md FROM d2 GROUP BY 1),
+         |a2 AS (SELECT d2.vec_id, min(d2.c_id) AS c_id, min(m2.md) AS dist
+         |  FROM d2 JOIN m2 ON d2.vec_id = m2.vec_id AND d2.dist = m2.md
+         |  GROUP BY 1)
+         |SELECT c_id, count(*) AS n_members, ${sr4("sum(dist)")} AS inertia
+         |FROM a2 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q170_mmr_rerank" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |probe AS (SELECT v AS p FROM e WHERE vec_id = 0),

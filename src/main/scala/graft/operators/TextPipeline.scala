@@ -518,7 +518,37 @@ object TextPipeline {
       .orderBy("source")
   }
 
+  /** Per-source token-count Gini coefficient — the length-inequality
+    * diagnostic a training-mix builder reads before sampling: a source
+    * whose token mass concentrates in a few huge documents (Gini → 1)
+    * needs doc-level budget caps (q109), a uniform one (Gini → 0) doesn't.
+    * Computed by the exact rank formula G = 2·Σᵢ i·xᵢ/(n·Σx) − (n+1)/n
+    * over ascending-sorted counts.
+    *
+    * Determinism: everything is exact integer arithmetic until the final
+    * scalar expression, which both engines evaluate with the identical
+    * operation sequence on identical ints (then the 4 dp pin). Ranks
+    * tiebreak on doc_id. Scale: one partitioned window (rank within
+    * source) + one source-grain agg — row-linear, no pairwise work. */
+  def q201(s: SparkSession, d: String): DataFrame = {
+    val t = documents(s, d).select(col("source"), col("doc_id"),
+      size(expr("filter(split(lower(text), ' '), w -> w != '')"))
+        .cast("long").as("tok"))
+    val w = Window.partitionBy("source").orderBy(col("tok"), col("doc_id"))
+    t.withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("total_tokens"),
+        sum(col("rk") * col("tok")).as("rw"))
+      .withColumn("gini", r4(
+        lit(2.0) * col("rw").cast("double") /
+          (col("n_docs").cast("double") * col("total_tokens").cast("double")) -
+        (col("n_docs").cast("double") + lit(1.0)) / col("n_docs").cast("double")))
+      .select("source", "n_docs", "total_tokens", "gini")
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_token_gini" -> q201,
     "q199_ngram_novelty" -> q199,
     "q167_bigram_pmi" -> q167,
     "q169_rake_keywords" -> q169,
@@ -540,6 +570,18 @@ object TextPipeline {
   private val wordsCte = s"w AS ($wordsSql)"
 
   val oracle: Map[String, String] = Map(
+    "q201_token_gini" ->
+      s"""WITH t AS (SELECT source, doc_id,
+         |    CAST(len(list_filter(string_split(lower(text), ' '),
+         |      x -> x != '')) AS BIGINT) AS tok
+         |  FROM documents),
+         |r AS (SELECT source, tok, CAST(row_number() OVER (
+         |    PARTITION BY source ORDER BY tok, doc_id) AS BIGINT) AS rk
+         |  FROM t)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(tok) AS BIGINT) AS total_tokens,
+         |  ${sr4("2.0e0 * CAST(sum(rk * tok) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * CAST(sum(tok) AS DOUBLE)) - (CAST(count(*) AS DOUBLE) + 1.0e0) / CAST(count(*) AS DOUBLE)")} AS gini
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q199_ngram_novelty" ->
       s"""WITH w AS (SELECT source,
          |    list_filter(string_split(lower(text), ' '), x -> x != '') AS words

@@ -714,11 +714,20 @@ object Workloads {
     * Scale: both aggs and the join-back key on l_partkey — one shuffle,
     * reused exchange; part/supplier dims broadcast. */
   def q190(s: SparkSession, d: String): DataFrame = {
+    // ONE exchange for the whole extremum chain: lineitem shuffles on
+    // l_partkey once; partkey-only partitioning satisfies the
+    // (partkey, suppkey) agg's clustering AND the per-part min WINDOW
+    // (computing the min as a second aggregate instead would plan a
+    // second lineitem scan — the agg subplans differ, so ReusedExchange
+    // can't kick in; the window reads the agg output in place).
     val ps = lineitem(s, d).filter(col("l_quantity") > 0.0)
       .select(col("l_partkey"), col("l_suppkey"),
         (col("l_extendedprice") / col("l_quantity")).as("unit"))
+      .repartition(col("l_partkey"))
       .groupBy("l_partkey", "l_suppkey").agg(min("unit").as("cost"))
-    val minCost = ps.groupBy("l_partkey").agg(min("cost").as("min_cost"))
+    val best = ps.withColumn("min_cost",
+        min("cost").over(Window.partitionBy("l_partkey")))
+      .filter(col("cost") === col("min_cost"))
     val target = part(s, d).filter(col("p_size") === 15)
       .select("p_partkey", "p_name")
     val sup = supplier(s, d)
@@ -726,9 +735,7 @@ object Workloads {
       .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    ps.join(broadcast(target), col("l_partkey") === col("p_partkey"))
-      .join(minCost, "l_partkey")
-      .filter(col("cost") === col("min_cost"))
+    best.join(broadcast(target), col("l_partkey") === col("p_partkey"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .select(r2(col("s_acctbal")).as("s_acctbal"), col("s_name"),
         col("n_name"), col("p_partkey"), col("p_name"),
@@ -854,15 +861,18 @@ object Workloads {
     * final semi join is dimension-sized. */
   def q196(s: SparkSession, d: String): DataFrame = {
     val promo = part(s, d).filter(col("p_type") === "PROMO").select("p_partkey")
+    // same one-exchange trick as q190: partkey-only partitioning serves
+    // the pair-grain agg, the part-grain total, and the join
     val shipped = lineitem(s, d).select("l_partkey", "l_suppkey", "l_quantity")
       .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+      .repartition(col("l_partkey"))
       .groupBy("l_partkey", "l_suppkey").agg(sum("l_quantity").as("sq"))
-    val tot = shipped.groupBy("l_partkey").agg(sum("sq").as("tq"))
-    val qual = shipped.join(tot, "l_partkey")
+    val qual = shipped.withColumn("tq",
+        sum("sq").over(Window.partitionBy("l_partkey")))
       .filter(col("sq") > col("tq") * lit(0.2))
       .select("l_suppkey").distinct()
     supplier(s, d).select("s_suppkey", "s_name")
-      .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(qual), col("s_suppkey") === col("l_suppkey"), "left_semi")
       .orderBy("s_suppkey")
   }
 

@@ -299,6 +299,56 @@ class OperatorGoldenSpec extends AnyFunSuite {
     assert(operators.SetOps.q43(s, dir2).collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("q198 Kaplan-Meier: survival is non-increasing from <=1, at-risk counts telescope, deaths never exceed risk set") {
+    val km = operators.Analytics.q198(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(km.nonEmpty)
+    // rows ordered by lifetime t; survival starts <=1 and never rises
+    assert(km.head._4 <= 1.0 + 1e-9)
+    assert(km.sliding(2).forall {
+      case Array(a, b) => b._4 <= a._4 + 1e-9
+      case _ => true
+    })
+    assert(km.forall { case (_, nRisk, dth, sv) =>
+      dth <= nRisk && sv >= 0.0 && sv <= 1.0 })
+    // the first (smallest-t) at-risk count is the full user population:
+    // every user's lifetime is >= the minimum observed lifetime
+    val users = Tables.events(s, d).select("user_id").distinct().count()
+    assert(km.head._2 == users)
+  }
+
+  test("q204 k-means: clusters partition the corpus and reassignment never increases inertia") {
+    val out = operators.Retrieval.q204(s, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._2).sum == Tables.embeddings(s, d).count())
+    assert(out.forall(_._3 >= 0.0))
+    // Lloyd guarantee: total inertia after (update, reassign) is <= the
+    // inertia of the seed assignment (strict improvement on this corpus)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val seeds = e.orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val seedInertia = e.crossJoin(broadcast(seeds))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0e0, (a, x) -> a + x)"))
+      .groupBy("vec_id").agg(min("dist").as("md"))
+      .agg(sum("md")).head().getDouble(0)
+    assert(out.map(_._3).sum <= seedInertia + 1e-6)
+  }
+
+  test("q201/q199/q202: gini and novelty land in [0,1]; PSI bins partition both corpus halves") {
+    val g = operators.TextPipeline.q201(s, d).collect()
+    assert(g.length == 20)
+    assert(g.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0))
+    val nv = operators.TextPipeline.q199(s, d).collect()
+    assert(nv.forall { r =>
+      val ratio = r.getDouble(3)
+      ratio > 0.0 && ratio <= 1.0 && r.getLong(2) <= r.getLong(1) })
+    val psi = operators.Analytics.q202(s, d).collect()
+    val ev = Tables.events(s, d).count()
+    assert(psi.map(r => r.getLong(1) + r.getLong(2)).sum == ev)
+  }
+
   test("TPC-H matrix conservation laws: q186 partitions customers, q194 partitions lines, q184 excludes same-nation flows") {
     // q186 (Q13): the order-count histogram must PARTITION the customer
     // set (custdist sums to |customer|) and its weighted sum must equal
