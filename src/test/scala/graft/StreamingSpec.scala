@@ -298,6 +298,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState Holt: streaming level/trend state equals the batch Graft.holt fold exactly") {
+    val sp = s
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = LocalDateTime.of(2024, 1, 1, 10, 0, 0)
+      val batch1 = Seq(
+        Ev(1, 1, "m", 10.0, utcTs(base)),
+        Ev(2, 1, "m", 20.0, utcTs(base.plusMinutes(1))),
+        Ev(3, 2, "m", 5.0, utcTs(base.plusMinutes(2))))
+      val batch2 = Seq( // state must continue the recurrence across batches
+        Ev(4, 1, "m", 30.0, utcTs(base.plusMinutes(3))),
+        Ev(5, 2, "m", 7.5, utcTs(base.plusMinutes(4))),
+        Ev(6, 2, "m", 2.25, utcTs(base.plusMinutes(5))))
+      val ms = MemoryStream[Ev]
+      val out = ms.toDS().groupByKey(_.user_id)
+        .transformWithState(new HoltProcessor(0.5, 0.3),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      val q = out.toDF("user_id", "level", "trend", "n")
+        .writeStream.format("memory").queryName("holt_out")
+        .outputMode("update").start()
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      q.stop()
+      // final state per user = the row with the largest n
+      val streamed = s.table("holt_out")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy(col("n").desc)))
+        .filter(col("rn") === 1)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val batchTwin = graft.api.Graft.holt(
+        (batch1 ++ batch2).toDF(), Seq("user_id"), "event_id", "value", 0.5, 0.3)
+        .collect().map(r => r.getLong(0) ->
+          (r.getDouble(r.fieldIndex("level")), r.getDouble(r.fieldIndex("trend")))).toMap
+      assert(streamed == batchTwin,
+        s"streaming Holt state diverged from batch fold: $streamed vs $batchTwin")
+    } finally sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("checkpoint recovery: a restarted query resumes aggregation state exactly-once") {
     // The production incremental-batch pattern: file source + AvailableNow +
     // checkpoint. Run 1 aggregates the first files and stops; run 2 starts a
@@ -426,6 +469,43 @@ case class Doc(doc_id: Long, text: String, tsc: Timestamp)
 
 /** Per-key running max over [[org.apache.spark.sql.streaming.ValueState]] —
   * the minimal transformWithState processor (no timers, no TTL). */
+/** Per-key Holt level/trend recurrence as streaming state — every step
+  * applies the IDENTICAL 10 dp-pinned IEEE ops as Graft.holt's SQL fold,
+  * so the streaming state must equal the batch fold EXACTLY (==), not
+  * within a tolerance. State = (level, trend, n). */
+class HoltProcessor(alpha: Double, beta: Double)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Ev, (Long, Double, Double, Long)] {
+  @transient private var st:
+    org.apache.spark.sql.streaming.ValueState[(Double, Double, Long)] = _
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    st = getHandle.getValueState[(Double, Double, Long)]("holt",
+      org.apache.spark.sql.Encoders.product[(Double, Double, Long)],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  private def pin10(x: Double): Double = math.floor(x * 1e10 + 0.5) / 1e10
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      timers: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Double, Double, Long)] = {
+    // event order within the micro-batch is not guaranteed — replay in
+    // event_id order, exactly as the batch fold sorts by its order column
+    val ordered = rows.toSeq.sortBy(_.event_id)
+    var (l, b, n) =
+      if (st.exists()) st.get() else (Double.NaN, 0.0, 0L)
+    ordered.foreach { e =>
+      if (n == 0L) { l = e.value; b = 0.0 }
+      else {
+        val nl = pin10(alpha * e.value + (1 - alpha) * (l + b))
+        val nb = pin10(beta * (nl - l) + (1 - beta) * b)
+        l = nl; b = nb
+      }
+      n += 1
+    }
+    st.update((l, b, n))
+    Iterator.single((key, l, b, n))
+  }
+}
+
 class RunningMaxProcessor
     extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, (Long, Double)] {
   @transient private var maxState: org.apache.spark.sql.streaming.ValueState[Double] = _
