@@ -777,7 +777,75 @@ object Analytics {
       .orderBy("digit")
   }
 
+  /** Supplier-revenue Herfindahl–Hirschman concentration per supplier
+    * nation — the market-concentration readout (HHI = Σ shareₛ², 1/n for
+    * perfectly even supply, →1 for a monopoly nation) that complements
+    * q148's Pareto curve with the antitrust-standard scalar.
+    *
+    * Determinism: per-supplier revenue pins at 2 dp BEFORE shares, so
+    * both engines square and sum identical doubles (≤|suppliers/nation|
+    * addends under the 4 dp pin). Scale: one supplier-grain agg, a
+    * nation-partitioned window for totals on the supplier-grain relation
+    * (dimension-sized), one nation-grain agg. */
+  def q205(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .select("l_suppkey", "l_extendedprice", "l_discount")
+      .groupBy("l_suppkey")
+      .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("rev"))
+      .join(broadcast(supplier(s, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, d).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+    rev.withColumn("tot", sum("rev").over(Window.partitionBy("n_name")))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        r2(max("tot")).as("nation_rev"),
+        r4(sum((col("rev") / col("tot")) * (col("rev") / col("tot"))))
+          .as("hhi"))
+      .orderBy("n_name")
+  }
+
+  /** Deterministic Poisson-multiplier bootstrap CI for the mean purchase
+    * value: 100 replicas, each row's replica weight drawn from a
+    * Poisson(1)-approximating 6-point distribution keyed by
+    * sha256(event_id:replica) — the one-pass, zero-RNG-state scalable
+    * bootstrap (each row is visited once per replica with a multiplier,
+    * never resampled), giving the 95% percentile interval. Same hex-
+    * threshold trick as q103: hex prefixes compare lexicographically as
+    * numbers, so the CDF cutoffs are string constants in both engines.
+    *
+    * Determinism: weights are exact string compares on identical sha256
+    * hex; replica means pin at 10 dp before the percentile interpolation
+    * (which then runs identical IEEE ops on identical sorted inputs).
+    * Scale: fact × 100 broadcast replicas, one (replica)-grain agg with
+    * map-side combine — at the 100 TB point, drop the multiplier matrix
+    * to fewer replicas or the bag-of-little-bootstraps split. */
+  def q206(s: SparkSession, d: String): DataFrame = {
+    val x = events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("value"))
+    val reps = s.range(100).toDF("r")
+    val means = x.crossJoin(broadcast(reps))
+      .withColumn("h8",
+        substring(sha2(concat_ws(":", col("event_id"), col("r")), 256), 1, 8))
+      .withColumn("w",
+        when(col("h8") < "5e2d58d8", 0L)
+          .when(col("h8") < "bc5ab1b1", 1L)
+          .when(col("h8") < "eb715e1d", 2L)
+          .when(col("h8") < "fb239797", 3L)
+          .when(col("h8") < "ff1025f5", 4L).otherwise(5L))
+      .groupBy("r")
+      .agg(rnd(sum(col("w") * col("value")) / sum("w").cast("double"), 10)
+        .as("m"))
+    means.agg(count(lit(1)).as("n_replicas"),
+      r4(avg("m")).as("boot_mean"),
+      r4(expr("percentile(m, 0.025e0)")).as("lo95"),
+      r4(expr("percentile(m, 0.975e0)")).as("hi95"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_hhi_concentration" -> q205,
+    "q206_bootstrap_ci" -> q206,
     "q202_psi_drift" -> q202,
     "q203_benford_audit" -> q203,
     "q198_survival_km" -> q198,
@@ -809,6 +877,37 @@ object Analytics {
     "q156_cusum_changepoint" -> q156)
 
   val oracle: Map[String, String] = Map(
+    "q205_hhi_concentration" ->
+      s"""WITH rev AS (SELECT l_suppkey,
+         |    ${sr2("sum(l_extendedprice * (1.0e0 - l_discount))")} AS rev
+         |  FROM lineitem GROUP BY 1),
+         |j AS (SELECT n_name, rev,
+         |    sum(rev) OVER (PARTITION BY n_name) AS tot
+         |  FROM rev
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey)
+         |SELECT n_name, count(*) AS n_suppliers,
+         |  ${sr2("max(tot)")} AS nation_rev,
+         |  ${sr4("sum((rev / tot) * (rev / tot))")} AS hhi
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q206_bootstrap_ci" ->
+      s"""WITH x AS (SELECT event_id, value FROM events
+         |  WHERE event_type = 'purchase'),
+         |wt AS (SELECT r, value,
+         |    CASE WHEN h8 < '5e2d58d8' THEN 0 WHEN h8 < 'bc5ab1b1' THEN 1
+         |         WHEN h8 < 'eb715e1d' THEN 2 WHEN h8 < 'fb239797' THEN 3
+         |         WHEN h8 < 'ff1025f5' THEN 4 ELSE 5 END AS w
+         |  FROM (SELECT t.r, x.value,
+         |      substr(sha256(CAST(x.event_id AS VARCHAR) || ':' ||
+         |        CAST(t.r AS VARCHAR)), 1, 8) AS h8
+         |    FROM x CROSS JOIN generate_series(0, 99) t(r))),
+         |means AS (SELECT r,
+         |    ${sqlRnd("sum(w * value) / CAST(sum(w) AS DOUBLE)", 10)} AS m
+         |  FROM wt GROUP BY 1)
+         |SELECT count(*) AS n_replicas, ${sr4("avg(m)")} AS boot_mean,
+         |  ${sr4("quantile_cont(m, 0.025e0)")} AS lo95,
+         |  ${sr4("quantile_cont(m, 0.975e0)")} AS hi95
+         |FROM means""".stripMargin,
     "q202_psi_drift" ->
       s"""WITH ev AS (SELECT value,
          |    ((epoch_us(ts) - 1704067200000000) // 86400000000) < 15 AS is_a

@@ -224,6 +224,26 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("q190/q196: ONE data exchange feeds the whole extremum chain (window over the partkey partitioning)") {
+    // The per-part min/total is a WINDOW over the already-partitioned
+    // aggregate, not a second aggregate — a second agg plans a second
+    // lineitem scan (the subplans differ, so ReusedExchange can't fire).
+    // One shuffle Exchange for q190; q196 adds exactly one more for the
+    // qualifying-supplier distinct. Everything else must be broadcast.
+    val p190 = planOf(operators.Workloads.q190(s, d))
+    val shuffles190 = "(?<!Broadcast)Exchange".r.findAllIn(
+      p190.replace("BroadcastExchange", "BX")).length
+    assert(shuffles190 == 1, s"q190 should shuffle exactly once:\n$p190")
+    assert(p190.contains("Window"), "q190 min must be a window, not a re-agg")
+    // q196: partkey repartition + suppkey distinct + the output sort's
+    // range partitioning = 3; anything more means the window degraded
+    // back to a re-aggregating second scan
+    val p196 = planOf(operators.Workloads.q196(s, d))
+    val shuffles196 = "(?<!Broadcast)Exchange".r.findAllIn(
+      p196.replace("BroadcastExchange", "BX")).length
+    assert(shuffles196 <= 3, s"q196 should shuffle at most 3 times:\n$p196")
+  }
+
   test("q39 interval join is equi-planned on (user, cell): SMJ when broadcast is off") {
     // At test SF the optimizer rightly broadcasts the small side (no hint in
     // the query). The 100 TB shape is what matters: with broadcast disabled
