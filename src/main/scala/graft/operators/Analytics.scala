@@ -843,7 +843,74 @@ object Analytics {
       r4(expr("percentile(m, 0.975e0)")).as("hi95"))
   }
 
+  /** Welch's unequal-variance t-test on per-user purchase SPEND between
+    * the q140 hash arms — the continuous-metric experiment readout beside
+    * q140's proportion z-test (Welch because arm variances need not
+    * match; df via Welch–Satterthwaite). One row: per-arm n/mean/sd, t,
+    * and the effective degrees of freedom.
+    *
+    * Determinism: means/variances are double aggs over identical rows
+    * with drift ≪ the 4 dp pins; t and df divide those — pinned.
+    * Scale: fact→user-grain agg, then a 2-row arm agg; the arm stats
+    * cross-join is 1×1. */
+  def q207(s: SparkSession, d: String): DataFrame = {
+    val spend = events(s, d).filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(sum("value").as("y"))
+      .withColumn("arm",
+        when(graft.api.Graft.hashBucket(col("user_id"), 2) === 0, "A")
+          .otherwise("B"))
+    val per = spend.groupBy("arm").agg(count(lit(1)).as("n"),
+      avg("y").as("m"), var_samp("y").as("v"))
+    val a = per.filter(col("arm") === "A")
+      .select(col("n").as("n_a"), col("m").as("m_a"), col("v").as("v_a"))
+    val b = per.filter(col("arm") === "B")
+      .select(col("n").as("n_b"), col("m").as("m_b"), col("v").as("v_b"))
+    val se2a = col("v_a") / col("n_a").cast("double")
+    val se2b = col("v_b") / col("n_b").cast("double")
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("n_b"),
+        r2(col("m_a")).as("mean_a"), r2(col("m_b")).as("mean_b"),
+        r2(sqrt(col("v_a"))).as("sd_a"), r2(sqrt(col("v_b"))).as("sd_b"),
+        r4((col("m_a") - col("m_b")) / sqrt(se2a + se2b)).as("t"),
+        r2((se2a + se2b) * (se2a + se2b) /
+          (se2a * se2a / (col("n_a") - 1).cast("double") +
+           se2b * se2b / (col("n_b") - 1).cast("double"))).as("df"))
+  }
+
+  /** Forecast backtest with MASE: daily revenue, last-year test split,
+    * seasonal-naive (same weekday last week, lag 7) vs one-step-naive
+    * (lag 1) forecasts, scored by mean absolute error — MASE =
+    * MAE_seasonal / MAE_naive, the scale-free forecast-quality standard
+    * (< 1 ⇒ the seasonal model beats the naive walk). The evaluation
+    * harness q200's Holt (or any forecaster) plugs into.
+    *
+    * Determinism: daily revenue pins at 2 dp BEFORE the lags, so errors
+    * subtract identical grid values; the MAEs average those (drift ≪
+    * pins). Lags are ROW lags over the day-ordered series — exact on
+    * this dense calendar, documented as calendar-join at open scale.
+    * Scale: one day-grain agg (calendar-sized), unpartitioned window on
+    * ≤|days| rows — the documented dimension-sized exemption. */
+  def q208(s: SparkSession, d: String): DataFrame = {
+    val daily = lineitem(s, d)
+      .groupBy(col("l_shipdate").as("day"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("rev"))
+    val w = Window.orderBy("day")
+    val t = daily
+      .withColumn("f_seasonal", lag("rev", 7).over(w))
+      .withColumn("f_naive", lag("rev", 1).over(w))
+      .filter(year(col("day")) === 2001)
+      .filter(col("f_seasonal").isNotNull && col("f_naive").isNotNull)
+    t.agg(count(lit(1)).as("n_test"),
+      r2(avg(abs(col("rev") - col("f_naive")))).as("mae_naive"),
+      r2(avg(abs(col("rev") - col("f_seasonal")))).as("mae_seasonal"),
+      r4(avg(abs(col("rev") - col("f_seasonal"))) /
+        avg(abs(col("rev") - col("f_naive")))).as("mase"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_welch_ttest" -> q207,
+    "q208_mase_backtest" -> q208,
     "q205_hhi_concentration" -> q205,
     "q206_bootstrap_ci" -> q206,
     "q202_psi_drift" -> q202,
@@ -877,6 +944,37 @@ object Analytics {
     "q156_cusum_changepoint" -> q156)
 
   val oracle: Map[String, String] = Map(
+    "q207_welch_ttest" ->
+      s"""WITH spend AS (SELECT user_id, sum(value) AS y
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |arm AS (SELECT y,
+         |    CASE WHEN ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+         |         THEN 'A' ELSE 'B' END AS arm
+         |  FROM spend),
+         |per AS (SELECT arm, count(*) AS n, avg(y) AS m, var_samp(y) AS v
+         |  FROM arm GROUP BY 1),
+         |a AS (SELECT n AS n_a, m AS m_a, v AS v_a FROM per WHERE arm = 'A'),
+         |b AS (SELECT n AS n_b, m AS m_b, v AS v_b FROM per WHERE arm = 'B')
+         |SELECT n_a, n_b, ${sr2("m_a")} AS mean_a, ${sr2("m_b")} AS mean_b,
+         |  ${sr2("sqrt(v_a)")} AS sd_a, ${sr2("sqrt(v_b)")} AS sd_b,
+         |  ${sr4("(m_a - m_b) / sqrt(v_a / n_a + v_b / n_b)")} AS t,
+         |  ${sr2("(v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b) / ((v_a / n_a) * (v_a / n_a) / CAST(n_a - 1 AS DOUBLE) + (v_b / n_b) * (v_b / n_b) / CAST(n_b - 1 AS DOUBLE))")} AS df
+         |FROM a CROSS JOIN b""".stripMargin,
+    "q208_mase_backtest" ->
+      s"""WITH daily AS (SELECT l_shipdate AS day,
+         |    ${sr2("sum(l_extendedprice * (1.0e0 - l_discount))")} AS rev
+         |  FROM lineitem GROUP BY 1),
+         |lagged AS (SELECT day, rev,
+         |    lag(rev, 7) OVER (ORDER BY day) AS f_seasonal,
+         |    lag(rev, 1) OVER (ORDER BY day) AS f_naive
+         |  FROM daily),
+         |t AS (SELECT * FROM lagged WHERE year(day) = 2001
+         |  AND f_seasonal IS NOT NULL AND f_naive IS NOT NULL)
+         |SELECT count(*) AS n_test,
+         |  ${sr2("avg(abs(rev - f_naive))")} AS mae_naive,
+         |  ${sr2("avg(abs(rev - f_seasonal))")} AS mae_seasonal,
+         |  ${sr4("avg(abs(rev - f_seasonal)) / avg(abs(rev - f_naive))")} AS mase
+         |FROM t""".stripMargin,
     "q205_hhi_concentration" ->
       s"""WITH rev AS (SELECT l_suppkey,
          |    ${sr2("sum(l_extendedprice * (1.0e0 - l_discount))")} AS rev

@@ -280,7 +280,35 @@ object Retrieval {
       .orderBy("c_id")
   }
 
+  /** Per-dimension quantile (rank) normalization of the embedding matrix —
+    * each coordinate replaced by its percent-rank within its dimension,
+    * the distribution-free feature-prep step that makes per-dim scales
+    * comparable before distance work (the rank half of rank-gauss;
+    * q102's quantizer assumes symmetric scales, this one doesn't).
+    * Long-form output (vec_id, dim, qn) — the assembled-array form is a
+    * groupBy collect away, kept exploded for the oracle's sake.
+    *
+    * Determinism: percent_rank is the exact rational (rank−1)/(n−1) with
+    * rank total-ordered by (value, vec_id) — no ties, identical doubles
+    * both engines (6 dp pin belt-and-braces). Scale: one explode, 64
+    * dimension-partitioned windows over n rows each — row-linear, and at
+    * open scale the per-dim sort is exactly the distributed-sort shape
+    * AQE handles. */
+  def q209(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("i").orderBy(col("x"), col("vec_id"))
+    embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("i"), col("x"))
+      .withColumn("qn", rnd(percent_rank().over(w), 6))
+      .select("vec_id", "i", "qn")
+      .orderBy("vec_id", "i")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_quantile_norm" -> q209,
     "q204_kmeans_step" -> q204,
     "q170_mmr_rerank" -> q170,
     "q153_posting_lists" -> q153,
@@ -292,6 +320,13 @@ object Retrieval {
   private val wordsCte = s"w AS (${TextPipeline.wordsSql})"
 
   val oracle: Map[String, String] = Map(
+    "q209_quantile_norm" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |x AS (SELECT vec_id, CAST(t.i AS BIGINT) AS i, v[t.i] AS x
+         |  FROM e CROSS JOIN generate_series(1, 64) t(i))
+         |SELECT vec_id, i,
+         |  ${sqlRnd("percent_rank() OVER (PARTITION BY i ORDER BY x, vec_id)", 6)} AS qn
+         |FROM x ORDER BY vec_id, i""".stripMargin,
     "q204_kmeans_step" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |seeds AS (SELECT vec_id AS c_id, v AS cv FROM e

@@ -336,6 +336,35 @@ class OperatorGoldenSpec extends AnyFunSuite {
     assert(out.map(_._3).sum <= seedInertia + 1e-6)
   }
 
+  test("q205-q209 invariants: HHI bounds, bootstrap CI brackets, Welch symmetry, MASE positivity, rank-norm range") {
+    // q205: HHI lies in [1/n, 1] per nation and shares are a partition
+    val hhi = operators.Analytics.q205(s, d).collect()
+    assert(hhi.nonEmpty)
+    hhi.foreach { r =>
+      val (n, h) = (r.getLong(1), r.getDouble(3))
+      assert(h >= 1.0 / n - 1e-9 && h <= 1.0 + 1e-9, s"HHI $h out of [1/$n, 1]") }
+    // q206: 100 replicas; the interval is ordered and brackets the
+    // bootstrap mean (it estimates the sample mean's distribution)
+    val ci = operators.Analytics.q206(s, d).head()
+    assert(ci.getLong(0) == 100)
+    assert(ci.getDouble(2) <= ci.getDouble(1) && ci.getDouble(1) <= ci.getDouble(3))
+    // q207: one row; df between min(n)-1 and n_a+n_b-2 (Welch bounds)
+    val t = operators.Analytics.q207(s, d).head()
+    val (na, nb, df) = (t.getLong(0), t.getLong(1), t.getDouble(7))
+    assert(df >= math.min(na, nb) - 1 - 1e-6 && df <= na + nb - 2 + 1e-6)
+    // q208: MAEs are positive and mase = ratio of the two pinned MAEs
+    val m = operators.Analytics.q208(s, d).head()
+    assert(m.getLong(0) > 0 && m.getDouble(1) > 0.0 && m.getDouble(2) > 0.0)
+    assert(math.abs(m.getDouble(3) - m.getDouble(2) / m.getDouble(1)) < 1e-2)
+    // q209: every dimension has exactly |vectors| rows; qn spans [0, 1]
+    val qn = operators.Retrieval.q209(s, d)
+    val nv = Tables.embeddings(s, d).count()
+    val perDim = qn.groupBy("i").count().select("count").distinct().collect()
+    assert(perDim.map(_.getLong(0)).toSeq == Seq(nv))
+    val mm = qn.agg(min("qn"), max("qn")).head()
+    assert(mm.getDouble(0) == 0.0 && mm.getDouble(1) == 1.0)
+  }
+
   test("q201/q199/q202: gini and novelty land in [0,1]; PSI bins partition both corpus halves") {
     val g = operators.TextPipeline.q201(s, d).collect()
     assert(g.length == 20)
