@@ -26,13 +26,15 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** events.parquet carries timestamp[ns] which Spark 4 rejects by default
-    * (PARQUET_TYPE_ILLEGAL). Recipe per SURVEY.md §1.3: read ns as long, then
-    * truncate to micros. `tsc` is cast to TIMESTAMP_NTZ so it compares and
-    * round-trips identically to DuckDB's naive TIMESTAMP (session TZ is UTC;
-    * zero rows carry sub-microsecond precision, so truncation is lossless).
-    * The raw `ts` long (ns since epoch) is kept for exact integer arithmetic
-    * in gap/session queries.
+  /** events.ts has shipped as BOTH timestamp[ns] (read as long under the
+    * legacy flag — Spark 4 rejects ns timestamps by default,
+    * PARQUET_TYPE_ILLEGAL) and timestamp[us] (read natively as
+    * TIMESTAMP_NTZ). The loader normalizes either schema to the same
+    * contract: `ts` = long ns since epoch for exact integer arithmetic in
+    * gap/session/day-bucket queries, `tsc` = TIMESTAMP_NTZ so comparisons
+    * round-trip identically to DuckDB's naive TIMESTAMP (session TZ is UTC;
+    * no row carries sub-microsecond precision, so both directions are
+    * lossless).
     */
   /** Memoized, cached shared inputs. ~20 queries re-derive events (ns decode
     * + json parse) and 7 re-derive ratings; caching them once per
@@ -99,8 +101,23 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame =
     memoized(spark, sfDir, "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      table(spark, sfDir, "events")
-        .withColumn("tsc", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+      val raw = table(spark, sfDir, "events")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // ns-as-long schema (timestamp[ns] parquet under the legacy flag,
+          // and hand-built long fixtures): derive the civil timestamp.
+          raw.withColumn("tsc",
+            expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+        case _ =>
+          // timestamp[us] schema (driver testdata since 2026-08-13): keep the
+          // civil value as tsc and rebuild the long-ns `ts` the integer
+          // arithmetic downstream (gap/session/day-bucket queries) contracts
+          // on. Session TZ is pinned UTC at every entry point, so
+          // cast(ntz -> ltz) -> unix_micros is the exact epoch value DuckDB's
+          // epoch_us(ts) computes on the same naive column.
+          raw.withColumn("tsc", col("ts").cast("timestamp_ntz"))
+            .withColumn("ts", expr("unix_micros(cast(tsc as timestamp)) * 1000L"))
+      }
     }
 
   /** The user–item interaction matrix (SURVEY.md §2.8 q60): item id comes from
