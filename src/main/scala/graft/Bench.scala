@@ -98,13 +98,19 @@ object Bench {
       val total = outcomes.map(_._2).sum
       s"""{"metric":"$metric","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     }
-    // Three lines, each with a UNIQUE metric name so no consumer can
+    // Four lines, each with a UNIQUE metric name so no consumer can
     // double-count a "total" (r6 advice): the two long per-query lines are
-    // for humans/local diffing, the short "total" line is printed LAST so a
-    // complete parseable JSON object always lands inside the driver's
-    // 2000-char tail window.
+    // for humans/local diffing; at 208 keys they outgrow the driver's
+    // 2000-char archive tail (r7: per-query times survived for only ~140
+    // keys), so a compact "steady_slowest80" line — the 80 slowest steady
+    // keys, which is where any regression must surface — plus the short
+    // "total" line are printed LAST and together stay well under the tail
+    // window (~1.2 KB + ~0.3 KB). Cross-round per-key tracking uses
+    // steady_slowest80 from BENCH_r*.json; full detail is local-first
+    // (BASELINE.md "Archived-tail contract").
     println(line("run1_detail", run1))
     println(line("steady_detail", steady))
+    println(line("steady_slowest80", steady.sortBy(-_._2).take(80)))
     val failed = steady.collect { case (k, _, false) => "\"" + k + "\"" }
       .sorted.mkString("[", ",", "]")
     val total = steady.map(_._2).sum

@@ -101,6 +101,11 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame =
     memoized(spark, sfDir, "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The ns rebuild below casts NTZ -> LTZ -> unix_micros, which reads
+      // the session timezone; pin it HERE so the loader's contract ("safe
+      // regardless of session configs", file header) holds even for a
+      // session that never went through an entry point's UTC pin.
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
       val raw = table(spark, sfDir, "events")
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
@@ -108,15 +113,23 @@ object Tables {
           // and hand-built long fixtures): derive the civil timestamp.
           raw.withColumn("tsc",
             expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
-        case _ =>
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
           // timestamp[us] schema (driver testdata since 2026-08-13): keep the
           // civil value as tsc and rebuild the long-ns `ts` the integer
           // arithmetic downstream (gap/session/day-bucket queries) contracts
-          // on. Session TZ is pinned UTC at every entry point, so
+          // on. Session TZ is pinned UTC just above, so
           // cast(ntz -> ltz) -> unix_micros is the exact epoch value DuckDB's
           // epoch_us(ts) computes on the same naive column.
           raw.withColumn("tsc", col("ts").cast("timestamp_ntz"))
             .withColumn("ts", expr("unix_micros(cast(tsc as timestamp)) * 1000L"))
+        case other =>
+          // Fail LOUDLY on schema drift: a string/int/decimal ts silently
+          // cast to timestamp would yield null ts/tsc in every downstream
+          // query instead of one clear error at the scan.
+          throw new IllegalArgumentException(
+            s"events.ts has unsupported type $other (expected LONG ns, " +
+              "TIMESTAMP, or TIMESTAMP_NTZ) at " + sfDir)
       }
     }
 

@@ -669,14 +669,18 @@ object Recommender {
     *
     * Determinism: deviations are double ratios over identical row sets;
     * the prediction's ≤|items| addends drift ≪ the 4 dp pin. Scale: the
-    * user-keyed self-join is the q107/q63 pair-explosion shape (Σ n_u² —
-    * cap per-user lists at open scale, see cappedRatings); the deviation
-    * matrix is items²-bounded and BROADCASTS while the catalog is
-    * dimension-sized — at open-catalog scale swap for a shuffle join on
-    * (j, i). The pair relation is derived twice (dev agg + score join);
-    * both derivations share the one ratings cache. */
+    * user-keyed self-join is the q107/q63 pair-explosion shape (Σ n_u²),
+    * so like the REST of the pair family (q63/q64/q88/q107/q133/q134) it
+    * runs on [[graft.Tables.cappedRatings]] — top-50 items per user, the
+    * bound that keeps the explosion linear-in-users under power-law
+    * activity (identical results below the cap; the oracle applies the
+    * same capped CTE). The deviation matrix is items²-bounded and
+    * BROADCASTS while the catalog is dimension-sized — at open-catalog
+    * scale swap for a shuffle join on (j, i). The pair relation is
+    * derived twice (dev agg + score join); both derivations share the
+    * one capped-ratings cache. */
   def q197(s: SparkSession, d: String): DataFrame = {
-    val r = ratings(s, d)
+    val r = cappedRatings(s, d)
     val a = r.select(col("user_id"), col("item").as("j"), col("rating").as("rj"))
     val b = r.select(col("user_id"), col("item").as("i"), col("rating").as("ri"))
     val pr = a.join(b, "user_id").filter(col("j") =!= col("i"))
@@ -726,9 +730,14 @@ object Recommender {
   val oracle: Map[String, String] = Map(
     "q197_slope_one" ->
       s"""WITH r AS ($ratingsSql),
+         |capped AS (SELECT user_id, item, rating FROM (
+         |    SELECT user_id, item, rating, row_number() OVER (
+         |      PARTITION BY user_id ORDER BY ${sr4("rating")} DESC, item) AS rn
+         |    FROM r) WHERE rn <= 50),
          |pr AS (SELECT a.user_id, a.item AS j, a.rating AS rj,
          |    b.item AS i, b.rating AS ri
-         |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item <> b.item),
+         |  FROM capped a JOIN capped b
+         |    ON a.user_id = b.user_id AND a.item <> b.item),
          |dev AS (SELECT j, i, ${sqlRnd("sum(rj - ri) / count(*)", 10)} AS dv,
          |    count(*) AS c FROM pr GROUP BY 1, 2)
          |SELECT pr.user_id, pr.j AS item, ${sr4("max(pr.rj)")} AS rating,

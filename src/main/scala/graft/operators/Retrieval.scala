@@ -258,26 +258,80 @@ object Retrieval {
     * agg — row-linear in vectors, the standard distributed Lloyd shape
     * (at real k, bucket by nprobe-style candidate lists first). */
   def q204(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
+    val e = embVecs(s, d)
+    kmAssign(e, kmeansCentroids(s, d)).groupBy("c_id")
+      .agg(count(lit(1)).as("n_members"), r4(sum("dist")).as("inertia"))
+      .orderBy("c_id")
+  }
+
+  /** The embedding corpus as (vec_id, v: array&lt;double&gt;) — the shared
+    * vector relation of the ANN family. */
+  private[graft] def embVecs(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+
+  /** One Lloyd assignment pass: each vector to its nearest centroid by
+    * squared L2 (min-dist join-back, centroid-id tiebreak) — the shape
+    * shared by q204's build and [[ivfProbe]]'s cell assignment. Input
+    * `cents` is (c_id, cv); always dimension-sized, so it broadcasts. */
+  private[graft] def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val dists = e.crossJoin(broadcast(cents))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0e0, (a, x) -> a + x)"))
+    val m = dists.groupBy("vec_id").agg(min("dist").as("md"))
+    dists.join(m, "vec_id").filter(col("dist") === col("md"))
+      .groupBy("vec_id").agg(min("c_id").as("c_id"), min("md").as("dist"))
+  }
+
+  /** The q204 coarse-quantizer build itself: seed with the 8 lowest
+    * vec_ids, one assignment + centroid-update round → (c_id, cv).
+    * Exposed so the IVF probe ([[ivfProbe]], RetrievalSpec's composed
+    * ANN-pipeline test) can consume the SAME centroids q204 reports on. */
+  private[graft] def kmeansCentroids(s: SparkSession, d: String): DataFrame = {
+    val e = embVecs(s, d)
     val seeds = e.orderBy("vec_id").limit(8)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    def assign(cents: DataFrame): DataFrame = {
-      val dists = e.crossJoin(broadcast(cents))
-        .withColumn("dist", expr(
-          "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0e0, (a, x) -> a + x)"))
-      val m = dists.groupBy("vec_id").agg(min("dist").as("md"))
-      dists.join(m, "vec_id").filter(col("dist") === col("md"))
-        .groupBy("vec_id").agg(min("c_id").as("c_id"), min("md").as("dist"))
-    }
-    val upd = assign(seeds).join(e, "vec_id")
+    kmAssign(e, seeds).join(e, "vec_id")
       .select(col("c_id"), posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("c_id", "i").agg(rnd(avg("x"), 10).as("m"))
       .groupBy("c_id")
       .agg(expr("transform(sort_array(collect_list(struct(i, m))), s -> s.m)").as("cv"))
-    assign(upd).groupBy("c_id")
-      .agg(count(lit(1)).as("n_members"), r4(sum("dist")).as("inertia"))
-      .orderBy("c_id")
+  }
+
+  /** IVF top-k cosine probe over an arbitrary centroid table (c_id, cv):
+    * candidates are assigned to cells by [[kmAssign]], each probe
+    * (vec_id &lt; 10) searches its `nprobe` nearest cells (squared-L2
+    * centroid distance, c_id tiebreak) and ranks candidates by cosine.
+    * This is q85's plan shape generalized from the label centroids to any
+    * coarse quantizer — composed with [[kmeansCentroids]] it is the full
+    * build→assign→probe ANN pipeline; nprobe is the standard
+    * recall-vs-cost knob. */
+  private[graft] def ivfProbe(s: SparkSession, d: String, cents: DataFrame,
+      k: Int, nprobe: Int = 1): DataFrame = {
+    graft.plans.CosineSim.register(s)
+    val w = org.apache.spark.sql.expressions.Window
+    val e = embVecs(s, d)
+    val cands = e.join(kmAssign(e, cents).select(col("vec_id"), col("c_id").as("cell")),
+        "vec_id")
+      .select(col("vec_id").as("cand_id"), col("cell"), col("v").as("c"))
+    val probeCells = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("p"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist", expr(
+        "aggregate(zip_with(p, cv, (x, y) -> (x - y) * (x - y)), 0e0, (a, x) -> a + x)"))
+      .withColumn("rn", row_number().over(
+        w.partitionBy("probe_id").orderBy(col("cdist"), col("c_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("probe_id"), col("p"), col("c_id").as("cell"))
+    cands.join(broadcast(probeCells), "cell")
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("cos", r5(expr("cosine_sim(p, c)")))
+      .withColumn("rnk", row_number().over(
+        w.partitionBy("probe_id").orderBy(col("cos").desc, col("cand_id")))
+        .cast("long"))
+      .filter(col("rnk") <= k)
+      .select("probe_id", "cell", "rnk", "cand_id", "cos")
+      .orderBy("probe_id", "rnk")
   }
 
   /** Per-dimension quantile (rank) normalization of the embedding matrix —

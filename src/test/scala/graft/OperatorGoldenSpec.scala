@@ -730,4 +730,147 @@ class OperatorGoldenSpec extends AnyFunSuite {
       assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
     }
   }
+
+  // ---- r8: constructed-fixture goldens for the r7 statistical keys ----
+  // The corpus invariants above check shape; these fixtures check VALUES
+  // against hand computation on data built to exercise each statistic's
+  // defining behavior (censoring, Benford law, CI coverage, arm
+  // separation, seasonal-beats-naive).
+
+  private val day0Ns = 1704067200000000000L // 2024-01-01T00:00:00Z in ns
+  private def dayNs(day: Long): Long = day0Ns + day * 86400000000000L
+  private def pin(x: Double, p: Double): Double = math.floor(x * p + 0.5) / p
+
+  test("q198 golden: constructed censoring pattern yields the hand-computed KM curve") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g198").toString
+    // lifetimes (first..last day): u1 0..2, u2 0..10, u3 5..15, u4 0..20
+    // (sets horizon h=20), u5 20..20. Deaths iff last <= h-7 = 13: u1 and
+    // u2 die; u3/u4/u5 are censored (active near the horizon).
+    Seq((1L, 0L), (1L, 2L), (2L, 0L), (2L, 10L), (3L, 5L), (3L, 15L),
+        (4L, 0L), (4L, 20L), (5L, 20L))
+      .map { case (u, day) => (u, dayNs(day)) }
+      .toDF("user_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Analytics.q198(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // t=0: u5 censored, 5 at risk, S=1; t=2: u1 dies of 4, S=3/4;
+    // t=10: u2 dies, u3 censored, of 3 at risk, S=(3/4)(2/3)=1/2;
+    // t=20: u4 censored of 1, S unchanged. A naive retention histogram
+    // would count u3/u4/u5 as churned — censoring is what this pins.
+    assert(got.toSeq == Seq((0L, 5L, 0L, 1.0), (2L, 4L, 1L, 0.75),
+      (10L, 3L, 1L, 0.5), (20L, 1L, 0L, 0.5)))
+  }
+
+  test("q203 golden: constructed first-digit sample matches hand-pinned Benford deviations") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g203").toString
+    // 100 order totals with EXACT first-digit counts; prices d*100+j keep
+    // first digit d and are integer-valued doubles, so the cent extraction
+    // is exact.
+    val counts = Map(1 -> 30, 2 -> 18, 3 -> 12, 4 -> 10, 5 -> 8,
+      6 -> 7, 7 -> 6, 8 -> 5, 9 -> 4)
+    counts.toSeq.flatMap { case (dg, c) => (0 until c).map(j => dg * 100.0 + j) }
+      .toDF("o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = operators.Analytics.q203(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    val want = (1 to 9).map { dg =>
+      val pObs = pin(counts(dg) / 100.0, 1e6)
+      // mirror Spark's log(10, x) = ln(x)/ln(10) exactly
+      val pBen = pin(math.log(1.0 + 1.0 / dg) / math.log(10.0), 1e6)
+      (dg.toLong, counts(dg).toLong, pObs, pBen, pin(math.abs(pObs - pBen), 1e6))
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("q206 golden: bootstrap CI on a constructed sample brackets the known mean") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g206").toString
+    // 210 purchases, values cycling 0..20 → sample mean exactly 10.0
+    (0 until 210).map(i =>
+        (i.toLong, "purchase", (i % 21).toDouble, dayNs(i % 30)))
+      .toDF("event_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ci = operators.Analytics.q206(s, dir).head()
+    val (n, m, lo, hi) =
+      (ci.getLong(0), ci.getDouble(1), ci.getDouble(2), ci.getDouble(3))
+    assert(n == 100)
+    assert(lo <= 10.0 && 10.0 <= hi, s"95% CI [$lo, $hi] misses true mean 10.0")
+    assert(lo <= m && m <= hi)
+    // σ≈6.06, n=210 → bootstrap-mean sd ≈ 0.42; the interval must be
+    // informative (≈±2sd), neither degenerate nor [min, max]-wide
+    assert(hi - lo > 0.1 && hi - lo < 2.6, s"CI [$lo, $hi] implausible width")
+  }
+
+  test("q207 golden: Welch t on constructed separated arms equals the hand-computed statistic") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g207").toString
+    // resolve each candidate user's arm with the SAME hash the query uses,
+    // then give arm A a high spend pattern and arm B a low one — known
+    // separation, unequal n, unequal variance (Welch's whole point)
+    val arms = s.range(1, 201).toDF("user_id")
+      .withColumn("arm",
+        when(graft.api.Graft.hashBucket(col("user_id"), 2) === 0, "A")
+          .otherwise("B"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val aUsers = arms.collect { case (u, "A") => u }.toSeq.sorted.take(30)
+    val bUsers = arms.collect { case (u, "B") => u }.toSeq.sorted.take(25)
+    assert(aUsers.size == 30 && bUsers.size == 25, "hash split too skewed")
+    def spendA(i: Int): Double = 100.0 + (i % 7) * 3.0
+    def spendB(i: Int): Double = 50.0 + (i % 3) * 1.0
+    val rows =
+      aUsers.zipWithIndex.map { case (u, i) =>
+        (u * 1000L, u, "purchase", spendA(i), dayNs(i)) } ++
+      bUsers.zipWithIndex.map { case (u, i) =>
+        (u * 1000L + 1, u, "purchase", spendB(i), dayNs(i)) }
+    rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Analytics.q207(s, dir).head()
+    // hand-computed Welch on the same spends (sums are exact integers, so
+    // the Scala and Spark doubles agree to the pins)
+    val ya = aUsers.indices.map(spendA(_)).map(_.toDouble)
+    val yb = bUsers.indices.map(spendB(_)).map(_.toDouble)
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    def varS(xs: Seq[Double]) = {
+      val m = mean(xs); xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1) }
+    val (ma, mb, va, vb) = (mean(ya), mean(yb), varS(ya), varS(yb))
+    val (se2a, se2b) = (va / ya.size, vb / yb.size)
+    val t = (ma - mb) / math.sqrt(se2a + se2b)
+    val df = (se2a + se2b) * (se2a + se2b) /
+      (se2a * se2a / (ya.size - 1) + se2b * se2b / (yb.size - 1))
+    assert(got.getLong(0) == 30L && got.getLong(1) == 25L)
+    assert(got.getDouble(2) == pin(ma, 1e2) && got.getDouble(3) == pin(mb, 1e2))
+    assert(math.abs(got.getDouble(4) - pin(math.sqrt(va), 1e2)) < 1e-9)
+    assert(math.abs(got.getDouble(5) - pin(math.sqrt(vb), 1e2)) < 1e-9)
+    assert(math.abs(got.getDouble(6) - pin(t, 1e4)) < 1e-4)
+    assert(math.abs(got.getDouble(7) - pin(df, 1e2)) < 1e-2)
+    assert(got.getDouble(6) > 10.0, "constructed separation must be decisive")
+  }
+
+  test("q208 golden: seasonal-naive beats the random walk on a constructed weekly series (MASE < 1)") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g208").toString
+    // dense daily series 2000-12-20..2001-01-31: exact weekly pattern plus
+    // a +1/day trend, so the lag-7 error is the constant 7.0 while the
+    // lag-1 error swings with the pattern — MASE far below 1
+    val pattern = Array(100.0, 200.0, 300.0, 150.0, 250.0, 120.0, 180.0)
+    val start = java.time.LocalDate.of(2000, 12, 20)
+    val days = (0 until (12 + 31)).map(start.plusDays(_))
+    def rev(i: Int): Double = pattern(i % 7) + i * 1.0
+    days.zipWithIndex.map { case (day, i) =>
+        (java.sql.Date.valueOf(day), rev(i), 0.0) }
+      .toDF("l_shipdate", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = operators.Analytics.q208(s, dir).head()
+    val test2001 = days.indices.filter(i => days(i).getYear == 2001)
+    val maeN = test2001.map(i => math.abs(rev(i) - rev(i - 1))).sum / test2001.size
+    val maeS = test2001.map(i => math.abs(rev(i) - rev(i - 7))).sum / test2001.size
+    assert(got.getLong(0) == test2001.size.toLong)
+    assert(got.getDouble(1) == pin(maeN, 1e2))
+    assert(got.getDouble(2) == pin(maeS, 1e2) && pin(maeS, 1e2) == 7.0)
+    assert(got.getDouble(3) == pin(maeS / maeN, 1e4))
+    assert(got.getDouble(3) < 1.0, "seasonal model must beat the naive walk")
+  }
 }

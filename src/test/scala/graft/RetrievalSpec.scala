@@ -84,4 +84,31 @@ class RetrievalSpec extends AnyFunSuite {
     // pure function of the data: a second evaluation is identical
     assert(operators.Retrieval.q103(s, d).collect().toSeq == out.toSeq)
   }
+
+  test("ANN pipeline: IVF probe over q204-built centroids recovers the brute-force top-1 for >= 80% of probes") {
+    // The composed build -> assign -> probe story (VERDICT r7 task 4):
+    // q204's coarse quantizer feeds the q85-shaped IVF probe, and the
+    // result must agree with q71's exhaustive scan on most probes — the
+    // standard recall@1 acceptance bar for an nprobe=1 index.
+    val cents = operators.Retrieval.kmeansCentroids(s, d)
+    val ivfTop1 = operators.Retrieval.ivfProbe(s, d, cents, k = 3)
+      .filter(col("rnk") === 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val bruteTop1 = operators.LlmPipeline.q71(s, d)
+      .filter(col("rnk") === 1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ivfTop1.keySet == bruteTop1.keySet, "probe sets differ")
+    val hits = bruteTop1.count { case (p, c) => ivfTop1(p) == c }
+    assert(hits >= (bruteTop1.size * 8 + 9) / 10,
+      s"IVF recall@1 only $hits/${bruteTop1.size} vs brute force")
+    // every IVF rank list is well-formed: ranks 1..k, cosine non-increasing
+    val lists = operators.Retrieval.ivfProbe(s, d, cents, k = 3).collect()
+      .groupBy(_.getLong(0))
+    lists.values.foreach { rows =>
+      val byRank = rows.sortBy(_.getLong(2))
+      assert(byRank.map(_.getLong(2)).toSeq == (1L to byRank.length).toSeq)
+      val cs = byRank.map(_.getDouble(4))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }

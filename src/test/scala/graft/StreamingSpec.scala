@@ -341,6 +341,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState Holt: stream state equals the batch fold on real events at sf0.001 AND sf0.01") {
+    // The constructed-data test above pins the recurrence; this one pins
+    // STATE SERIALIZATION at corpus scale and at two SFs (VERDICT r7 task
+    // 5): every user's (level, trend, n) after replaying the full events
+    // table through two micro-batches must equal Graft.holt's batch fold
+    // EXACTLY — any encoder/state-store change that perturbs the tuple
+    // round-trip fails here before it can ship.
+    val sp = s
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    sp.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      Seq(TestSpark.sf0001 -> "holt_sf0001", TestSpark.sf001 -> "holt_sf001")
+        .foreach { case (sf, name) =>
+          val evs = Tables.events(sp, sf)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("value"), col("tsc").cast("timestamp").as("tsc"))
+            .as[Ev].collect().sortBy(_.event_id)
+          // split at the median event_id: the fold must carry across the
+          // batch boundary for every user (HoltProcessor orders by
+          // event_id WITHIN a batch; the split keeps order across them)
+          val (b1, b2) = evs.splitAt(evs.length / 2)
+          val ms = MemoryStream[Ev]
+          val out = ms.toDS().groupByKey(_.user_id)
+            .transformWithState(new HoltProcessor(0.5, 0.3),
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Update())
+          val q = out.toDF("user_id", "level", "trend", "n")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("update").start()
+          ms.addData(b1.toIndexedSeq); q.processAllAvailable()
+          ms.addData(b2.toIndexedSeq); q.processAllAvailable()
+          q.stop()
+          val streamed = sp.table(name)
+            .withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy("user_id").orderBy(col("n").desc)))
+            .filter(col("rn") === 1)
+            .collect().map(r => r.getLong(0) ->
+              (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+          val batch = graft.api.Graft.holt(
+            Tables.events(sp, sf).select("event_id", "user_id", "value"),
+            Seq("user_id"), "event_id", "value", 0.5, 0.3)
+            .collect().map(r => r.getLong(r.fieldIndex("user_id")) ->
+              (r.getDouble(r.fieldIndex("level")),
+               r.getDouble(r.fieldIndex("trend")),
+               r.getLong(r.fieldIndex("n_points")))).toMap
+          assert(streamed.keySet == batch.keySet, s"user sets diverged at $sf")
+          val bad = streamed.collect {
+            case (u, st) if batch(u) != st => (u, st, batch(u)) }
+          assert(bad.isEmpty,
+            s"Holt stream/batch state diverged at $sf for ${bad.take(3)}")
+        }
+    } finally sp.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("checkpoint recovery: a restarted query resumes aggregation state exactly-once") {
     // The production incremental-batch pattern: file source + AvailableNow +
     // checkpoint. Run 1 aggregates the first files and stops; run 2 starts a
