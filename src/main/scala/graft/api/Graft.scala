@@ -491,6 +491,72 @@ object Graft {
     }.drop("__blk" +: valueCols.indices.map(i => s"__o$i"): _*)
   }
 
+  /** Grouped distributed prefix sums: [[prefixSum]]'s range-block
+    * decomposition applied WITHIN each group — the scale-safe replacement
+    * for `Window.partitionBy(groups).orderBy(orderCol)` running sums when
+    * a single group's series is itself fact-proportional (few, wide
+    * groups: per-returnflag rank supports, per-tenant timelines). A plain
+    * partitioned window gives ONE task per group; this splits every group
+    * into ≤ `spark.sql.shuffle.partitions` range blocks via per-group
+    * approx-percentile bounds (a category-sized broadcast), runs the
+    * running sums under a (group, block)-partitioned window, and
+    * prefix-combines the per-block totals with a window over ≤|blocks|
+    * rows per group — every stage parallel in groups × blocks.
+    *
+    * `orderCol` must be numeric and duplicate-free WITHIN each group
+    * (group to the order grain first); with duplicates the intra-tie
+    * placement is block-dependent. Same determinism contract as
+    * [[prefixSum]]: exact/pinned addends regroup exactly under
+    * associativity, so the block decomposition cannot change results.
+    * Opt-in validation via `spark.graft.validateOrder` mirrors the
+    * ungrouped scans, checking (group, order) distinctness. */
+  def groupedPrefixSum(df: DataFrame, groupCols: Seq[String],
+                       orderCol: String, valueCols: Seq[String],
+                       suffix: String = "_cum"): DataFrame = {
+    require(groupCols.nonEmpty, "groupedPrefixSum needs group columns " +
+      "(use prefixSum for a single global series)")
+    require(valueCols.nonEmpty, "groupedPrefixSum needs a value column")
+    if (df.sparkSession.conf.getOption("spark.graft.validateOrder")
+          .exists(_.equalsIgnoreCase("true"))) {
+      val key = struct((groupCols :+ orderCol).map(col): _*)
+      val r = df.agg(count(lit(1)).as("n"), count_distinct(key).as("d")).head()
+      require(r.getLong(0) == r.getLong(1),
+        s"groupedPrefixSum: ($orderCol) has duplicates within a group " +
+          s"(${r.getLong(0)} rows, ${r.getLong(1)} distinct keys)")
+    }
+    val n = math.max(2, df.sparkSession.sessionState.conf.numShufflePartitions)
+    val ps = (1 until n).map(i => s"${i.toDouble / n}e0").mkString(",")
+    val gc = groupCols.map(col)
+    val bounds = df.groupBy(gc: _*)
+      .agg(expr(s"approx_percentile($orderCol, array($ps), 10000)")
+        .as("__bnds"))
+    val blocked = df.join(broadcast(bounds), groupCols)
+      .withColumn("__blk",
+        coalesce(size(expr(s"filter(__bnds, q -> $orderCol > q)")), lit(0)))
+      .drop("__bnds")
+    val gbc = (groupCols :+ "__blk").map(col)
+    val wLoc = Window.partitionBy(gbc: _*).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy(gc: _*).orderBy("__blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = blocked.groupBy(gbc: _*)
+      .agg(sum(valueCols.head).as("__t0"),
+        valueCols.tail.zipWithIndex.map { case (c, i) =>
+          sum(c).as(s"__t${i + 1}") }: _*)
+    val offsets = valueCols.indices.foldLeft(totals) { (acc, i) =>
+      acc.withColumn(s"__o$i", sum(col(s"__t$i")).over(wOff))
+    }.select(gbc ++ valueCols.indices.map(i => col(s"__o$i")): _*)
+    val local = valueCols.foldLeft(blocked) { (acc, c) =>
+      acc.withColumn(c + suffix, sum(col(c)).over(wLoc))
+    }
+    val combined = local.join(broadcast(offsets),
+      groupCols :+ "__blk", "left")
+    valueCols.zipWithIndex.foldLeft(combined) { case (acc, (c, i)) =>
+      acc.withColumn(c + suffix,
+        col(c + suffix) + coalesce(col(s"__o$i"), lit(0L)))
+    }.drop("__blk" +: valueCols.indices.map(i => s"__o$i"): _*)
+  }
+
   /** Distributed STRICT prefix max — the scale-safe replacement for a
     * global `Window.orderBy(...).rowsBetween(unboundedPreceding, -1)` max:
     * for each row, the max of `valueCol` over all rows with strictly

@@ -908,7 +908,319 @@ object Analytics {
         avg(abs(col("rev") - col("f_naive")))).as("mase"))
   }
 
+  /** Spearman rank correlation between quantity and discounted revenue per
+    * return flag — computed as a weighted Pearson over SUPPORT-grain
+    * fractional ranks, never a fact-grain rank window: each side shrinks
+    * to its distinct-value grain first (shrink-before-window), fractional
+    * (tie-averaged) ranks come from a cumulative count over that grain,
+    * and the correlation assembles from weighted sufficient statistics on
+    * the (x, y) pair grain.
+    *
+    * Determinism: revenue pins to the 2 dp grid BEFORE grouping so both
+    * engines build identical supports; ranks are exact half-integers and
+    * weights exact longs, so every product is an exact double and the
+    * final ratio divides near-identical sums (drift ≪ the 4 dp pin).
+    * Scale: three pruned fact passes (the pair grain + one per support
+    * build), each a map-side-combined hash agg; the supports are
+    * DOMAIN-bounded (price grid × flag) and memo+cached, and their
+    * cumulatives run through [[graft.api.Graft.groupedPrefixSum]]'s
+    * range-block combine — parallel in groups × blocks, never one task
+    * per return flag — then a pair-grain join-back and a 3-row final
+    * agg. */
+  def q210(s: SparkSession, d: String): DataFrame = {
+    val base = lineitem(s, d).select(col("l_returnflag").as("rf"),
+      col("l_quantity").as("x"),
+      r2(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("y"))
+    def fracRanks(vc: String): DataFrame = {
+      // per-group cumulative via the grouped range-block combine: the y
+      // support is wide per return flag, so a plain partitionBy(rf)
+      // window would sort each flag's whole support in ONE task. The
+      // support itself is memo+cached: it is DOMAIN-bounded (price grid ×
+      // flag — never fact-proportional), and groupedPrefixSum references
+      // its input three times (bounds, blocked rows, block totals), so
+      // without the cache each reference would re-run the fact scan+agg.
+      val sup = graft.Tables.memoized(s, d, "spearmanSup_" + vc) {
+        base.groupBy("rf", vc).agg(count(lit(1)).as("t"))
+      }
+      graft.api.Graft.groupedPrefixSum(sup, Seq("rf"), vc, Seq("t"))
+        .select(col("rf"), col(vc),
+          ((col("t_cum") - col("t")).cast("double") +
+            (col("t") + 1).cast("double") / lit(2.0)).as("fr_" + vc))
+    }
+    val pairs = base.groupBy("rf", "x", "y").agg(count(lit(1)).as("w"))
+      .join(fracRanks("x"), Seq("rf", "x"))
+      .join(fracRanks("y"), Seq("rf", "y"))
+    pairs.groupBy("rf").agg(
+      sum("w").cast("double").as("n"),
+      sum(col("w") * col("fr_x")).as("sx"),
+      sum(col("w") * col("fr_y")).as("sy"),
+      sum(col("w") * col("fr_x") * col("fr_y")).as("sxy"),
+      sum(col("w") * col("fr_x") * col("fr_x")).as("sxx"),
+      sum(col("w") * col("fr_y") * col("fr_y")).as("syy"))
+      .select(col("rf"), col("n").cast("long").as("n"),
+        r4((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))).as("spearman"))
+      .orderBy("rf")
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) z-test on per-user purchase spend
+    * between the q140/q207 sha256 hash arms — the nonparametric companion
+    * to q207's Welch t (no normality assumption; detects stochastic
+    * dominance, not just mean shift). Fractional ranks are assembled
+    * WITHOUT a fact-grain global window: spend pins to the 2 dp grid,
+    * shrinks to its distinct-value grain with per-arm counts, and the
+    * cumulative count below each value comes from
+    * [[graft.api.Graft.prefixSum]]'s range-blocked combine (the
+    * ksStatistic discipline) — the only unpartitioned window is the
+    * internal ≤|shuffle partitions| block combine.
+    *
+    * Determinism: R_A = Σ c_a·fr sums exact half-integers (exact in
+    * doubles, order-free); the tie-corrected normal approximation then
+    * divides exact values — identical IEEE in both engines, pinned at
+    * the edge. Scale: user-grain agg → value-grain agg → prefix scan →
+    * one-row finals. */
+  def q211(s: SparkSession, d: String): DataFrame = {
+    val spend = events(s, d).filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(r2(sum("value")).as("y"))
+      .withColumn("in_a", graft.api.Graft.hashBucket(col("user_id"), 2) === 0)
+    val grain = spend.groupBy("y").agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+      count(lit(1)).as("t"))
+    val ranked = graft.api.Graft.prefixSum(grain, "y", Seq("t"))
+      .withColumn("fr", (col("t_cum") - col("t")).cast("double") +
+        (col("t") + 1).cast("double") / lit(2.0))
+    ranked.agg(
+      sum("ca").as("n_a"), sum(col("t") - col("ca")).as("n_b"),
+      sum(col("ca") * col("fr")).as("r_a"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+      .select(col("n_a"), col("n_b"),
+        r2(col("r_a") - col("n_a") * (col("n_a") + 1) / lit(2.0)).as("u_a"),
+        r4(((col("r_a") - col("n_a") * (col("n_a") + 1) / lit(2.0)) -
+            col("n_a") * col("n_b") / lit(2.0)) /
+          sqrt(col("n_a") * col("n_b") / lit(12.0) *
+            (((col("n_a") + col("n_b")).cast("double") + 1) -
+              col("tie3") / ((col("n_a") + col("n_b")).cast("double") *
+                ((col("n_a") + col("n_b")).cast("double") - 1))))).as("z"))
+  }
+
+  /** Autocorrelation function of daily revenue at lags 1–7 — the
+    * seasonality diagnostic that motivates q208's lag-7 seasonal-naive
+    * model and q200's trend term: a weekly cycle shows as an ACF spike at
+    * lag 7. Pearson corr between the day-grain series and its row-lagged
+    * copy, per lag.
+    *
+    * Determinism: daily revenue pins at 2 dp before the lags, so corr
+    * aggregates identical pairs; corr normalizes its sums, leaving drift
+    * ≪ the 4 dp pin. Scale: one day-grain agg; the lag windows run
+    * unpartitioned over the ≤|calendar| day grain (the q34/q208
+    * documented exemption class — fixed-offset lags are not
+    * prefix-scannable), then a 7-group agg. */
+  def q212(s: SparkSession, d: String): DataFrame = {
+    val daily = lineitem(s, d)
+      .groupBy(col("l_shipdate").as("day"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("rev"))
+    val w = Window.orderBy("day")
+    daily.select(col("rev") +:
+        (1 to 7).map(k => lag("rev", k).over(w).as(s"f$k")): _*)
+      .selectExpr("rev",
+        "stack(7, 1, f1, 2, f2, 3, f3, 4, f4, 5, f5, 6, f6, 7, f7) AS (lag_k, f)")
+      .groupBy("lag_k")
+      .agg(count(col("f")).as("n_pairs"), r4(corr(col("rev"), col("f"))).as("acf"))
+      .select(col("lag_k").cast("long").as("lag_k"), col("n_pairs"), col("acf"))
+      .orderBy("lag_k")
+  }
+
+  /** Theil–Sen robust trend of year-2000 daily revenue: the median of all
+    * pairwise day-to-day slopes, plus the matching median intercept — the
+    * outlier-proof alternative to q58's least-squares line (a single
+    * corrupted day moves OLS arbitrarily, but not the pairwise-slope
+    * median). O(days²) pairs is the textbook estimator cost, bounded here
+    * by the ≤366-day calendar — NOT fact-proportional, so the pair join
+    * broadcasts the calendar side (the q117 spine-broadcast exemption
+    * class) at every SF.
+    *
+    * Determinism: slopes divide 2 dp-pinned revenues by exact integer day
+    * gaps — identical doubles in both engines; the two medians interpolate
+    * identically sorted identical values; pinned at the edge. */
+  def q213(s: SparkSession, d: String): DataFrame = {
+    val daily = lineitem(s, d).filter(year(col("l_shipdate")) === 2000)
+      .groupBy(col("l_shipdate").as("day"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("rev"))
+    val d0 = daily.agg(min("day").as("d0"))
+    val t = daily.crossJoin(broadcast(d0))
+      .select(datediff(col("day"), col("d0")).cast("double").as("t"), col("rev"))
+    val slopes = t.as("a").join(broadcast(t.as("b")), col("a.t") < col("b.t"))
+      .select(((col("b.rev") - col("a.rev")) / (col("b.t") - col("a.t")))
+        .as("slope"))
+    val med = slopes.agg(count(lit(1)).as("n_pairs"),
+      expr("percentile(slope, 0.5e0)").as("med"))
+    t.crossJoin(broadcast(med))
+      .agg(count(lit(1)).as("n_days"), max("n_pairs").as("n_pairs"),
+        r4(max("med")).as("slope"),
+        r4(expr("percentile(rev - med * t, 0.5e0)")).as("intercept"))
+  }
+
+  /** Weekly stickiness (avg DAU / WAU) — the engagement-depth ratio beside
+    * q121's rolling actives and q181's growth accounting: 1.0 means every
+    * weekly user shows up every observed day, ~1/7 means drive-by usage.
+    *
+    * Determinism: DAU/WAU are exact distinct counts; avg_dau pins at 2 dp
+    * BEFORE the ratio so both engines divide identical values. Scale: one
+    * (week, day, user) dedup agg + one (week, user) distinct agg — both
+    * hash-keyed and row-linear; the join is week-grain. */
+  def q214(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(
+        expr("((ts div 1000) - 1704067200000000) div 86400000000").as("day"),
+        col("user_id"))
+      .withColumn("week", expr("day div 7"))
+    val dau = e.select("week", "day", "user_id").distinct()
+      .groupBy("week", "day").agg(count(lit(1)).as("dau"))
+      .groupBy("week").agg(count(lit(1)).as("days_obs"),
+        r2(avg("dau")).as("avg_dau"))
+    val wau = e.groupBy("week").agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, "week")
+      .select(col("week"), col("days_obs"), col("wau"), col("avg_dau"),
+        r4(col("avg_dau") / col("wau")).as("stickiness"))
+      .orderBy("week")
+  }
+
+  /** Inter-event gap distribution per event type: median and p90 seconds
+    * between consecutive events of the same (user, type) stream — the
+    * arrival-process profile behind q32's sessionize gap constant and
+    * q216's burst screen.
+    *
+    * Determinism: gaps are exact integer µs diffs divided by 1e6 — the
+    * same two operands in both engines; the percentiles interpolate
+    * identically sorted identical doubles, pinned at the edge. Scale:
+    * lag windows partition by (user, type) — fact-partitioned, never
+    * global; then a |event types|-group agg. */
+  def q215(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("prev", lag("ts", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"),
+        (expr("(ts - prev) div 1000").cast("double") / lit(1000000.0))
+          .as("gap_s"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        r4(expr("percentile(gap_s, 0.5e0)")).as("p50_s"),
+        r4(expr("percentile(gap_s, 0.9e0)")).as("p90_s"))
+      .orderBy("event_type")
+  }
+
+  /** Burst screen (bot heuristic): the 20 users with the highest
+    * event count inside any sliding 60-second window — scripted clients
+    * burst far above the q215 human inter-event cadence. The burst count
+    * is a RANGE window over the µs timeline (value-based, so duplicate
+    * timestamps count identically regardless of row order).
+    *
+    * Determinism: exact integer counts; ties broken by user_id. Scale:
+    * the range window partitions by user (fact-partitioned); then a
+    * user-grain agg and a top-20. */
+  def q216(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-59999999L, 0L)
+    events(s, d).withColumn("us", expr("ts div 1000"))
+      .withColumn("burst", count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max("burst").as("max_burst"))
+      .orderBy(col("max_burst").desc, col("user_id"))
+      .limit(20)
+  }
+
+  /** Active-days histogram (the power-user curve): how many users were
+    * active on exactly k distinct days — the engagement-frequency
+    * distribution product teams read next to q214's stickiness ratio.
+    * Exact integer pipeline: (user, day) dedup → user-grain count →
+    * k-grain count, all hash-keyed and row-linear. */
+  def q220(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(col("user_id"),
+        expr("((ts div 1000) - 1704067200000000) div 86400000000").as("day"))
+      .distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("active_days"))
+      .groupBy("active_days").agg(count(lit(1)).as("n_users"))
+      .orderBy("active_days")
+
+  /** Cramér's V association between event type and weekday — q123's
+    * chi-square readout normalized to the comparable [0, 1] effect size
+    * (V = sqrt(χ²/(n·min(r−1, c−1)))), on the behavioral contingency a
+    * product team actually reads: does WHAT users do depend on WHEN. Same
+    * grid discipline as q123 — both marginals are category-sized, so the
+    * expected-count cross is a broadcast loop, never a shuffled cartesian.
+    *
+    * Determinism: observed/marginal counts exact; e divides exact longs;
+    * χ² pins at 4 dp and V derives from the PINNED χ² so both engines
+    * root the same value. Scale: one fact pass to the (type, dow) grid
+    * (≤ 5×7 cells), everything after is cell-grain. */
+  def q222(s: SparkSession, d: String): DataFrame = {
+    val et = events(s, d).select(col("event_type"),
+      expr("(((ts div 1000) - 1704067200000000) div 86400000000) % 7")
+        .as("dow"))
+    val obs = et.groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+    val rt = obs.groupBy("event_type").agg(sum("o").as("rt"))
+    val ct = obs.groupBy("dow").agg(sum("o").as("ct"))
+    val n = obs.agg(sum("o").as("n"))
+    rt.crossJoin(broadcast(ct))
+      .join(obs, Seq("event_type", "dow"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("e", col("rt") * col("ct") / col("n"))
+      .withColumn("t", pow(coalesce(col("o"), lit(0L)) - col("e"), 2) / col("e"))
+      .agg(r4(sum("t")).as("chi2"),
+        countDistinct("event_type").as("r"),
+        countDistinct("dow").as("c"),
+        max(col("n")).as("n"))
+      .select(col("chi2"), col("r"), col("c"), col("n"),
+        r4(sqrt(col("chi2") /
+          (col("n") * least(col("r") - 1, col("c") - 1)))).as("cramers_v"))
+  }
+
+  /** Lorenz curve deciles of customer revenue — the curve behind q148's
+    * Pareto top-share and q205's HHI scalar: cumulative revenue share at
+    * each cumulative-customer decile boundary (reading "the bottom 40% of
+    * customers hold 11% of revenue" directly). Built WITHOUT a fact-grain
+    * global window: customer revenue pins to the 2 dp grid, shrinks to
+    * its distinct-value grain, and both cumulative counts and cumulative
+    * revenue come from [[graft.api.Graft.prefixSum]]'s range-blocked
+    * combine (the ksStatistic discipline). A mass point spanning a whole
+    * decile leaves that decile without a boundary row — deciles are
+    * reported as observed, not gap-filled.
+    *
+    * Determinism: cum customers are exact longs; cum revenue sums
+    * 2 dp-pinned values (drift ≪ the 4 dp share pin); the decile label
+    * ceils an exact int/int division. Scale: order-grain agg + prefix
+    * scan + ≤10-row final agg. */
+  def q224(s: SparkSession, d: String): DataFrame = {
+    val rev = orders(s, d).groupBy("o_custkey")
+      .agg(r2(sum("o_totalprice")).as("rev"))
+    val grain = rev.groupBy("rev").agg(count(lit(1)).as("c"))
+      .withColumn("rc", col("rev") * col("c"))
+    val cum = graft.api.Graft.prefixSum(grain, "rev", Seq("c", "rc"))
+    val tot = grain.agg(sum("c").as("nc"), sum("rc").as("tr"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("f", col("c_cum").cast("double") / col("nc").cast("double"))
+      .withColumn("sh", col("rc_cum") / col("tr"))
+      .withColumn("decile", ceil(col("f") * lit(10.0)).cast("long"))
+      .groupBy("decile")
+      .agg(r4(max("f")).as("cum_customers"), r4(max("sh")).as("cum_revenue"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_cramers_v" -> q222,
+    "q224_lorenz_deciles" -> q224,
+    "q210_spearman_corr" -> q210,
+    "q211_mann_whitney" -> q211,
+    "q212_acf_weekly" -> q212,
+    "q213_theilsen_trend" -> q213,
+    "q214_stickiness" -> q214,
+    "q215_interevent_gaps" -> q215,
+    "q216_burst_screen" -> q216,
+    "q220_activity_histogram" -> q220,
     "q207_welch_ttest" -> q207,
     "q208_mase_backtest" -> q208,
     "q205_hhi_concentration" -> q205,
@@ -944,6 +1256,169 @@ object Analytics {
     "q156_cusum_changepoint" -> q156)
 
   val oracle: Map[String, String] = Map(
+    "q222_cramers_v" ->
+      s"""WITH et AS (SELECT event_type,
+         |    ((epoch_us(ts) - 1704067200000000) // 86400000000) % 7 AS dow
+         |  FROM events),
+         |obs AS (SELECT event_type, dow, count(*) AS o FROM et GROUP BY 1, 2),
+         |rt AS (SELECT event_type, sum(o) AS rt FROM obs GROUP BY 1),
+         |ct AS (SELECT dow, sum(o) AS ct FROM obs GROUP BY 1),
+         |tot AS (SELECT sum(o) AS n FROM obs),
+         |grid AS (
+         |  SELECT rt.event_type, ct.dow, coalesce(obs.o, 0) AS o, tot.n,
+         |    (rt.rt * ct.ct / tot.n) AS e
+         |  FROM rt CROSS JOIN ct
+         |  LEFT JOIN obs ON obs.event_type = rt.event_type
+         |    AND obs.dow = ct.dow
+         |  CROSS JOIN tot),
+         |ag AS (SELECT ${sr4("sum(pow(o - e, 2) / e)")} AS chi2,
+         |    count(DISTINCT event_type) AS r, count(DISTINCT dow) AS c,
+         |    CAST(max(n) AS BIGINT) AS n
+         |  FROM grid)
+         |SELECT chi2, r, c, n,
+         |  ${sr4("sqrt(chi2 / (n * least(r - 1, c - 1)))")} AS cramers_v
+         |FROM ag""".stripMargin,
+    "q224_lorenz_deciles" ->
+      s"""WITH rev AS (SELECT o_custkey, ${sr2("sum(o_totalprice)")} AS rev
+         |  FROM orders GROUP BY 1),
+         |g AS (SELECT rev, count(*) AS c, rev * count(*) AS rc
+         |  FROM rev GROUP BY 1),
+         |cum AS (SELECT c, rc,
+         |    sum(c) OVER (ORDER BY rev
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_cum,
+         |    sum(rc) OVER (ORDER BY rev
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rc_cum
+         |  FROM g),
+         |tot AS (SELECT sum(c) AS nc, sum(rc) AS tr FROM g)
+         |SELECT CAST(ceil((CAST(c_cum AS DOUBLE) / CAST(nc AS DOUBLE))
+         |    * 10.0e0) AS BIGINT) AS decile,
+         |  ${sr4("max(CAST(c_cum AS DOUBLE) / CAST(nc AS DOUBLE))")} AS cum_customers,
+         |  ${sr4("max(rc_cum / tr)")} AS cum_revenue
+         |FROM cum CROSS JOIN tot GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q210_spearman_corr" ->
+      s"""WITH base AS (SELECT l_returnflag AS rf, l_quantity AS x,
+         |    ${sr2("l_extendedprice * (1.0e0 - l_discount)")} AS y
+         |  FROM lineitem),
+         |fx AS (SELECT rf, x,
+         |    CAST(sum(t) OVER (PARTITION BY rf ORDER BY x
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t
+         |      AS DOUBLE) + CAST(t + 1 AS DOUBLE) / 2.0e0 AS fr_x
+         |  FROM (SELECT rf, x, count(*) AS t FROM base GROUP BY 1, 2)),
+         |fy AS (SELECT rf, y,
+         |    CAST(sum(t) OVER (PARTITION BY rf ORDER BY y
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t
+         |      AS DOUBLE) + CAST(t + 1 AS DOUBLE) / 2.0e0 AS fr_y
+         |  FROM (SELECT rf, y, count(*) AS t FROM base GROUP BY 1, 2)),
+         |p AS (SELECT rf, x, y, count(*) AS w FROM base GROUP BY 1, 2, 3),
+         |j AS (SELECT p.rf, p.w, fx.fr_x, fy.fr_y FROM p
+         |  JOIN fx ON p.rf = fx.rf AND p.x = fx.x
+         |  JOIN fy ON p.rf = fy.rf AND p.y = fy.y),
+         |st AS (SELECT rf, CAST(sum(w) AS DOUBLE) AS n,
+         |    sum(w * fr_x) AS sx, sum(w * fr_y) AS sy,
+         |    sum(w * fr_x * fr_y) AS sxy, sum(w * fr_x * fr_x) AS sxx,
+         |    sum(w * fr_y * fr_y) AS syy FROM j GROUP BY 1)
+         |SELECT rf, CAST(n AS BIGINT) AS n,
+         |  ${sr4("(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))")} AS spearman
+         |FROM st ORDER BY rf""".stripMargin,
+    "q211_mann_whitney" ->
+      s"""WITH spend AS (SELECT user_id, ${sr2("sum(value)")} AS y
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |lab AS (SELECT y,
+         |    ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 AS in_a
+         |  FROM spend),
+         |g AS (SELECT y,
+         |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    count(*) AS t FROM lab GROUP BY 1),
+         |r AS (SELECT ca, t,
+         |    CAST(sum(t) OVER (ORDER BY y
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t
+         |      AS DOUBLE) + CAST(t + 1 AS DOUBLE) / 2.0e0 AS fr
+         |  FROM g),
+         |s AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+         |    CAST(sum(t - ca) AS BIGINT) AS n_b,
+         |    sum(ca * fr) AS r_a,
+         |    CAST(sum(t * t * t - t) AS BIGINT) AS tie3 FROM r)
+         |SELECT n_a, n_b,
+         |  ${sr2("r_a - n_a * (n_a + 1) / 2.0e0")} AS u_a,
+         |  ${sr4("((r_a - n_a * (n_a + 1) / 2.0e0) - n_a * n_b / 2.0e0) / sqrt(n_a * n_b / 12.0e0 * ((CAST(n_a + n_b AS DOUBLE) + 1) - tie3 / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1))))")} AS z
+         |FROM s""".stripMargin,
+    "q212_acf_weekly" ->
+      s"""WITH daily AS (SELECT l_shipdate AS day,
+         |    ${sr2("sum(l_extendedprice * (1.0e0 - l_discount))")} AS rev
+         |  FROM lineitem GROUP BY 1),
+         |l AS (SELECT rev,
+         |    lag(rev, 1) OVER (ORDER BY day) AS f1,
+         |    lag(rev, 2) OVER (ORDER BY day) AS f2,
+         |    lag(rev, 3) OVER (ORDER BY day) AS f3,
+         |    lag(rev, 4) OVER (ORDER BY day) AS f4,
+         |    lag(rev, 5) OVER (ORDER BY day) AS f5,
+         |    lag(rev, 6) OVER (ORDER BY day) AS f6,
+         |    lag(rev, 7) OVER (ORDER BY day) AS f7
+         |  FROM daily),
+         |st AS (SELECT t.k AS lag_k, l.rev,
+         |    CASE t.k WHEN 1 THEN f1 WHEN 2 THEN f2 WHEN 3 THEN f3
+         |      WHEN 4 THEN f4 WHEN 5 THEN f5 WHEN 6 THEN f6 ELSE f7
+         |    END AS f
+         |  FROM l CROSS JOIN generate_series(1, 7) t(k))
+         |SELECT lag_k, count(f) AS n_pairs, ${sr4("corr(rev, f)")} AS acf
+         |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q213_theilsen_trend" ->
+      s"""WITH daily AS (SELECT l_shipdate AS day,
+         |    ${sr2("sum(l_extendedprice * (1.0e0 - l_discount))")} AS rev
+         |  FROM lineitem WHERE year(l_shipdate) = 2000 GROUP BY 1),
+         |m AS (SELECT min(day) AS d0 FROM daily),
+         |t AS (SELECT CAST(date_diff('day', d0, day) AS DOUBLE) AS t, rev
+         |  FROM daily, m),
+         |p AS (SELECT (b.rev - a.rev) / (b.t - a.t) AS slope
+         |  FROM t a JOIN t b ON a.t < b.t),
+         |sl AS (SELECT count(*) AS n_pairs,
+         |    quantile_cont(slope, 0.5e0) AS med FROM p)
+         |SELECT count(*) AS n_days, max(n_pairs) AS n_pairs,
+         |  ${sr4("max(med)")} AS slope,
+         |  ${sr4("quantile_cont(rev - med * t, 0.5e0)")} AS intercept
+         |FROM t, sl""".stripMargin,
+    "q214_stickiness" ->
+      s"""WITH e AS (SELECT
+         |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS day,
+         |    user_id FROM events),
+         |ew AS (SELECT day // 7 AS week, day, user_id FROM e),
+         |dau AS (SELECT week, day, count(DISTINCT user_id) AS dau
+         |  FROM ew GROUP BY 1, 2),
+         |byw AS (SELECT week, count(*) AS days_obs,
+         |    ${sr2("avg(dau)")} AS avg_dau FROM dau GROUP BY 1),
+         |wau AS (SELECT week, count(DISTINCT user_id) AS wau
+         |  FROM ew GROUP BY 1)
+         |SELECT week, days_obs, wau, avg_dau,
+         |  ${sr4("avg_dau / wau")} AS stickiness
+         |FROM byw JOIN wau USING (week) ORDER BY week""".stripMargin,
+    "q215_interevent_gaps" ->
+      s"""WITH g AS (SELECT event_type,
+         |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+         |      PARTITION BY user_id, event_type ORDER BY ts, event_id)
+         |      AS gap_us
+         |  FROM events)
+         |SELECT event_type, count(*) AS n_gaps,
+         |  ${sr4("quantile_cont(CAST(gap_us AS DOUBLE) / 1000000.0e0, 0.5e0)")} AS p50_s,
+         |  ${sr4("quantile_cont(CAST(gap_us AS DOUBLE) / 1000000.0e0, 0.9e0)")} AS p90_s
+         |FROM g WHERE gap_us IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q216_burst_screen" ->
+      s"""WITH b AS (SELECT user_id,
+         |    count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |      RANGE BETWEEN 59999999 PRECEDING AND CURRENT ROW) AS burst
+         |  FROM events)
+         |SELECT user_id, count(*) AS n_events,
+         |  CAST(max(burst) AS BIGINT) AS max_burst
+         |FROM b GROUP BY 1
+         |ORDER BY max_burst DESC, user_id LIMIT 20""".stripMargin,
+    "q220_activity_histogram" ->
+      s"""WITH ud AS (SELECT DISTINCT user_id,
+         |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS day
+         |  FROM events),
+         |ad AS (SELECT user_id, count(*) AS active_days
+         |  FROM ud GROUP BY 1)
+         |SELECT active_days, count(*) AS n_users
+         |FROM ad GROUP BY 1 ORDER BY 1""".stripMargin,
     "q207_welch_ttest" ->
       s"""WITH spend AS (SELECT user_id, sum(value) AS y
          |  FROM events WHERE event_type = 'purchase' GROUP BY 1),

@@ -361,7 +361,49 @@ object Retrieval {
       .orderBy("vec_id", "i")
   }
 
+  /** Dirichlet-smoothed query-likelihood ranking (μ=2000) for the same
+    * fixed query {hash, join, dup} that q100 scores with BM25 — the
+    * language-model retrieval baseline: score(d) = Σ_t ln((tf_t,d +
+    * μ·cf_t/|C|) / (dl_d + μ)), INCLUDING absent terms (their smoothing
+    * mass is what makes scores comparable across doc lengths — a
+    * tf-only sum would favor short docs). Per-term scores sum in FIXED
+    * term order via conditional aggregation, the q100 discipline (a bare
+    * float sum is order-nondeterministic across engines).
+    *
+    * Scale: collection stats collapse to a 3-row × one-row broadcast; the
+    * dense doc×term grid is |docs|·|query terms| rows — row-linear in the
+    * corpus for a fixed query — then one doc-grain agg and a top-20. */
+  def q218(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("hash", "join", "dup")
+    val words = TextPipeline.words1(s, d).select(col("doc_id"), col("w"))
+    val dl = TextPipeline.docWords(s, d)
+      .filter(size(col("words")) >= 1)
+      .select(col("doc_id"), size(col("words")).cast("long").as("dl"))
+    val coll = words.agg(count(lit(1)).as("c_len"))
+    val cf = words.filter(col("w").isin(terms: _*))
+      .groupBy("w").agg(count(lit(1)).as("cf"))
+    val dense = dl.crossJoin(broadcast(cf.crossJoin(coll)))
+      .join(words.filter(col("w").isin(terms: _*))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf")),
+        Seq("doc_id", "w"), "left")
+      .withColumn("hit",
+        when(coalesce(col("tf"), lit(0L)) > 0, 1L).otherwise(0L))
+      .withColumn("sc",
+        log((coalesce(col("tf"), lit(0L)) +
+            lit(2000.0) * (col("cf").cast("double") / col("c_len"))) /
+          (col("dl") + lit(2000.0))))
+    dense.groupBy("doc_id")
+      .agg(sum("hit").as("n_hit"),
+        (coalesce(sum(when(col("w") === "hash", col("sc"))), lit(0.0)) +
+          coalesce(sum(when(col("w") === "join", col("sc"))), lit(0.0)) +
+          coalesce(sum(when(col("w") === "dup", col("sc"))), lit(0.0)))
+          .as("score"))
+      .select(col("doc_id"), col("n_hit"), r4(col("score")).as("ql"))
+      .orderBy(col("ql").desc, col("doc_id")).limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_query_likelihood" -> q218,
     "q209_quantile_norm" -> q209,
     "q204_kmeans_step" -> q204,
     "q170_mmr_rerank" -> q170,
@@ -499,6 +541,31 @@ object Retrieval {
          |  ${sr5("coalesce(1e0 / (60 + r_lex), 0e0) + coalesce(1e0 / (60 + r_sem), 0e0)")} AS rrf
          |FROM lex FULL JOIN sem USING (doc_id)
          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    "q218_query_likelihood" ->
+      s"""WITH $wordsCte,
+         |d2 AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM w
+         |  WHERE len(words) >= 1),
+         |tok AS (SELECT doc_id, unnest(words) AS wd FROM w),
+         |coll AS (SELECT count(*) AS c_len FROM tok),
+         |cf AS (SELECT wd, count(*) AS cf FROM tok
+         |  WHERE wd IN ('hash', 'join', 'dup') GROUP BY 1),
+         |tf AS (SELECT doc_id, wd, count(*) AS tf FROM tok
+         |  WHERE wd IN ('hash', 'join', 'dup') GROUP BY 1, 2),
+         |dense AS (SELECT d2.doc_id, cf.wd, d2.dl, cf.cf, coll.c_len, tf.tf
+         |  FROM d2 CROSS JOIN cf CROSS JOIN coll
+         |  LEFT JOIN tf ON tf.doc_id = d2.doc_id AND tf.wd = cf.wd),
+         |sc AS (SELECT doc_id, wd,
+         |    CASE WHEN coalesce(tf, 0) > 0 THEN 1 ELSE 0 END AS hit,
+         |    ln((coalesce(tf, 0) + 2000.0e0 * (CAST(cf AS DOUBLE) / c_len))
+         |      / (dl + 2000.0e0)) AS sc
+         |  FROM dense),
+         |ag AS (SELECT doc_id, CAST(sum(hit) AS BIGINT) AS n_hit,
+         |    coalesce(sum(CASE WHEN wd = 'hash' THEN sc END), 0e0)
+         |      + coalesce(sum(CASE WHEN wd = 'join' THEN sc END), 0e0)
+         |      + coalesce(sum(CASE WHEN wd = 'dup' THEN sc END), 0e0) AS score
+         |  FROM sc GROUP BY 1)
+         |SELECT doc_id, n_hit, ${sr4("score")} AS ql
+         |FROM ag ORDER BY ql DESC, doc_id LIMIT 20""".stripMargin,
     "q100_bm25_rank" ->
       s"""WITH $wordsCte,
          |d2 AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM w WHERE len(words) >= 1),

@@ -547,7 +547,121 @@ object TextPipeline {
       .orderBy("source")
   }
 
+  /** Readability profile per source: average words-per-sentence and a
+    * Flesch-reading-ease-style score from three exact regex counts per doc
+    * (words via the shared space tokenization; sentence marks `[.!?]+`;
+    * vowel-group syllable proxy). A curation signal beside q79's quality
+    * score — sources full of run-on or fragment text stand out.
+    *
+    * Determinism: every per-doc count is an exact integer in both regex
+    * engines (simple character classes, no dialect divergence); the
+    * Flesch arithmetic applies identical IEEE ops to identical exact
+    * ratios (both engines parenthesize coef * (a / b) alike), and the
+    * per-source averages run over ≤|docs per source| such values — drift
+    * ≪ the 2 dp pin. Scale: row-local counts then a source-grain agg. */
+  def q217(s: SparkSession, d: String): DataFrame = {
+    val m = documents(s, d).select(col("source"),
+        size(expr("filter(split(lower(text), ' '), w -> w != '')"))
+          .cast("long").as("w"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+          .cast("long").as("sent"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+"))
+          .cast("long").as("syl"))
+      .filter(col("w") >= 1)
+      .withColumn("flesch",
+        lit(206.835) -
+          lit(1.015) * (col("w").cast("double") / col("sent").cast("double")) -
+          lit(84.6) * (col("syl").cast("double") / col("w").cast("double")))
+    m.groupBy("source").agg(count(lit(1)).as("n_docs"),
+        r2(avg(col("w").cast("double") / col("sent").cast("double")))
+          .as("avg_wps"),
+        r2(avg("flesch")).as("avg_flesch"))
+      .orderBy("source")
+  }
+
+  /** PII scan per source: occurrence counts of email-shaped, phone-shaped,
+    * and long-digit-run substrings, plus how many docs carry any — the
+    * pre-release scrub audit that runs before a corpus ships (q56 scrubs
+    * known id patterns; this SCREENS for what scrubbing missed). Patterns
+    * are simple character-class regexes with identical semantics in both
+    * engines (no lookaround, no backrefs).
+    *
+    * Determinism: exact integer counts. Scale: row-local regex counts
+    * then a source-grain agg — one corpus pass. */
+  def q219(s: SparkSession, d: String): DataFrame = {
+    val m = documents(s, d).select(col("source"),
+      regexp_count(lower(col("text")), lit("[a-z0-9._%-]+@[a-z0-9.-]+"))
+        .cast("long").as("emails"),
+      regexp_count(col("text"), lit("[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"))
+        .cast("long").as("phones"),
+      regexp_count(col("text"), lit("[0-9]{8,}")).cast("long").as("ids"))
+    m.groupBy("source").agg(count(lit(1)).as("n_docs"),
+        sum(when(col("emails") + col("phones") + col("ids") > 0, 1L)
+          .otherwise(0L)).as("docs_flagged"),
+        sum("emails").as("n_emails"), sum("phones").as("n_phones"),
+        sum("ids").as("n_ids"))
+      .orderBy("source")
+  }
+
+  /** Jensen–Shannon divergence between the en and non-en token
+    * distributions — the SYMMETRIC, bounded ([0, ln 2]) member that
+    * completes the drift family (q125 KL, q145 KS, q202 PSI): JS is safe
+    * to threshold and compare across corpora because it cannot blow up on
+    * vocabulary mismatch the way KL can. Same Laplace-smoothed vocabulary
+    * grain as q125; the mixture m = (p+q)/2 is row-local.
+    *
+    * Determinism: exact counts; p, q, m apply identical IEEE ops in both
+    * engines; the two ln-sums run over the vocabulary grain with drift ≪
+    * the 5 dp pin; js_norm divides the same raw value by ln 2 before its
+    * own pin. Scale: one vocab-grain agg + a one-row broadcast — a single
+    * corpus pass, exactly q125's shape. */
+  def q221(s: SparkSession, d: String): DataFrame = {
+    val counts = words1(s, d).groupBy("w").agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ca"),
+      sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cb"))
+    val tot = counts.agg(sum("ca").as("na"), sum("cb").as("nb"),
+      count(lit(1)).as("v"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("p",
+        (col("ca") + 1).cast("double") / (col("na") + col("v")).cast("double"))
+      .withColumn("q",
+        (col("cb") + 1).cast("double") / (col("nb") + col("v")).cast("double"))
+      .withColumn("m", (col("p") + col("q")) / lit(2.0))
+      .agg(
+        r5((sum(col("p") * log(col("p") / col("m"))) +
+            sum(col("q") * log(col("q") / col("m")))) / lit(2.0)).as("js"),
+        r4(((sum(col("p") * log(col("p") / col("m"))) +
+            sum(col("q") * log(col("q") / col("m")))) / lit(2.0)) /
+          log(lit(2.0))).as("js_norm"),
+        max(col("v")).as("n_vocab"))
+  }
+
+  /** Zipf fit of the token frequency spectrum: OLS slope (and R²) of
+    * ln(freq) on ln(rank) over the top-250 tokens — natural text sits
+    * near slope −1, while templated/synthetic corpora flatten or steepen
+    * the line; a corpus-level companion to q201's Gini and q199's
+    * novelty. Top-250 is a TakeOrdered top-k (scalable), and the rank
+    * window then runs over that fixed 250-row set — bounded by
+    * construction at every SF, with (freq desc, token) total order so
+    * both engines rank the identical set identically.
+    *
+    * Determinism: exact counts → identical ln inputs; regr_* are
+    * sufficient-statistics sums over ≤250 rows (drift ≪ the 4 dp pins). */
+  def q223(s: SparkSession, d: String): DataFrame = {
+    val top = words1(s, d).groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w")).limit(250)
+    top.withColumn("rk",
+        row_number().over(Window.orderBy(col("f").desc, col("w"))).cast("long"))
+      .agg(count(lit(1)).as("n_tokens"),
+        r4(expr("regr_slope(ln(f), ln(rk))")).as("zipf_slope"),
+        r4(expr("regr_r2(ln(f), ln(rk))")).as("r2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_js_divergence" -> q221,
+    "q223_zipf_slope" -> q223,
+    "q217_readability" -> q217,
+    "q219_pii_scan" -> q219,
     "q201_token_gini" -> q201,
     "q199_ngram_novelty" -> q199,
     "q167_bigram_pmi" -> q167,
@@ -570,6 +684,69 @@ object TextPipeline {
   private val wordsCte = s"w AS ($wordsSql)"
 
   val oracle: Map[String, String] = Map(
+    "q221_js_divergence" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT lang, unnest(words) AS wd FROM w),
+         |counts AS (SELECT wd,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ca,
+         |    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS cb
+         |  FROM tok GROUP BY 1),
+         |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS v FROM counts),
+         |pq AS (SELECT
+         |    CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE) AS p,
+         |    CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE) AS q,
+         |    v
+         |  FROM counts CROSS JOIN tot),
+         |pqm AS (SELECT p, q, (p + q) / 2.0e0 AS m, v FROM pq)
+         |SELECT
+         |  ${sr5("(sum(p * ln(p / m)) + sum(q * ln(q / m))) / 2.0e0")} AS js,
+         |  ${sr4("((sum(p * ln(p / m)) + sum(q * ln(q / m))) / 2.0e0) / ln(2.0e0)")} AS js_norm,
+         |  CAST(max(v) AS BIGINT) AS n_vocab
+         |FROM pqm""".stripMargin,
+    "q223_zipf_slope" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT unnest(words) AS wd FROM w),
+         |f AS (SELECT wd, count(*) AS f FROM tok GROUP BY 1
+         |  ORDER BY f DESC, wd LIMIT 250),
+         |r AS (SELECT f, CAST(row_number() OVER (ORDER BY f DESC, wd)
+         |    AS BIGINT) AS rk FROM f)
+         |SELECT count(*) AS n_tokens,
+         |  ${sr4("regr_slope(ln(f), ln(rk))")} AS zipf_slope,
+         |  ${sr4("regr_r2(ln(f), ln(rk))")} AS r2
+         |FROM r""".stripMargin,
+    "q217_readability" ->
+      s"""WITH m AS (SELECT source,
+         |    CAST(len(list_filter(string_split(lower(text), ' '),
+         |      x -> x != '')) AS BIGINT) AS w,
+         |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+         |      AS BIGINT) AS sent,
+         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+         |      AS BIGINT) AS syl
+         |  FROM documents),
+         |f AS (SELECT source, w, sent,
+         |    206.835e0
+         |      - 1.015e0 * (CAST(w AS DOUBLE) / CAST(sent AS DOUBLE))
+         |      - 84.6e0 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)) AS flesch
+         |  FROM m WHERE w >= 1)
+         |SELECT source, count(*) AS n_docs,
+         |  ${sr2("avg(CAST(w AS DOUBLE) / CAST(sent AS DOUBLE))")} AS avg_wps,
+         |  ${sr2("avg(flesch)")} AS avg_flesch
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q219_pii_scan" ->
+      """WITH m AS (SELECT source,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      '[a-z0-9._%-]+@[a-z0-9.-]+')) AS BIGINT) AS emails,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS BIGINT) AS phones,
+        |    CAST(len(regexp_extract_all(text, '[0-9]{8,}')) AS BIGINT) AS ids
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN emails + phones + ids > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS docs_flagged,
+        |  CAST(sum(emails) AS BIGINT) AS n_emails,
+        |  CAST(sum(phones) AS BIGINT) AS n_phones,
+        |  CAST(sum(ids) AS BIGINT) AS n_ids
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q201_token_gini" ->
       s"""WITH t AS (SELECT source, doc_id,
          |    CAST(len(list_filter(string_split(lower(text), ' '),

@@ -619,6 +619,42 @@ class GraftApiSpec extends AnyFunSuite {
     } finally s.conf.unset("spark.graft.validateOrder")
   }
 
+  test("groupedPrefixSum equals the per-group single-window form; no unpartitioned window at all") {
+    import org.apache.spark.sql.expressions.Window
+    // per-(clerk, price) order counts: many groups, each with its own series
+    val pv = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wIncl = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = pv.select(col("g"), col("v"), sum("c").over(wIncl).as("c_cum"))
+    val api = Graft.groupedPrefixSum(pv, Seq("g"), "v", Seq("c"))
+      .select("g", "v", "c_cum")
+    assert(api.except(naive).isEmpty && naive.except(api).isEmpty)
+    // fully partitioned: the decomposition may not introduce ANY
+    // unpartitioned window (the offsets combine partitions by group)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val globals = api.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty, "groupedPrefixSum must keep every window partitioned")
+    // result is invariant to the input's physical layout (block placement
+    // only regroups exact addends)
+    val shuffled = Graft.groupedPrefixSum(pv.repartition(7), Seq("g"), "v", Seq("c"))
+      .select("g", "v", "c_cum")
+    assert(shuffled.except(naive).isEmpty && naive.except(shuffled).isEmpty)
+    // empty input; opt-in per-group duplicate detection
+    assert(Graft.groupedPrefixSum(pv.limit(0), Seq("g"), "v", Seq("c")).count() == 0)
+    s.conf.set("spark.graft.validateOrder", "true")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Graft.groupedPrefixSum(pv.union(pv.limit(3)), Seq("g"), "v", Seq("c"))
+      }
+      assert(e.getMessage.contains("duplicates"))
+      assert(Graft.groupedPrefixSum(pv, Seq("g"), "v", Seq("c")).count() == pv.count())
+    } finally s.conf.unset("spark.graft.validateOrder")
+  }
+
   test("adamicAdar/triangles facades reproduce q133/q134 exactly") {
     val aa = Graft.adamicAdar(Tables.cappedRatings(s, d), "user_id", "item")
       .select(col("item_a"), col("item_b"), col("common_users"),

@@ -873,4 +873,259 @@ class OperatorGoldenSpec extends AnyFunSuite {
     assert(got.getDouble(3) == pin(maeS / maeN, 1e4))
     assert(got.getDouble(3) < 1.0, "seasonal model must beat the naive walk")
   }
+
+  test("q210 golden: monotone groups pin Spearman to ±1; hand-computed tie case matches") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g210").toString
+    // N: perfect ascending, A: perfect descending, R: a 5-point tie case
+    // whose fractional ranks are hand-derivable (x ties at 1 and 3, y tie
+    // at 20)
+    val up = (1 to 20).map(i => ("N", i.toDouble, 3.0 * i, 0.0))
+    val dn = (1 to 20).map(i => ("A", i.toDouble, 100.0 - i, 0.0))
+    val tie = Seq(("R", 1.0, 10.0, 0.0), ("R", 1.0, 20.0, 0.0),
+      ("R", 2.0, 20.0, 0.0), ("R", 3.0, 30.0, 0.0), ("R", 3.0, 40.0, 0.0))
+    (up ++ dn ++ tie)
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = operators.Analytics.q210(s, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("N") == ((20L, 1.0)) && got("A") == ((20L, -1.0)))
+    // fractional ranks of the tie case: rx = 1.5,1.5,3,4.5,4.5 against
+    // ry = 1,2.5,2.5,4,5 — Pearson over those, pinned like the query
+    val rx = Seq(1.5, 1.5, 3.0, 4.5, 4.5)
+    val ry = Seq(1.0, 2.5, 2.5, 4.0, 5.0)
+    val n = 5.0
+    val (sx, sy) = (rx.sum, ry.sum)
+    val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+    val (sxx, syy) = (rx.map(a => a * a).sum, ry.map(b => b * b).sum)
+    val rho = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(got("R")._1 == 5L && math.abs(got("R")._2 - pin(rho, 1e4)) < 1e-9)
+  }
+
+  test("q211 golden: fully separated constructed arms give U = n_a*n_b and the hand-computed z") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g211").toString
+    // resolve arms with the query's own hash, then give every arm-A user a
+    // spend above every arm-B spend: complete separation, zero ties, so
+    // R_A is the top-n_a rank block exactly
+    val arms = s.range(1, 201).toDF("user_id")
+      .withColumn("arm",
+        when(graft.api.Graft.hashBucket(col("user_id"), 2) === 0, "A")
+          .otherwise("B"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val aUsers = arms.collect { case (u, "A") => u }.toSeq.sorted.take(30)
+    val bUsers = arms.collect { case (u, "B") => u }.toSeq.sorted.take(25)
+    assert(aUsers.size == 30 && bUsers.size == 25, "hash split too skewed")
+    val rows =
+      aUsers.zipWithIndex.map { case (u, i) =>
+        (u * 1000L, u, "purchase", 100.0 + i, dayNs(i)) } ++
+      bUsers.zipWithIndex.map { case (u, i) =>
+        (u * 1000L + 1, u, "purchase", 50.0 + i, dayNs(i)) }
+    rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Analytics.q211(s, dir).head()
+    val (na, nb) = (30.0, 25.0)
+    val u = na * nb // U_A at complete separation
+    val z = (u - na * nb / 2.0) /
+      math.sqrt(na * nb / 12.0 * (na + nb + 1.0))
+    assert(got.getLong(0) == 30L && got.getLong(1) == 25L)
+    assert(got.getDouble(2) == u)
+    assert(math.abs(got.getDouble(3) - pin(z, 1e4)) < 1e-9)
+  }
+
+  test("q212 golden: an exact weekly cycle pins ACF at lag 7 to 1") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g212").toString
+    val pattern = Array(100.0, 220.0, 310.0, 150.0, 260.0, 130.0, 180.0)
+    val start = java.time.LocalDate.of(2000, 3, 1)
+    (0 until 28).map(i =>
+        (java.sql.Date.valueOf(start.plusDays(i)), pattern(i % 7), 0.0))
+      .toDF("l_shipdate", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = operators.Analytics.q212(s, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == (1L to 7L).toSet)
+    assert(got(7L) == ((21L, 1.0)), "lag-7 pairs repeat exactly -> corr 1")
+    (1L to 6L).foreach(k => assert(got(k)._2 < 1.0))
+  }
+
+  test("q213 golden: Theil-Sen recovers the true line under a gross outlier") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g213").toString
+    // rev = 1000 + 5*t except one corrupted day: all pairs avoiding the
+    // outlier have slope exactly 5.0, and they hold the median (OLS would
+    // be dragged ~arbitrarily far by the same point)
+    val start = java.time.LocalDate.of(2000, 5, 1)
+    (0 until 60).map { i =>
+        val rev = if (i == 30) 1.0e7 else 1000.0 + 5.0 * i
+        (java.sql.Date.valueOf(start.plusDays(i)), rev, 0.0) }
+      .toDF("l_shipdate", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = operators.Analytics.q213(s, dir).head()
+    assert(got.getLong(0) == 60L && got.getLong(1) == 60L * 59L / 2L)
+    assert(got.getDouble(2) == 5.0)
+    assert(got.getDouble(3) == 1000.0)
+  }
+
+  test("q214/q220 golden: constructed weeks pin stickiness to 1.0 and 0.5; active-day histogram matches") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g214").toString
+    // week 0: users 1-3 active all 7 days (stickiness 1); week 1: user 1
+    // on day 7 only, user 2 on day 8 only (avg dau 1 of wau 2 -> 0.5)
+    val rows =
+      (for (day <- 0L until 7L; u <- 1L to 3L)
+        yield (day * 100 + u, u, "view", 1.0, dayNs(day))) ++
+      Seq((700L, 1L, "view", 1.0, dayNs(7L)), (801L, 2L, "view", 1.0, dayNs(8L)))
+    rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Analytics.q214(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq((0L, 7L, 3L, 3.0, 1.0), (1L, 2L, 2L, 1.0, 0.5)))
+    // active days: user 3 -> 7, users 1/2 -> 8
+    val hist = operators.Analytics.q220(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(hist.toSeq == Seq((7L, 1L), (8L, 2L)))
+  }
+
+  test("q215/q216 golden: hand-computed gap percentiles and the exact 60 s burst boundary") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g215").toString
+    def at(sec: Long): Long = dayNs(0L) + sec * 1000000000L
+    // user 1 'view' at 0/10/30 s -> gaps 10, 20 (p50 = 15, p90 = 19);
+    // user 2 single event -> no gap; user 3 'buy' at 0 and EXACTLY 60 s:
+    // a gap row of 60 s, but OUTSIDE the 59.999999 s burst window
+    val rows = Seq(
+      (1L, 1L, "view", 1.0, at(0)), (2L, 1L, "view", 1.0, at(10)),
+      (3L, 1L, "view", 1.0, at(30)),
+      (4L, 2L, "view", 1.0, at(5)),
+      (5L, 3L, "buy", 1.0, at(0)), (6L, 3L, "buy", 1.0, at(60)))
+    rows.toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val gaps = operators.Analytics.q215(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(gaps.toSeq == Seq(("buy", 1L, 60.0, 60.0), ("view", 2L, 15.0, 19.0)))
+    val burst = operators.Analytics.q216(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // user 1's three events share one 60 s window; user 3's two do NOT
+    assert(burst.toSeq == Seq((1L, 3L, 3L), (2L, 1L, 1L), (3L, 2L, 1L)))
+  }
+
+  test("q217/q219 golden: hand-computed readability and PII counts") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g217").toString
+    Seq(
+      (1L, "the cat sat. the dog ran!", "en", "srcA", 25L),
+      (2L, "contact bob@example.com or 555-123-4567 id 123456789", "en",
+        "srcB", 52L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // srcA: 6 words, 2 sentence marks, 6 vowel groups ->
+    // flesch = 206.835 - 1.015*(6/2) - 84.6*(6/6)
+    val r = operators.TextPipeline.q217(s, dir).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getDouble(3)))).toMap
+    assert(r("srcA") == ((1L, 3.0, pin(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 1e2))))
+    val p = operators.TextPipeline.q219(s, dir).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5)))
+    assert(p.toSeq == Seq(("srcA", 1L, 0L, 0L, 0L, 0L),
+      ("srcB", 1L, 1L, 1L, 1L, 1L)))
+  }
+
+  test("q218 golden: a doc holding every query term outranks a term-free doc; smoothing keeps all finite") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g218").toString
+    Seq(
+      (1L, "hash join dup hash join dup", "en", "srcA", 26L),
+      (2L, "plain text with no query terms at all", "en", "srcA", 38L),
+      (3L, "hash only here", "en", "srcB", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.Retrieval.q218(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 3)
+    assert(got.head._1 == 1L && got.head._2 == 3L)
+    val byDoc = got.map(t => t._1 -> t._3).toMap
+    assert(byDoc(1L) > byDoc(3L) && byDoc(3L) > byDoc(2L))
+    assert(byDoc.values.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
+  test("q221/q222 golden: identical halves pin JS to 0; an independent grid pins Cramér's V to 0") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g221").toString
+    // en and fr docs carry the SAME token multiset -> p = q exactly -> JS 0
+    Seq((1L, "alpha beta beta gamma", "en", "srcA", 21L),
+        (2L, "alpha beta beta gamma", "fr", "srcA", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val js = operators.TextPipeline.q221(s, dir).head()
+    assert(js.getDouble(0) == 0.0 && js.getDouble(1) == 0.0)
+    assert(js.getLong(2) == 3L)
+    // every (type, dow) cell equally filled -> observed = expected -> V 0
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_g222").toString
+    (for (ty <- Seq("view", "buy"); day <- 0L until 7L; r <- 0 until 3)
+      yield (day * 1000 + r * 10 + (if (ty == "view") 0 else 1),
+        1L, ty, 1.0, dayNs(day)))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val v = operators.Analytics.q222(s, dir2).head()
+    assert(v.getDouble(0) == 0.0 && v.getDouble(4) == 0.0)
+    assert(v.getLong(1) == 2L && v.getLong(2) == 7L && v.getLong(3) == 42L)
+  }
+
+  test("q223/q224 golden: an exact power law pins the Zipf fit; distinct-decile revenues trace the Lorenz curve") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g223").toString
+    // freq = 12 / rank for ranks 1..4 -> ln f = ln 12 - 1*ln rk exactly
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    Seq((1L, text, "en", "srcA", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val z = operators.TextPipeline.q223(s, dir).head()
+    assert(z.getLong(0) == 4L)
+    assert(z.getDouble(1) == -1.0 && z.getDouble(2) == 1.0)
+    // customers 1..10 with rev 10..100: decile k holds cum share k(k+1)/110
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_g224").toString
+    (1 to 10).map(k => (k.toLong, k * 10.0))
+      .toDF("o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir2/orders.parquet")
+    val lz = operators.Analytics.q224(s, dir2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val want = (1 to 10).map(k =>
+      (k.toLong, k / 10.0, pin(k * (k + 1) / 110.0, 1e4)))
+    assert(lz.toSeq == want)
+  }
+
+  test("r8 additions invariants at sf0.001: correlation bounds, gap ordering, QL coverage") {
+    val sp = operators.Analytics.q210(s, d).collect()
+    assert(sp.length == 3 && sp.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+    val mw = operators.Analytics.q211(s, d).head()
+    assert(mw.getLong(0) > 0 && mw.getLong(1) > 0)
+    val acf = operators.Analytics.q212(s, d).collect()
+    assert(acf.length == 7 && acf.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+    val st = operators.Analytics.q214(s, d).collect()
+    assert(st.nonEmpty &&
+      st.forall(r => r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0))
+    val gaps = operators.Analytics.q215(s, d).collect()
+    assert(gaps.nonEmpty && gaps.forall(r => r.getDouble(2) <= r.getDouble(3)))
+    val ql = operators.Retrieval.q218(s, d).collect()
+    assert(ql.length == 20 &&
+      ql.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 3))
+    // batch 2: JS bounded by ln 2; V in [0,1]; Zipf slope negative on
+    // natural-ish text; Lorenz curve sits on or under the diagonal and
+    // ends at (1, 1)
+    val js = operators.TextPipeline.q221(s, d).head()
+    assert(js.getDouble(0) >= 0.0 && js.getDouble(0) <= math.log(2.0) + 1e-9)
+    assert(js.getDouble(1) >= 0.0 && js.getDouble(1) <= 1.0)
+    val cv = operators.Analytics.q222(s, d).head()
+    assert(cv.getDouble(4) >= 0.0 && cv.getDouble(4) <= 1.0)
+    val zf = operators.TextPipeline.q223(s, d).head()
+    assert(zf.getLong(0) > 0L && zf.getLong(0) <= 250L && zf.getDouble(1) < 0.0)
+    val lz = operators.Analytics.q224(s, d).collect()
+    assert(lz.nonEmpty && lz.forall(r => r.getDouble(2) <= r.getDouble(1) + 1e-9))
+    assert(lz.last.getDouble(1) == 1.0 && lz.last.getDouble(2) == 1.0)
+  }
 }

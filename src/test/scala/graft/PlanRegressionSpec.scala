@@ -510,8 +510,10 @@ class PlanRegressionSpec extends AnyFunSuite {
     // capped at the ~2.4k-day order-date calendar no matter the fact scale
     // (a sliding frame, so the prefix-scan decomposition doesn't apply);
     // q208's lag-7/lag-1 forecast windows run over the same ~2.4k-day
-    // l_shipdate calendar (fixed-offset lags — also not prefix-scannable).
-    val exempt = Set("q34_window_moving_avg", "q208_mase_backtest")
+    // l_shipdate calendar (fixed-offset lags — also not prefix-scannable);
+    // q212's ACF lag-1..7 windows run over that same day calendar.
+    val exempt = Set("q34_window_moving_avg", "q208_mase_backtest",
+      "q212_acf_weekly")
     val limit = 256L
     val offenders = SparkEntry.queries
       .filterNot(kv => skip(kv._1) || exempt(kv._1)).toSeq
@@ -553,7 +555,11 @@ class PlanRegressionSpec extends AnyFunSuite {
     //   points to q85/IVF as the scale path, and SimilarityBandRewrite
     //   rewrites this very shape to a banded equi join once a side crosses
     //   spark.graft.similarityRewrite.minSideBytes).
-    val exempt = Set("q117_gap_fill_hourly", "q77_dedup_cosine_nn")
+    // - q213 broadcasts the year's day-grain revenue series (≤366 rows at
+    //   EVERY SF — bounded by the calendar domain, not the fact count) for
+    //   the Theil-Sen pairwise-slope join; same class as q117's spine.
+    val exempt = Set("q117_gap_fill_hourly", "q77_dedup_cosine_nn",
+      "q213_theilsen_trend")
     val limit = 256L
     // AQE off for this sweep: under AQE the executedPlan is an opaque
     // AdaptiveSparkPlanExec leaf (collect finds nothing — the lint would
