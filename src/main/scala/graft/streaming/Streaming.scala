@@ -42,6 +42,20 @@ object Streaming {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("n_events"), col("sv"))
 
+  /** q216's burst screen as a streaming monitor: per-user event counts in
+    * 60 s windows sliding every 15 s — the alert-feed form of the batch
+    * trailing-window screen. Grid-aligned sliding windows are the standard
+    * streaming discretization of a trailing range window: a burst of k
+    * events inside any 15 s span lands whole in at least one window, so
+    * the stream detects every burst the batch screen would, at ±15 s
+    * boundary resolution. Each event fans into exactly 60/15 = 4 windows;
+    * state is (user × open windows), watermark-evicted. */
+  def burst(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("tsc"), "60 seconds", "15 seconds").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("burst"))
+      .select(col("user_id"), col("w.start").as("ws"), col("burst"))
+
   /** q166's trending-decay rollup as a streaming-maintainable aggregation:
     * input rows carry (item, k day index); output per item the click count
     * and the 7-day-half-life decayed score. ONE commutative+associative
@@ -68,10 +82,17 @@ object Streaming {
         r2(col("sv")).as("sum_value"))
       .orderBy("user_id", "session_start")
 
+  def q225(s: SparkSession, d: String): DataFrame =
+    burst(events(s, d))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_windows"), max("burst").as("max_burst"))
+      .orderBy(col("max_burst").desc, col("user_id")).limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_tumbling_window" -> q80,
     "q81_sliding_window" -> q81,
-    "q82_session_window" -> q82)
+    "q82_session_window" -> q82,
+    "q225_burst_windows" -> q225)
 
   val oracle: Map[String, String] = Map(
     "q80_tumbling_window" ->
@@ -102,5 +123,16 @@ object Streaming {
          |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
          |  ${sr2("sum(value)")} AS sum_value
          |FROM s2 GROUP BY user_id, sid
-         |ORDER BY user_id, session_start""".stripMargin)
+         |ORDER BY user_id, session_start""".stripMargin,
+    // Each event belongs to exactly 4 sliding windows (60s length / 15s
+    // slide): 15s slots floor15(ts) - k for k in 0..3.
+    "q225_burst_windows" ->
+      """WITH f AS (SELECT user_id, (epoch_us(ts) // 15000000 - k) AS wslot
+        |  FROM events, (VALUES (0), (1), (2), (3)) AS t(k)),
+        |w2 AS (SELECT user_id, wslot, count(*) AS burst
+        |  FROM f GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_windows,
+        |  CAST(max(burst) AS BIGINT) AS max_burst
+        |FROM w2 GROUP BY 1
+        |ORDER BY max_burst DESC, user_id LIMIT 20""".stripMargin)
 }

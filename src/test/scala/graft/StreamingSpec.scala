@@ -66,6 +66,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("burst screen windows: stream result equals batch result") {
+    val sp = s
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(batchEvents.as[Ev].collect().toIndexedSeq)
+    val streamed = runComplete(
+      streaming.Streaming.burst(ms.toDF.withWatermark("tsc", "10 minutes")),
+      "burst_out")
+    val batch = streaming.Streaming.burst(batchEvents)
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+    assert(streamed.count() == batch.count())
+  }
+
   test("watermark drops late data in append mode") {
     val sp = s
     import sp.implicits._
