@@ -1210,7 +1210,67 @@ object Analytics {
       .orderBy("decile")
   }
 
+  /** Burstiness coefficient per event type: Goh–Barabási
+    * B = (σ−μ)/(σ+μ) over the q215 inter-event gaps — the single-number
+    * arrival-process signature (−1 metronome-periodic, 0 Poisson, →1
+    * heavy-tailed bursts) that turns q216's screen into a population
+    * readout. Same fact-partitioned lag windows as q215, then a
+    * |types|-row agg.
+    *
+    * Determinism: gaps divide exact integer µs; μ and σ aggregate
+    * identical doubles (drift ≪ pins); B divides the raw moments and
+    * pins at the edge. */
+  def q227(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("prev", lag("ts", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"),
+        (expr("(ts - prev) div 1000").cast("double") / lit(1000000.0))
+          .as("gap_s"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        r2(avg("gap_s")).as("mean_gap_s"),
+        r2(stddev_samp(col("gap_s"))).as("sd_gap_s"),
+        r4((stddev_samp(col("gap_s")) - avg("gap_s")) /
+          (stddev_samp(col("gap_s")) + avg("gap_s"))).as("burstiness"))
+      .orderBy("event_type")
+  }
+
+  /** Cohort conversion lag: per first-seen week, how many users ever
+    * purchase and how long the first view→first purchase takes (median
+    * and p90 days among converters) — the funnel-latency readout beside
+    * q36's step counts and q150's time-to-convert, cut by acquisition
+    * cohort so product changes show up as cohort-over-cohort shifts.
+    *
+    * Determinism: day arithmetic is exact integers; the conversion rate
+    * divides exact longs; the percentiles interpolate identically sorted
+    * exact integer lags. Scale: one fact pass to the user grain
+    * (conditional min aggs), then a |weeks|-row agg. */
+  def q228(s: SparkSession, d: String): DataFrame = {
+    val u = events(s, d).select(col("user_id"),
+        expr("((ts div 1000) - 1704067200000000) div 86400000000").as("day"),
+        col("event_type"))
+      .groupBy("user_id")
+      .agg(min("day").as("f"),
+        min(when(col("event_type") === "purchase", col("day"))).as("p"))
+      .withColumn("cohort_week", expr("f div 7"))
+      .withColumn("lag_days",
+        when(col("p").isNotNull, (col("p") - col("f")).cast("double")))
+    u.groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_users"),
+        count(col("lag_days")).as("n_converters"),
+        r4(count(col("lag_days")).cast("double") /
+          count(lit(1)).cast("double")).as("conv_rate"),
+        r4(expr("percentile(lag_days, 0.5e0)")).as("p50_lag_days"),
+        r4(expr("percentile(lag_days, 0.9e0)")).as("p90_lag_days"))
+      .orderBy("cohort_week")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_burstiness" -> q227,
+    "q228_conversion_lag" -> q228,
     "q222_cramers_v" -> q222,
     "q224_lorenz_deciles" -> q224,
     "q210_spearman_corr" -> q210,
@@ -1256,6 +1316,37 @@ object Analytics {
     "q156_cusum_changepoint" -> q156)
 
   val oracle: Map[String, String] = Map(
+    "q227_burstiness" ->
+      s"""WITH g AS (SELECT event_type,
+         |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+         |      PARTITION BY user_id, event_type ORDER BY ts, event_id)
+         |      AS gap_us
+         |  FROM events),
+         |s2 AS (SELECT event_type,
+         |    CAST(gap_us AS DOUBLE) / 1000000.0e0 AS gap_s
+         |  FROM g WHERE gap_us IS NOT NULL)
+         |SELECT event_type, count(*) AS n_gaps,
+         |  ${sr2("avg(gap_s)")} AS mean_gap_s,
+         |  ${sr2("stddev_samp(gap_s)")} AS sd_gap_s,
+         |  ${sr4("(stddev_samp(gap_s) - avg(gap_s)) / (stddev_samp(gap_s) + avg(gap_s))")} AS burstiness
+         |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q228_conversion_lag" ->
+      s"""WITH e AS (SELECT user_id,
+         |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS day,
+         |    event_type
+         |  FROM events),
+         |u AS (SELECT user_id, min(day) AS f,
+         |    min(CASE WHEN event_type = 'purchase' THEN day END) AS p
+         |  FROM e GROUP BY 1),
+         |u2 AS (SELECT f // 7 AS cohort_week,
+         |    CASE WHEN p IS NOT NULL THEN CAST(p - f AS DOUBLE) END AS lag_days
+         |  FROM u)
+         |SELECT cohort_week, count(*) AS n_users,
+         |  count(lag_days) AS n_converters,
+         |  ${sr4("CAST(count(lag_days) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS conv_rate,
+         |  ${sr4("quantile_cont(lag_days, 0.5e0)")} AS p50_lag_days,
+         |  ${sr4("quantile_cont(lag_days, 0.9e0)")} AS p90_lag_days
+         |FROM u2 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q222_cramers_v" ->
       s"""WITH et AS (SELECT event_type,
          |    ((epoch_us(ts) - 1704067200000000) // 86400000000) % 7 AS dow

@@ -657,7 +657,48 @@ object TextPipeline {
         r4(expr("regr_r2(ln(f), ln(rk))")).as("r2"))
   }
 
+  /** Heaps'-law fit per source: the vocabulary-growth exponent β in
+    * V(n) ≈ K·n^β, estimated as the OLS slope of ln(cumulative vocab) on
+    * ln(cumulative tokens) over the doc_id-ordered corpus — natural text
+    * sits near β ≈ 0.5, while templated/boilerplate sources flatten
+    * toward 0 (few new words per added token) and synthetic id-heavy
+    * sources inflate toward 1. The corpus-growth companion to q223's
+    * frequency-spectrum Zipf fit.
+    *
+    * The cumulative DISTINCT count is made prefix-scannable by the
+    * first-occurrence trick: a word's contribution to vocab growth lands
+    * on its MIN doc_id (a word-grain agg), so per-doc new-word counts and
+    * token counts then cumulate with
+    * [[graft.api.Graft.groupedPrefixSum]] — no running-distinct state,
+    * no per-source single-task sort. Determinism: exact counts → exact
+    * ln inputs; regr_slope sums over ≤|docs per source| rows (drift ≪
+    * the 4 dp pin). Deliberately NO R² column: regr_r2 on a
+    * zero-variance response (a source whose whole vocabulary lands in
+    * its first doc) is unstable under parallel partial aggregation —
+    * variance is exactly 0 single-threaded but ~1e-30 when partials
+    * merge, flipping the var(y)=0 branch — so the engines can disagree
+    * catastrophically there, while the slope's covariance numerator
+    * degrades gracefully (pins to 0.0). */
+  def q226(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d).select(col("doc_id"), col("source"),
+      explode(expr("filter(split(lower(text), ' '), w -> w != '')")).as("w"))
+    val newPerDoc = tok.groupBy("source", "w").agg(min("doc_id").as("doc_id"))
+      .groupBy("source", "doc_id").agg(count(lit(1)).as("nw"))
+    val tokPerDoc = tok.groupBy("source", "doc_id").agg(count(lit(1)).as("nt"))
+    val perDoc = tokPerDoc.join(newPerDoc, Seq("source", "doc_id"), "left")
+      .select(col("source"), col("doc_id"), col("nt"),
+        coalesce(col("nw"), lit(0L)).as("nw"))
+    graft.api.Graft.groupedPrefixSum(perDoc, Seq("source"), "doc_id",
+        Seq("nt", "nw"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        max("nt_cum").as("n_tokens"), max("nw_cum").as("n_vocab"),
+        r4(expr("regr_slope(ln(nw_cum), ln(nt_cum))")).as("heaps_beta"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_heaps_law" -> q226,
     "q221_js_divergence" -> q221,
     "q223_zipf_slope" -> q223,
     "q217_readability" -> q217,
@@ -684,6 +725,30 @@ object TextPipeline {
   private val wordsCte = s"w AS ($wordsSql)"
 
   val oracle: Map[String, String] = Map(
+    "q226_heaps_law" ->
+      s"""WITH tok AS (SELECT doc_id, source, unnest(list_filter(
+         |    string_split(lower(text), ' '), x -> x != '')) AS wd
+         |  FROM documents),
+         |fd AS (SELECT source, wd, min(doc_id) AS doc_id
+         |  FROM tok GROUP BY 1, 2),
+         |npd AS (SELECT source, doc_id, count(*) AS nw
+         |  FROM fd GROUP BY 1, 2),
+         |tpd AS (SELECT source, doc_id, count(*) AS nt
+         |  FROM tok GROUP BY 1, 2),
+         |pd AS (SELECT t.source, t.doc_id, t.nt, coalesce(n.nw, 0) AS nw
+         |  FROM tpd t LEFT JOIN npd n
+         |    ON n.source = t.source AND n.doc_id = t.doc_id),
+         |cum AS (SELECT source,
+         |    sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nt_cum,
+         |    sum(nw) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nw_cum
+         |  FROM pd)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(max(nt_cum) AS BIGINT) AS n_tokens,
+         |  CAST(max(nw_cum) AS BIGINT) AS n_vocab,
+         |  ${sr4("regr_slope(ln(nw_cum), ln(nt_cum))")} AS heaps_beta
+         |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
     "q221_js_divergence" ->
       s"""WITH $wordsCte,
          |tok AS (SELECT lang, unnest(words) AS wd FROM w),

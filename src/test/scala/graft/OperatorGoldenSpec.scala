@@ -994,22 +994,36 @@ class OperatorGoldenSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_g215").toString
     def at(sec: Long): Long = dayNs(0L) + sec * 1000000000L
     // user 1 'view' at 0/10/30 s -> gaps 10, 20 (p50 = 15, p90 = 19);
-    // user 2 single event -> no gap; user 3 'buy' at 0 and EXACTLY 60 s:
-    // a gap row of 60 s, but OUTSIDE the 59.999999 s burst window
+    // user 2 single event -> no gap; user 3 'buy' at 0/60/120 s: two
+    // exact 60 s gaps, each OUTSIDE the 59.999999 s burst window
     val rows = Seq(
       (1L, 1L, "view", 1.0, at(0)), (2L, 1L, "view", 1.0, at(10)),
       (3L, 1L, "view", 1.0, at(30)),
       (4L, 2L, "view", 1.0, at(5)),
-      (5L, 3L, "buy", 1.0, at(0)), (6L, 3L, "buy", 1.0, at(60)))
+      (5L, 3L, "buy", 1.0, at(0)), (6L, 3L, "buy", 1.0, at(60)),
+      (7L, 3L, "buy", 1.0, at(120)))
     rows.toDF("event_id", "user_id", "event_type", "value", "ts")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val gaps = operators.Analytics.q215(s, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
-    assert(gaps.toSeq == Seq(("buy", 1L, 60.0, 60.0), ("view", 2L, 15.0, 19.0)))
+    assert(gaps.toSeq == Seq(("buy", 2L, 60.0, 60.0), ("view", 2L, 15.0, 19.0)))
     val burst = operators.Analytics.q216(s, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    // user 1's three events share one 60 s window; user 3's two do NOT
-    assert(burst.toSeq == Seq((1L, 3L, 3L), (2L, 1L, 1L), (3L, 2L, 1L)))
+    // user 1's three events share one 60 s window; user 3's never pair up
+    assert(burst.toSeq == Seq((1L, 3L, 3L), (2L, 1L, 1L), (3L, 3L, 1L)))
+    // q225 grid-aligned discretization sees the same bursts: user 1's
+    // [0, 60) window holds all three events; user 3's 0 s and 60 s events
+    // never share a window (60 s is exclusive at every aligned start)
+    val bw = streaming.Streaming.q225(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(bw.toSeq == Seq((1L, 3L), (2L, 1L), (3L, 1L)))
+    // q227 burstiness: user 1's gaps are 10 and 20 s -> hand-computed B;
+    // user 3's single 60 s gap has sd 0 -> B = -1 (metronome limit)
+    val b = operators.Analytics.q227(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(4)))
+    val (mu, sd) = (15.0, math.sqrt((25.0 + 25.0) / 1.0))
+    assert(b.toSeq == Seq(("buy", 2L, -1.0),
+      ("view", 2L, pin((sd - mu) / (sd + mu), 1e4))))
   }
 
   test("q217/q219 golden: hand-computed readability and PII counts") {
@@ -1097,6 +1111,41 @@ class OperatorGoldenSpec extends AnyFunSuite {
     val want = (1 to 10).map(k =>
       (k.toLong, k / 10.0, pin(k * (k + 1) / 110.0, 1e4)))
     assert(lz.toSeq == want)
+  }
+
+  test("q226/q228 golden: an exact square-law corpus pins Heaps' beta; hand-built cohorts pin conversion lags") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g226").toString
+    // srcA: cumulative (tokens, vocab) hits (1,1),(4,2),(9,3),(16,4) ->
+    // v = n^0.5 exactly at every doc -> beta pins to 0.5
+    // srcB: whole vocabulary in doc 1 -> flat growth -> beta 0 (the
+    // degenerate case whose R^2 would be engine-unstable, hence no R^2)
+    Seq(
+      (1L, "w1", "en", "srcA", 2L),
+      (2L, "w1 w1 w2", "en", "srcA", 8L),
+      (3L, "w1 w1 w1 w2 w3", "en", "srcA", 14L),
+      (4L, "w1 w1 w1 w1 w2 w3 w4", "en", "srcA", 20L),
+      (5L, "a b", "en", "srcB", 3L),
+      (6L, "a b", "en", "srcB", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val h = operators.TextPipeline.q226(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(h.toSeq == Seq(("srcA", 4L, 16L, 4L, 0.5), ("srcB", 2L, 4L, 2L, 0.0)))
+    // cohorts: week 0 = {u1 converts on day 3, u2 never}; week 1 = {u3
+    // converts same-day}
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_g228").toString
+    Seq(
+      (1L, 1L, "view", 1.0, dayNs(0L)), (2L, 1L, "purchase", 5.0, dayNs(3L)),
+      (3L, 2L, "view", 1.0, dayNs(1L)),
+      (4L, 3L, "view", 1.0, dayNs(8L)), (5L, 3L, "purchase", 9.0, dayNs(8L)))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val c = operators.Analytics.q228(s, dir2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(c.toSeq == Seq((0L, 2L, 1L, 0.5, 3.0, 3.0), (1L, 1L, 1L, 1.0, 0.0, 0.0)))
   }
 
   test("r8 additions invariants at sf0.001: correlation bounds, gap ordering, QL coverage") {
