@@ -30,6 +30,27 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("groupedPrefixSum equals a per-group sequential scan on seeded random series") {
+    // adversarial shapes a real-data test misses: heavy group skew,
+    // negative addends, and single-row groups — the per-group running sum
+    // must match a plain sequential fold regardless of block placement
+    val rng = new scala.util.Random(42)
+    val rows = (0 until 600).map { i =>
+      (s"g${rng.nextInt(7)}", i.toLong, (rng.nextInt(2001) - 1000).toLong)
+    } ++ (1000 until 1400).map(i => ("gBig", i.toLong, 1L)) ++
+      Seq(("gLonely", 9999L, -5L))
+    val df = s.createDataFrame(rows).toDF("g", "v", "c")
+    val got = graft.api.Graft.groupedPrefixSum(df, Seq("g"), "v", Seq("c"))
+      .select("g", "v", "c_cum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.sortBy(_._2).foldLeft((0L, List.empty[((String, Long), Long)])) {
+        case ((acc, out), (_, v, c)) => (acc + c, ((g, v) -> (acc + c)) :: out)
+      }._2
+    }.toMap
+    assert(got.size == rows.size && got == want)
+  }
+
   test("sqlFloorDiv floors for ALL signs (Spark div truncates; DuckDB // floors)") {
     val xs = (-25L to 25L).toSeq
     val rows = s.createDataFrame(xs.map(Tuple1(_))).toDF("x")
