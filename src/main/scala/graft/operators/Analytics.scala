@@ -1268,7 +1268,33 @@ object Analytics {
       .orderBy("cohort_week")
   }
 
+  /** Sample-ratio-mismatch (SRM) health check for the q140/q207/q211
+    * experiment split: a 1-df chi-square of the observed arm counts
+    * against the designed 50/50 allocation, flagged at the 0.05 critical
+    * value — the FIRST gate an experiment readout must pass (a biased
+    * split invalidates every downstream metric before any mean is
+    * compared). Runs on the user grain, not events, so heavy users
+    * cannot mask an assignment bug.
+    *
+    * Determinism: arm counts are exact; χ² and the flag derive from
+    * identical integer-fed doubles in both engines (the boolean compares
+    * the RAW χ², identical bit-for-bit). Scale: one distinct-user agg
+    * and a one-row readout. */
+  def q230(s: SparkSession, d: String): DataFrame = {
+    val u = events(s, d).select(col("user_id")).distinct()
+      .withColumn("in_a", graft.api.Graft.hashBucket(col("user_id"), 2) === 0)
+    val cnt = u.agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("in_a"), 0L).otherwise(1L)).as("n_b"))
+    val e = (col("n_a") + col("n_b")) / lit(2.0)
+    val chi2 = (col("n_a") - e) * (col("n_a") - e) / e +
+      (col("n_b") - e) * (col("n_b") - e) / e
+    cnt.select(col("n_a"), col("n_b"),
+      r4(chi2).as("chi2"), (chi2 > lit(3.841459)).as("srm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_srm_check" -> q230,
     "q227_burstiness" -> q227,
     "q228_conversion_lag" -> q228,
     "q222_cramers_v" -> q222,
@@ -1316,6 +1342,19 @@ object Analytics {
     "q156_cusum_changepoint" -> q156)
 
   val oracle: Map[String, String] = Map(
+    "q230_srm_check" ->
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |lab AS (SELECT
+         |    ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 AS in_a
+         |  FROM u),
+         |c AS (SELECT
+         |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+         |  FROM lab)
+         |SELECT n_a, n_b,
+         |  ${sr4("(n_a - (n_a + n_b) / 2.0e0) * (n_a - (n_a + n_b) / 2.0e0) / ((n_a + n_b) / 2.0e0) + (n_b - (n_a + n_b) / 2.0e0) * (n_b - (n_a + n_b) / 2.0e0) / ((n_a + n_b) / 2.0e0)")} AS chi2,
+         |  ((n_a - (n_a + n_b) / 2.0e0) * (n_a - (n_a + n_b) / 2.0e0) / ((n_a + n_b) / 2.0e0) + (n_b - (n_a + n_b) / 2.0e0) * (n_b - (n_a + n_b) / 2.0e0) / ((n_a + n_b) / 2.0e0)) > 3.841459e0 AS srm
+         |FROM c""".stripMargin,
     "q227_burstiness" ->
       s"""WITH g AS (SELECT event_type,
          |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (

@@ -289,7 +289,38 @@ object Windows {
       .orderBy("from_type", "to_type")
   }
 
+  /** Sequence-pattern matching (the MATCH_RECOGNIZE shape Spark lacks):
+    * each user's event history becomes an initials string in strict
+    * (ts, event_id) order, and a regex counts non-overlapping browse-
+    * to-buy journeys `vc*p` (view, any clicks, purchase — a signup or
+    * error in between breaks the match). One corpus row: users, matched
+    * users, match rate, total journeys, mean sequence length.
+    *
+    * Determinism: collect_list is order-free because array_sort over the
+    * (us, event_id, initial) structs rebuilds the total order before the
+    * join; `vc*p` has no alternation/laziness, so Java regex and RE2
+    * find identical leftmost non-overlapping matches. Scale: state is
+    * one sequence per user (the operator's semantics — cap the slice or
+    * sessionize first when per-user histories are unbounded); everything
+    * else is a one-row agg. */
+  def q229(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("i"))
+      .groupBy("user_id")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(us, event_id, i))), x -> x.i)"),
+        "").as("seq"))
+      .withColumn("m", regexp_count(col("seq"), lit("vc*p")))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("m") > 0, 1L).otherwise(0L)).as("n_matched"),
+        r4(sum(when(col("m") > 0, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("match_rate"),
+        sum(col("m").cast("long")).as("total_matches"),
+        r2(avg(length(col("seq")))).as("avg_seq_len"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_seq_pattern" -> q229,
     "q177_type_transitions" -> q177,
     "q127_scd2_intervals" -> q127,
     "q139_snapshot_diff" -> q139,
@@ -304,6 +335,20 @@ object Windows {
     "q115_session_paths" -> q115)
 
   val oracle: Map[String, String] = Map(
+    "q229_seq_pattern" ->
+      s"""WITH s2 AS (SELECT user_id,
+         |    string_agg(substr(event_type, 1, 1), ''
+         |      ORDER BY ts, event_id) AS seq
+         |  FROM events GROUP BY 1),
+         |m AS (SELECT seq,
+         |    CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS m
+         |  FROM s2)
+         |SELECT count(*) AS n_users,
+         |  CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+         |  ${sr4("CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS match_rate,
+         |  CAST(sum(m) AS BIGINT) AS total_matches,
+         |  ${sr2("avg(len(seq))")} AS avg_seq_len
+         |FROM m""".stripMargin,
     "q177_type_transitions" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
          |  FROM events),

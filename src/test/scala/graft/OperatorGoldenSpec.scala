@@ -1148,6 +1148,40 @@ class OperatorGoldenSpec extends AnyFunSuite {
     assert(c.toSeq == Seq((0L, 2L, 1L, 0.5, 3.0, 3.0), (1L, 1L, 1L, 1.0, 0.0, 0.0)))
   }
 
+  test("q229/q230 golden: hand-built journeys pin the pattern counts; the hash split passes its own SRM gate") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g229").toString
+    // u1 'vcp' -> one browse-to-buy; u2 'vep' -> error breaks the match;
+    // u3 'vpvccp' -> two non-overlapping matches
+    val evs = Seq(
+      (1L, 1L, "view"), (2L, 1L, "click"), (3L, 1L, "purchase"),
+      (4L, 2L, "view"), (5L, 2L, "error"), (6L, 2L, "purchase"),
+      (7L, 3L, "view"), (8L, 3L, "purchase"), (9L, 3L, "view"),
+      (10L, 3L, "click"), (11L, 3L, "click"), (12L, 3L, "purchase"))
+      .map { case (id, u, ty) => (id, u, ty, 1.0, dayNs(0L) + id * 1000000000L) }
+    evs.toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val m = operators.Windows.q229(s, dir).head()
+    assert((m.getLong(0), m.getLong(1), m.getDouble(2), m.getLong(3),
+      m.getDouble(4)) == ((3L, 2L, pin(2.0 / 3.0, 1e4), 3L, 4.0)))
+    // SRM on the same hash the query uses: resolve arms for users 1..200,
+    // mirror the chi-square, and the designed split must NOT flag
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_g230").toString
+    (1L to 200L).map(u => (u, u, "view", 1.0, dayNs(0L) + u))
+      .toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val na = s.range(1, 201).toDF("user_id")
+      .filter(graft.api.Graft.hashBucket(col("user_id"), 2) === 0).count()
+    val nb = 200L - na
+    val e = 100.0
+    val chi2 = (na - e) * (na - e) / e + (nb - e) * (nb - e) / e
+    val got = operators.Analytics.q230(s, dir2).head()
+    assert(got.getLong(0) == na && got.getLong(1) == nb)
+    assert(got.getDouble(2) == pin(chi2, 1e4))
+    assert(got.getBoolean(3) == (chi2 > 3.841459))
+    assert(!got.getBoolean(3), "a sha256 50/50 split of 200 users must pass SRM")
+  }
+
   test("r8 additions invariants at sf0.001: correlation bounds, gap ordering, QL coverage") {
     val sp = operators.Analytics.q210(s, d).collect()
     assert(sp.length == 3 && sp.forall(r => math.abs(r.getDouble(2)) <= 1.0))
