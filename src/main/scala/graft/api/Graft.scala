@@ -610,6 +610,78 @@ object Graft {
           col("__f2").cast("double") / col("n_b").cast("double"))).as("ks_d"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) z-test between groups `a` and `b`
+    * of `groupCol` over `valueCol`: one row (n_a, n_b, u_a, z), unpinned —
+    * callers round at their output edge. Fractional (tie-averaged) ranks
+    * are built WITHOUT a fact-grain global window: values pre-aggregate
+    * to their distinct grain with per-group counts and the cumulative
+    * count below each value runs through [[prefixSum]]'s range-blocked
+    * combine (the [[ksStatistic]] discipline). R_A = Σ c_a·fr sums exact
+    * half-integers (order-free in doubles); the normal approximation is
+    * tie-corrected. Callers should pin `valueCol` to a rounding grid
+    * first when comparing across engines. */
+  def mannWhitney(df: DataFrame, valueCol: String, groupCol: String,
+                  a: String, b: String): DataFrame = {
+    val grain = df.filter(col(groupCol).isin(a, b))
+      .groupBy(col(valueCol).as("__v"))
+      .agg(sum(when(col(groupCol) === a, 1L).otherwise(0L)).as("__ca"),
+        count(lit(1)).as("__t"))
+    val ranked = prefixSum(grain, "__v", Seq("__t"))
+      .withColumn("__fr", (col("__t_cum") - col("__t")).cast("double") +
+        (col("__t") + 1).cast("double") / lit(2.0))
+    ranked.agg(
+      sum("__ca").as("n_a"), sum(col("__t") - col("__ca")).as("n_b"),
+      sum(col("__ca") * col("__fr")).as("__ra"),
+      sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__tie3"))
+      .select(col("n_a"), col("n_b"),
+        (col("__ra") - col("n_a") * (col("n_a") + 1) / lit(2.0)).as("u_a"),
+        (((col("__ra") - col("n_a") * (col("n_a") + 1) / lit(2.0)) -
+            col("n_a") * col("n_b") / lit(2.0)) /
+          sqrt(col("n_a") * col("n_b") / lit(12.0) *
+            (((col("n_a") + col("n_b")).cast("double") + 1) -
+              col("__tie3") / ((col("n_a") + col("n_b")).cast("double") *
+                ((col("n_a") + col("n_b")).cast("double") - 1))))).as("z"))
+  }
+
+  /** Spearman rank correlation of `xCol` vs `yCol` per group: one row per
+    * group (groupCols..., n, spearman), unpinned — callers round at their
+    * output edge. Weighted Pearson over SUPPORT-grain fractional ranks:
+    * each side shrinks to its distinct-value grain, tie-averaged ranks
+    * come from [[groupedPrefixSum]]'s range-block combine (parallel in
+    * groups × blocks — never one task per group), and the correlation
+    * assembles from weighted sufficient statistics on the (x, y) pair
+    * grain. Pin continuous columns to a rounding grid first when
+    * comparing across engines. */
+  def spearman(df: DataFrame, groupCols: Seq[String],
+               xCol: String, yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "spearman needs group columns")
+    val gc = groupCols.map(col)
+    val base = df.select(gc :+ col(xCol).as("__x") :+ col(yCol).as("__y"): _*)
+    def fracRanks(vc: String, out: String): DataFrame = {
+      val sup = base.groupBy(gc :+ col(vc): _*).agg(count(lit(1)).as("__t"))
+      groupedPrefixSum(sup, groupCols, vc, Seq("__t"))
+        .select(gc :+ col(vc) :+
+          (((col("__t_cum") - col("__t")).cast("double") +
+            (col("__t") + 1).cast("double") / lit(2.0)).as(out)): _*)
+    }
+    val pairs = base.groupBy(gc :+ col("__x") :+ col("__y"): _*)
+      .agg(count(lit(1)).as("__w"))
+      .join(fracRanks("__x", "__fx"), groupCols :+ "__x")
+      .join(fracRanks("__y", "__fy"), groupCols :+ "__y")
+    pairs.groupBy(gc: _*).agg(
+      sum("__w").cast("double").as("__n"),
+      sum(col("__w") * col("__fx")).as("__sx"),
+      sum(col("__w") * col("__fy")).as("__sy"),
+      sum(col("__w") * col("__fx") * col("__fy")).as("__sxy"),
+      sum(col("__w") * col("__fx") * col("__fx")).as("__sxx"),
+      sum(col("__w") * col("__fy") * col("__fy")).as("__syy"))
+      .select(gc :+ col("__n").cast("long").as("n") :+
+        ((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+            (col("__n") * col("__syy") - col("__sy") * col("__sy"))))
+          .as("spearman"): _*)
+  }
+
   /** CUPED variance reduction: given per-unit rows with an arm label, a
     * pre-period covariate `xCol` and the metric `yCol`, computes
     * θ = cov(X,Y)/var(X) pooled over ALL units, the adjusted metric

@@ -655,6 +655,28 @@ class GraftApiSpec extends AnyFunSuite {
     } finally s.conf.unset("spark.graft.validateOrder")
   }
 
+  test("mannWhitney/spearman facades reproduce q211/q210 exactly") {
+    // q211's exact input relation, rebuilt generically, then the facade's
+    // raw outputs pinned at the same edge the operator pins
+    val spend = Tables.events(s, d).filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(Tables.r2(sum("value")).as("y"))
+      .withColumn("arm",
+        when(Graft.hashBucket(col("user_id"), 2) === 0, "A").otherwise("B"))
+    val mw = Graft.mannWhitney(spend, "y", "arm", "A", "B")
+      .select(col("n_a"), col("n_b"), Tables.r2(col("u_a")).as("u_a"),
+        Tables.r4(col("z")).as("z"))
+    assert(mw.collect().toSeq ==
+      graft.operators.Analytics.q211(s, d).collect().toSeq)
+    val base = Tables.lineitem(s, d).select(col("l_returnflag").as("rf"),
+      col("l_quantity").as("x"),
+      Tables.r2(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("y"))
+    val sp = Graft.spearman(base, Seq("rf"), "x", "y")
+      .select(col("rf"), col("n"), Tables.r4(col("spearman")).as("spearman"))
+      .orderBy("rf")
+    assert(sp.collect().toSeq ==
+      graft.operators.Analytics.q210(s, d).collect().toSeq)
+  }
+
   test("adamicAdar/triangles facades reproduce q133/q134 exactly") {
     val aa = Graft.adamicAdar(Tables.cappedRatings(s, d), "user_id", "item")
       .select(col("item_a"), col("item_b"), col("common_users"),
