@@ -1182,33 +1182,53 @@ class OperatorGoldenSpec extends AnyFunSuite {
     assert(!got.getBoolean(3), "a sha256 50/50 split of 200 users must pass SRM")
   }
 
-  test("r8 additions invariants at sf0.001: correlation bounds, gap ordering, QL coverage") {
-    val sp = operators.Analytics.q210(s, d).collect()
-    assert(sp.length == 3 && sp.forall(r => math.abs(r.getDouble(2)) <= 1.0))
-    val mw = operators.Analytics.q211(s, d).head()
-    assert(mw.getLong(0) > 0 && mw.getLong(1) > 0)
-    val acf = operators.Analytics.q212(s, d).collect()
-    assert(acf.length == 7 && acf.forall(r => math.abs(r.getDouble(2)) <= 1.0))
-    val st = operators.Analytics.q214(s, d).collect()
-    assert(st.nonEmpty &&
-      st.forall(r => r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0))
-    val gaps = operators.Analytics.q215(s, d).collect()
-    assert(gaps.nonEmpty && gaps.forall(r => r.getDouble(2) <= r.getDouble(3)))
-    val ql = operators.Retrieval.q218(s, d).collect()
-    assert(ql.length == 20 &&
-      ql.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 3))
-    // batch 2: JS bounded by ln 2; V in [0,1]; Zipf slope negative on
-    // natural-ish text; Lorenz curve sits on or under the diagonal and
-    // ends at (1, 1)
-    val js = operators.TextPipeline.q221(s, d).head()
-    assert(js.getDouble(0) >= 0.0 && js.getDouble(0) <= math.log(2.0) + 1e-9)
-    assert(js.getDouble(1) >= 0.0 && js.getDouble(1) <= 1.0)
-    val cv = operators.Analytics.q222(s, d).head()
-    assert(cv.getDouble(4) >= 0.0 && cv.getDouble(4) <= 1.0)
-    val zf = operators.TextPipeline.q223(s, d).head()
-    assert(zf.getLong(0) > 0L && zf.getLong(0) <= 250L && zf.getDouble(1) < 0.0)
-    val lz = operators.Analytics.q224(s, d).collect()
-    assert(lz.nonEmpty && lz.forall(r => r.getDouble(2) <= r.getDouble(1) + 1e-9))
-    assert(lz.last.getDouble(1) == 1.0 && lz.last.getDouble(2) == 1.0)
+  test("r8 additions invariants at sf0.001 AND sf0.01: correlation bounds, gap ordering, QL coverage") {
+    // parameterized over both driver SFs (the r7 multi-SF pinning
+    // discipline) so a scale-dependent defect in the new statistics
+    // can't hide behind the smallest corpus
+    for (sf <- Seq(d, TestSpark.sf001)) {
+      val sp = operators.Analytics.q210(s, sf).collect()
+      assert(sp.length == 3 && sp.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+      val mw = operators.Analytics.q211(s, sf).head()
+      assert(mw.getLong(0) > 0 && mw.getLong(1) > 0)
+      val acf = operators.Analytics.q212(s, sf).collect()
+      assert(acf.length == 7 && acf.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+      val st = operators.Analytics.q214(s, sf).collect()
+      assert(st.nonEmpty &&
+        st.forall(r => r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0))
+      val gaps = operators.Analytics.q215(s, sf).collect()
+      assert(gaps.nonEmpty && gaps.forall(r => r.getDouble(2) <= r.getDouble(3)))
+      val ql = operators.Retrieval.q218(s, sf).collect()
+      assert(ql.length == 20 &&
+        ql.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 3))
+      // batch 2: JS bounded by ln 2; V in [0,1]; Zipf slope negative on
+      // natural-ish text; Lorenz curve sits on or under the diagonal and
+      // ends at (1, 1)
+      val js = operators.TextPipeline.q221(s, sf).head()
+      assert(js.getDouble(0) >= 0.0 && js.getDouble(0) <= math.log(2.0) + 1e-9)
+      assert(js.getDouble(1) >= 0.0 && js.getDouble(1) <= 1.0)
+      val cv = operators.Analytics.q222(s, sf).head()
+      assert(cv.getDouble(4) >= 0.0 && cv.getDouble(4) <= 1.0)
+      val zf = operators.TextPipeline.q223(s, sf).head()
+      assert(zf.getLong(0) > 0L && zf.getLong(0) <= 250L && zf.getDouble(1) < 0.0)
+      val lz = operators.Analytics.q224(s, sf).collect()
+      assert(lz.nonEmpty && lz.forall(r => r.getDouble(2) <= r.getDouble(1) + 1e-9))
+      assert(lz.last.getDouble(1) == 1.0 && lz.last.getDouble(2) == 1.0)
+      // batches 3/4: burstiness bounded; conversion rates in (0, 1];
+      // Heaps beta in (0, 1) on real text; every user has >= 1 journey row
+      val bn = operators.Analytics.q227(s, sf).collect()
+      assert(bn.nonEmpty && bn.forall(r =>
+        r.getDouble(4) >= -1.0 && r.getDouble(4) <= 1.0))
+      val cl = operators.Analytics.q228(s, sf).collect()
+      assert(cl.nonEmpty && cl.forall(r =>
+        r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+      val hp = operators.TextPipeline.q226(s, sf).collect()
+      assert(hp.nonEmpty && hp.forall(r =>
+        r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0))
+      val sq = operators.Windows.q229(s, sf).head()
+      assert(sq.getLong(0) > 0 && sq.getLong(1) <= sq.getLong(0))
+      val srm = operators.Analytics.q230(s, sf).head()
+      assert(srm.getLong(0) + srm.getLong(1) > 0 && srm.getDouble(2) >= 0.0)
+    }
   }
 }
