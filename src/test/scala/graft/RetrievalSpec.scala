@@ -110,5 +110,21 @@ class RetrievalSpec extends AnyFunSuite {
       val cs = byRank.map(_.getDouble(4))
       assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
     }
+    // nprobe is the recall knob: widening the probe list can only help —
+    // recall@1 vs brute force must be non-decreasing in nprobe, and by
+    // nprobe = |cells| the search is exhaustive, so recall must be 100%
+    def recallAt(np: Int): Int = {
+      val t1 = operators.Retrieval.ivfProbe(s, d, cents, k = 3, nprobe = np)
+        .filter(col("rnk") === 1L).collect()
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+      bruteTop1.count { case (p, c) => t1.get(p).contains(c) }
+    }
+    val nCells = cents.count().toInt
+    val r1 = hits
+    val r2 = recallAt(2)
+    val rAll = recallAt(nCells)
+    assert(r2 >= r1, s"recall fell when widening nprobe 1 -> 2 ($r1 -> $r2)")
+    assert(rAll == bruteTop1.size,
+      s"nprobe = |cells| must be exhaustive ($rAll/${bruteTop1.size})")
   }
 }
