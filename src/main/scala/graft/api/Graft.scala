@@ -682,6 +682,31 @@ object Graft {
           .as("spearman"): _*)
   }
 
+  /** Lorenz concentration curve of `valueCol` over the rows of `df`
+    * (typically a unit-grain relation: one row per customer/supplier/
+    * doc): cumulative value share at each cumulative-population decile
+    * boundary, one row per observed decile (decile, cum_population,
+    * cum_value), unpinned — callers round at their output edge. Built on
+    * [[prefixSum]]'s range-blocked combine over the distinct-value grain
+    * — no fact-grain global window. A mass point spanning a whole decile
+    * leaves that decile without a boundary row (reported as observed).
+    * Pin `valueCol` to a rounding grid first when comparing across
+    * engines. */
+  def lorenz(df: DataFrame, valueCol: String): DataFrame = {
+    val grain = df.groupBy(col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__rc", col("__v") * col("__c"))
+    val cum = prefixSum(grain, "__v", Seq("__c", "__rc"))
+    val tot = grain.agg(sum("__c").as("__nc"), sum("__rc").as("__tr"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("__f", col("__c_cum").cast("double") / col("__nc").cast("double"))
+      .withColumn("__s", col("__rc_cum") / col("__tr"))
+      .withColumn("decile", ceil(col("__f") * lit(10.0)).cast("long"))
+      .groupBy("decile")
+      .agg(max("__f").as("cum_population"), max("__s").as("cum_value"))
+      .orderBy("decile")
+  }
+
   /** CUPED variance reduction: given per-unit rows with an arm label, a
     * pre-period covariate `xCol` and the metric `yCol`, computes
     * θ = cov(X,Y)/var(X) pooled over ALL units, the adjusted metric

@@ -677,6 +677,17 @@ class GraftApiSpec extends AnyFunSuite {
       graft.operators.Analytics.q210(s, d).collect().toSeq)
   }
 
+  test("lorenz facade reproduces q224 exactly") {
+    val rev = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(Tables.r2(sum("o_totalprice")).as("rev"))
+    val api = Graft.lorenz(rev, "rev")
+      .select(col("decile"), Tables.r4(col("cum_population")).as("cum_customers"),
+        Tables.r4(col("cum_value")).as("cum_revenue"))
+      .orderBy("decile")
+    assert(api.collect().toSeq ==
+      graft.operators.Analytics.q224(s, d).collect().toSeq)
+  }
+
   test("adamicAdar/triangles facades reproduce q133/q134 exactly") {
     val aa = Graft.adamicAdar(Tables.cappedRatings(s, d), "user_id", "item")
       .select(col("item_a"), col("item_b"), col("common_users"),
