@@ -102,10 +102,15 @@ object Tables {
     memoized(spark, sfDir, "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // The ns rebuild below casts NTZ -> LTZ -> unix_micros, which reads
-      // the session timezone; pin it HERE so the loader's contract ("safe
-      // regardless of session configs", file header) holds even for a
-      // session that never went through an entry point's UTC pin.
+      // the session timezone; pin it UTC for the duration of plan
+      // ANALYSIS (Spark bakes the session timezone into timezone-aware
+      // expressions when the Dataset is built — the cached plan keeps
+      // UTC semantics afterwards), then restore the caller's setting:
+      // the loader must not permanently switch timezone semantics for
+      // unrelated queries the session runs later.
+      val priorTz = spark.conf.getOption("spark.sql.session.timeZone")
       spark.conf.set("spark.sql.session.timeZone", "UTC")
+      try {
       val raw = table(spark, sfDir, "events")
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
@@ -130,6 +135,12 @@ object Tables {
           throw new IllegalArgumentException(
             s"events.ts has unsupported type $other (expected LONG ns, " +
               "TIMESTAMP, or TIMESTAMP_NTZ) at " + sfDir)
+      }
+      } finally {
+        priorTz match {
+          case Some(tz) => spark.conf.set("spark.sql.session.timeZone", tz)
+          case None => spark.conf.unset("spark.sql.session.timeZone")
+        }
       }
     }
 

@@ -133,6 +133,45 @@ object Graft {
       .drop("__qs")
   }
 
+  /** EXACT `ntile(buckets)` over `(keyCol asc|desc, tieCol)` rebuilt
+    * without a global single-task window: the 1-based row number is
+    * (count of strictly smaller keys, from a [[prefixSum]] range-block
+    * scan over `keyCol`'s value SUPPORT) + (rank by `tieCol` within the
+    * key's tie group — a window partitioned by key value, parallel in
+    * the support), then the closed-form ntile split (the first
+    * n mod buckets buckets hold ⌈n/buckets⌉ rows, the rest ⌊n/buckets⌋).
+    * Bit-identical to `ntile(buckets).over(Window.orderBy(key, tie))` —
+    * asserted in GraftApiSpec — but parallel in support values × blocks
+    * instead of ONE task holding every row. Unlike [[equiDepthBuckets]]
+    * (boundary-value buckets, ties share a bucket), this reproduces
+    * ntile's row-number split exactly, ties crossing bucket boundaries
+    * by `tieCol` order. `keyCol` must be numeric (desc is implemented by
+    * negation); `(keyCol, tieCol)` must be a total order for a
+    * deterministic result. */
+  def ntileExact(df: DataFrame, buckets: Int, keyCol: String, asc: Boolean,
+                 tieCol: String, out: String): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val b = buckets
+    val n1 = df.agg(count(lit(1)).as("__n"))
+    val keyed = df.withColumn("__k",
+      (if (asc) col(keyCol) else -col(keyCol)).cast("double"))
+    val below = prefixSum(
+        keyed.groupBy("__k").agg(count(lit(1)).as("__c")), "__k", Seq("__c"))
+      .select(col("__k"), (col("__c_cum") - col("__c")).as("__below"))
+    val wTie = Window.partitionBy("__k").orderBy(tieCol)
+    keyed.join(below, "__k")
+      .withColumn("__rn", col("__below") + row_number().over(wTie))
+      .crossJoin(broadcast(n1))
+      .withColumn(out, expr(
+        s"""CASE WHEN __rn <= (__n div $b + 1) * (__n % $b)
+           |  THEN (__rn + (__n div $b + 1) - 1) div (__n div $b + 1)
+           |  ELSE (__n % $b) +
+           |    ((__rn - (__n div $b + 1) * (__n % $b)) + (__n div $b) - 1)
+           |      div (__n div $b)
+           |END""".stripMargin).cast("long"))
+      .drop("__k", "__below", "__rn", "__n")
+  }
+
   /** Exact-k weighted sampling WITHOUT replacement (Efraimidis–Spirakis),
     * fully reproducible: each row draws u ∈ (0, 1] from sha256(id) — no
     * RNG state, same rows win on any cluster/partitioning/rerun — and the
@@ -509,7 +548,17 @@ object Graft {
     * [[prefixSum]]: exact/pinned addends regroup exactly under
     * associativity, so the block decomposition cannot change results.
     * Opt-in validation via `spark.graft.validateOrder` mirrors the
-    * ungrouped scans, checking (group, order) distinctness. */
+    * ungrouped scans, checking (group, order) distinctness. NULL group
+    * keys are kept as their own group (null-safe joins throughout),
+    * matching the `Window.partitionBy` semantics this replaces.
+    *
+    * Sizing caveat: the bounds and offsets sides are each
+    * O(groups × blocks) rows and are broadcast-hinted because the
+    * intended regime is FEW, WIDE groups. With MANY groups (per-tenant /
+    * per-user series at high cardinality × 32 blocks) those sides can
+    * exceed driver/broadcast limits — there a plain
+    * `Window.partitionBy(groups)` already parallelizes across groups and
+    * is the right tool; this facade buys nothing. */
   def groupedPrefixSum(df: DataFrame, groupCols: Seq[String],
                        orderCol: String, valueCols: Seq[String],
                        suffix: String = "_cum"): DataFrame = {
@@ -527,13 +576,20 @@ object Graft {
     val n = math.max(2, df.sparkSession.sessionState.conf.numShufflePartitions)
     val ps = (1 until n).map(i => s"${i.toDouble / n}e0").mkString(",")
     val gc = groupCols.map(col)
+    // group-key joins below are null-safe (<=>): a NULL group key is a
+    // group of its own, exactly as Window.partitionBy treats it — a
+    // null-unsafe USING join would silently drop those rows
     val bounds = df.groupBy(gc: _*)
       .agg(expr(s"approx_percentile($orderCol, array($ps), 10000)")
         .as("__bnds"))
-    val blocked = df.join(broadcast(bounds), groupCols)
+      .select(groupCols.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"__bg$i") } :+ col("__bnds"): _*)
+    val bCond = groupCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__bg$i") }.reduce(_ && _)
+    val blocked = df.join(broadcast(bounds), bCond)
       .withColumn("__blk",
         coalesce(size(expr(s"filter(__bnds, q -> $orderCol > q)")), lit(0)))
-      .drop("__bnds")
+      .drop("__bnds" +: groupCols.indices.map(i => s"__bg$i"): _*)
     val gbc = (groupCols :+ "__blk").map(col)
     val wLoc = Window.partitionBy(gbc: _*).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -545,16 +601,22 @@ object Graft {
           sum(c).as(s"__t${i + 1}") }: _*)
     val offsets = valueCols.indices.foldLeft(totals) { (acc, i) =>
       acc.withColumn(s"__o$i", sum(col(s"__t$i")).over(wOff))
-    }.select(gbc ++ valueCols.indices.map(i => col(s"__o$i")): _*)
+    }.select((groupCols.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"__og$i") } :+ col("__blk").as("__oblk")) ++
+      valueCols.indices.map(i => col(s"__o$i")): _*)
     val local = valueCols.foldLeft(blocked) { (acc, c) =>
       acc.withColumn(c + suffix, sum(col(c)).over(wLoc))
     }
-    val combined = local.join(broadcast(offsets),
-      groupCols :+ "__blk", "left")
+    val oCond = (groupCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__og$i") } :+
+      (col("__blk") === col("__oblk"))).reduce(_ && _)
+    val combined = local.join(broadcast(offsets), oCond, "left")
     valueCols.zipWithIndex.foldLeft(combined) { case (acc, (c, i)) =>
       acc.withColumn(c + suffix,
         col(c + suffix) + coalesce(col(s"__o$i"), lit(0L)))
-    }.drop("__blk" +: valueCols.indices.map(i => s"__o$i"): _*)
+    }.drop(Seq("__blk", "__oblk") ++
+      groupCols.indices.map(i => s"__og$i") ++
+      valueCols.indices.map(i => s"__o$i"): _*)
   }
 
   /** Distributed STRICT prefix max — the scale-safe replacement for a
@@ -632,7 +694,12 @@ object Graft {
     ranked.agg(
       sum("__ca").as("n_a"), sum(col("__t") - col("__ca")).as("n_b"),
       sum(col("__ca") * col("__fr")).as("__ra"),
-      sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__tie3"))
+      // tie term in DOUBLE: t³ overflows LONG once one tied value holds
+      // >~2.09M rows (plausible for a coarse-pinned grain at 100 TB);
+      // the term only feeds a double variance, and doubles are exact to
+      // 2^53 so small-tie results are bit-identical to the integer path
+      sum(col("__t").cast("double") * col("__t") * col("__t") - col("__t"))
+        .as("__tie3"))
       .select(col("n_a"), col("n_b"),
         (col("__ra") - col("n_a") * (col("n_a") + 1) / lit(2.0)).as("u_a"),
         (((col("__ra") - col("n_a") * (col("n_a") + 1) / lit(2.0)) -

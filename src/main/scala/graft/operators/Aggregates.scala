@@ -242,8 +242,14 @@ object Aggregates {
     * Determinism: weights are integral quantities cast to long, so the
     * cumulative comparison 2·cum ≥ total is INTEGER arithmetic — no float
     * boundary can flip the picked element; the picked price is a raw data
-    * value needing no pin. Scale: one (flag, price)-grain agg, a window
-    * over the distinct-price relation, min-reduce. */
+    * value needing no pin (and groupedPrefixSum's block regrouping sums
+    * the same exact longs, so the decomposition cannot change results).
+    * Scale: one (flag, price)-grain agg, then the cumulative weight runs
+    * through [[graft.api.Graft.groupedPrefixSum]]'s range-block combine —
+    * parallel in flags × blocks. A plain partitionBy(l_returnflag) window
+    * here would plan ONE task per flag (3 at any SF) over a
+    * fact-domain-proportional distinct-price series — the few-wide-groups
+    * shape the facade exists to replace. */
   def q149(s: SparkSession, d: String): DataFrame = {
     val grouped = lineitem(s, d)
       .select(col("l_returnflag"), col("l_extendedprice"),
@@ -251,11 +257,9 @@ object Aggregates {
       .groupBy("l_returnflag", "l_extendedprice")
       .agg(sum("wt").as("w"))
     val tot = grouped.groupBy("l_returnflag").agg(sum("w").as("tw"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("l_returnflag").orderBy("l_extendedprice")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    grouped.withColumn("cw", sum("w").over(win))
+    graft.api.Graft.groupedPrefixSum(grouped, Seq("l_returnflag"),
+        "l_extendedprice", Seq("w"))
+      .withColumnRenamed("w_cum", "cw")
       .join(tot, "l_returnflag")
       .filter(col("cw") * 2 >= col("tw"))
       .groupBy("l_returnflag")

@@ -993,7 +993,9 @@ object Analytics {
     ranked.agg(
       sum("ca").as("n_a"), sum(col("t") - col("ca")).as("n_b"),
       sum(col("ca") * col("fr")).as("r_a"),
-      sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+      // double tie cube (see Graft.mannWhitney): LONG t³ overflows past
+      // ~2.09M rows on one tied value; exact below 2^53 either way
+      sum(col("t").cast("double") * col("t") * col("t") - col("t")).as("tie3"))
       .select(col("n_a"), col("n_b"),
         r2(col("r_a") - col("n_a") * (col("n_a") + 1) / lit(2.0)).as("u_a"),
         r4(((col("r_a") - col("n_a") * (col("n_a") + 1) / lit(2.0)) -
@@ -1467,7 +1469,7 @@ object Analytics {
          |s AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
          |    CAST(sum(t - ca) AS BIGINT) AS n_b,
          |    sum(ca * fr) AS r_a,
-         |    CAST(sum(t * t * t - t) AS BIGINT) AS tie3 FROM r)
+         |    sum(CAST(t AS DOUBLE) * t * t - t) AS tie3 FROM r)
          |SELECT n_a, n_b,
          |  ${sr2("r_a - n_a * (n_a + 1) / 2.0e0")} AS u_a,
          |  ${sr4("((r_a - n_a * (n_a + 1) / 2.0e0) - n_a * n_b / 2.0e0) / sqrt(n_a * n_b / 12.0e0 * ((CAST(n_a + n_b AS DOUBLE) + 1) - tie3 / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1))))")} AS z

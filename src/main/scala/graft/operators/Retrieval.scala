@@ -344,19 +344,34 @@ object Retrieval {
     *
     * Determinism: percent_rank is the exact rational (rank−1)/(n−1) with
     * rank total-ordered by (value, vec_id) — no ties, identical doubles
-    * both engines (6 dp pin belt-and-braces). Scale: one explode, 64
-    * dimension-partitioned windows over n rows each — row-linear, and at
-    * open scale the per-dim sort is exactly the distributed-sort shape
-    * AQE handles. */
+    * both engines (6 dp pin belt-and-braces). Scale: a dimension-
+    * partitioned percent_rank window caps parallelism at 64 tasks
+    * forever (AQE cannot split a window partition), so the rank is
+    * REBUILT from supports: per-(dim, value) counts, cumulative
+    * count-below via [[graft.api.Graft.groupedPrefixSum]] (parallel in
+    * dims × blocks), a custkey-style tie window partitioned by
+    * (dim, value) — support-sized partitions — and the closed form
+    * (below + tie_rank − 1)/(n − 1). Memory trade: the support relation
+    * is up to one row per (dim, value) pair — same order as the exploded
+    * input (row-linear), shuffled on (dim, value) instead of funneled
+    * into 64 sort tasks. */
   def q209(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("i").orderBy(col("x"), col("vec_id"))
-    embeddings(s, d)
+    val long = embeddings(s, d)
       .select(col("vec_id"),
         posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
           .as(Seq("p", "x")))
       .select(col("vec_id"), (col("p") + 1).cast("long").as("i"), col("x"))
-      .withColumn("qn", rnd(percent_rank().over(w), 6))
+    val n1 = embeddings(s, d).agg(count(lit(1)).as("__n"))
+    val sup = long.groupBy("i", "x").agg(count(lit(1)).as("__c"))
+    val below = graft.api.Graft.groupedPrefixSum(sup, Seq("i"), "x", Seq("__c"))
+      .select(col("i"), col("x"), (col("__c_cum") - col("__c")).as("__below"))
+    val wTie = org.apache.spark.sql.expressions.Window
+      .partitionBy("i", "x").orderBy("vec_id")
+    long.join(below, Seq("i", "x"))
+      .crossJoin(broadcast(n1))
+      .withColumn("qn", rnd(
+        (col("__below") + row_number().over(wTie) - 1).cast("double") /
+          (col("__n") - 1).cast("double"), 6))
       .select("vec_id", "i", "qn")
       .orderBy("vec_id", "i")
   }

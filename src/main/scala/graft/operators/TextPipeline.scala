@@ -646,7 +646,13 @@ object TextPipeline {
     * both engines rank the identical set identically.
     *
     * Determinism: exact counts → identical ln inputs; regr_* are
-    * sufficient-statistics sums over ≤250 rows (drift ≪ the 4 dp pins). */
+    * sufficient-statistics sums over ≤250 rows (drift ≪ the 4 dp pins) —
+    * EXCEPT regr_r2 when the response ln(f) has zero variance (all top
+    * frequencies tied, a degenerate/templated corpus): variance is
+    * exactly 0 single-threaded but ~1e-30 under parallel partial merges,
+    * flipping regr_r2's var(y)=0 branch between engines (the q226
+    * rationale). The exact integer guard min(f)=max(f) pins that case to
+    * NULL on both sides. */
   def q223(s: SparkSession, d: String): DataFrame = {
     val top = words1(s, d).groupBy("w").agg(count(lit(1)).as("f"))
       .orderBy(col("f").desc, col("w")).limit(250)
@@ -654,7 +660,8 @@ object TextPipeline {
         row_number().over(Window.orderBy(col("f").desc, col("w"))).cast("long"))
       .agg(count(lit(1)).as("n_tokens"),
         r4(expr("regr_slope(ln(f), ln(rk))")).as("zipf_slope"),
-        r4(expr("regr_r2(ln(f), ln(rk))")).as("r2"))
+        r4(when(min("f") === max("f"), lit(null).cast("double"))
+          .otherwise(expr("regr_r2(ln(f), ln(rk))"))).as("r2"))
   }
 
   /** Heaps'-law fit per source: the vocabulary-growth exponent β in
@@ -777,7 +784,8 @@ object TextPipeline {
          |    AS BIGINT) AS rk FROM f)
          |SELECT count(*) AS n_tokens,
          |  ${sr4("regr_slope(ln(f), ln(rk))")} AS zipf_slope,
-         |  ${sr4("regr_r2(ln(f), ln(rk))")} AS r2
+         |  CASE WHEN min(f) = max(f) THEN NULL
+         |    ELSE ${sr4("regr_r2(ln(f), ln(rk))")} END AS r2
          |FROM r""".stripMargin,
     "q217_readability" ->
       s"""WITH m AS (SELECT source,

@@ -297,19 +297,21 @@ object Windows {
     * users, match rate, total journeys, mean sequence length.
     *
     * Determinism: collect_list is order-free because array_sort over the
-    * (us, event_id, initial) structs rebuilds the total order before the
-    * join; `vc*p` has no alternation/laziness, so Java regex and RE2
-    * find identical leftmost non-overlapping matches. Scale: state is
-    * one sequence per user (the operator's semantics — cap the slice or
-    * sessionize first when per-user histories are unbounded); everything
-    * else is a one-row agg. */
+    * (ts, event_id, initial) structs rebuilds the total order before the
+    * join — over the FULL ns timestamp, not a µs truncation, so the
+    * order matches the oracle's ORDER BY ts even for sub-µs fixtures
+    * (the q215/q216 discipline); `vc*p` has no alternation/laziness, so
+    * Java regex and RE2 find identical leftmost non-overlapping matches.
+    * Scale: state is one sequence per user (the operator's semantics —
+    * cap the slice or sessionize first when per-user histories are
+    * unbounded); everything else is a one-row agg. */
   def q229(s: SparkSession, d: String): DataFrame =
     events(s, d)
-      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_id"),
+      .select(col("user_id"), col("ts"), col("event_id"),
         substring(col("event_type"), 1, 1).as("i"))
       .groupBy("user_id")
       .agg(array_join(expr(
-        "transform(array_sort(collect_list(struct(us, event_id, i))), x -> x.i)"),
+        "transform(array_sort(collect_list(struct(ts, event_id, i))), x -> x.i)"),
         "").as("seq"))
       .withColumn("m", regexp_count(col("seq"), lit("vc*p")))
       .agg(count(lit(1)).as("n_users"),

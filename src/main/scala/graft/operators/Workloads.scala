@@ -80,13 +80,19 @@ object Workloads {
     * primitive): per customer, Recency (days since last order, vs the
     * corpus max date), Frequency (order count), Monetary (total spend) —
     * each cut into quartiles — then segment sizes and average spend per
-    * (R,F,M) cell. The per-customer aggregate is one shuffle; the three
-    * ntile windows run over the CUSTOMER-sized relation (dimension-sized;
-    * at fact scale pre-aggregate first — this shape is already the
-    * aggregate). Determinism: monetary is pinned to 2 dp BEFORE the ntile
-    * ordering — Spark's and DuckDB's per-customer double sums differ at
-    * ~1e-9, and an unpinned orderBy(m) could flip near-equal customers
-    * across a quartile boundary. */
+    * (R,F,M) cell. The customer grain SCALES WITH SF (15k at sf0.1 →
+    * 15M at sf1000), so the quartile cuts are NOT computed with global
+    * `ntile` windows (three single-task sorts of every customer): each
+    * axis is cut with [[graft.api.Graft.ntileExact]] — the exact ntile
+    * row number rebuilt from a prefix scan over the axis's value SUPPORT
+    * plus a custkey tie rank, every stage parallel in support values ×
+    * blocks.
+    *
+    * Determinism: monetary is pinned to 2 dp BEFORE the quartile cut —
+    * Spark's and DuckDB's per-customer double sums differ at ~1e-9, and
+    * an unpinned order could flip near-equal customers across a quartile
+    * boundary; the rebuilt row number is the exact ntile input (integer
+    * arithmetic thereafter), so the oracle keeps plain ntile. */
   def q114(s: SparkSession, d: String): DataFrame = {
     val maxd = orders(s, d).agg(max("o_orderdate").as("maxd"))
     val rfm = orders(s, d)
@@ -97,14 +103,13 @@ object Workloads {
       .select(col("o_custkey"),
         datediff(col("maxd"), col("lastd")).cast("long").as("rec"),
         col("f"), col("rm"))
-    val wr = Window.orderBy(col("rec").asc, col("o_custkey"))
-    val wf = Window.orderBy(col("f").desc, col("o_custkey"))
-    val wm = Window.orderBy(col("rm").desc, col("o_custkey"))
-    rfm.select(col("rm"),
-        ntile(4).over(wr).cast("long").as("r_q"),
-        ntile(4).over(wf).cast("long").as("f_q"),
-        ntile(4).over(wm).cast("long").as("m_q"))
-      .groupBy("r_q", "f_q", "m_q")
+    def quartile(df: DataFrame, keyCol: String, asc: Boolean,
+                 out: String): DataFrame =
+      graft.api.Graft.ntileExact(df, 4, keyCol, asc, "o_custkey", out)
+    val cut = quartile(quartile(quartile(rfm,
+      "rec", asc = true, "r_q"), "f", asc = false, "f_q"),
+      "rm", asc = false, "m_q")
+    cut.groupBy("r_q", "f_q", "m_q")
       .agg(count(lit(1)).as("n_customers"), r2(avg("rm")).as("avg_monetary"))
       .orderBy("r_q", "f_q", "m_q")
   }

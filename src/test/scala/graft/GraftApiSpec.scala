@@ -653,6 +653,41 @@ class GraftApiSpec extends AnyFunSuite {
       assert(e.getMessage.contains("duplicates"))
       assert(Graft.groupedPrefixSum(pv, Seq("g"), "v", Seq("c")).count() == pv.count())
     } finally s.conf.unset("spark.graft.validateOrder")
+    // NULL group keys are a group of their own (the Window.partitionBy
+    // semantics): the null-safe joins must neither drop them nor merge
+    // them into another group
+    val withNull = pv.withColumn("g",
+      when(col("g") === "1-URGENT", lit(null).cast("string")).otherwise(col("g")))
+    val naiveNull = withNull.select(col("g"), col("v"),
+      sum("c").over(wIncl).as("c_cum"))
+    val apiNull = Graft.groupedPrefixSum(withNull, Seq("g"), "v", Seq("c"))
+      .select("g", "v", "c_cum")
+    assert(apiNull.count() == withNull.count(),
+      "null-group rows must survive the bounds/offsets joins")
+    assert(apiNull.except(naiveNull).isEmpty && naiveNull.except(apiNull).isEmpty)
+  }
+
+  test("ntileExact reproduces the global ntile window bit-for-bit") {
+    import org.apache.spark.sql.expressions.Window
+    // heavy ties on f (order counts), near-distinct m (2dp spends)
+    val rel = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(count(lit(1)).as("f"), Tables.r2(sum("o_totalprice")).as("m"))
+    for {
+      b <- Seq(3, 4, 7)
+      (kc, asc) <- Seq(("f", true), ("f", false), ("m", false))
+    } {
+      val w = if (asc) Window.orderBy(col(kc).asc, col("o_custkey"))
+              else Window.orderBy(col(kc).desc, col("o_custkey"))
+      val naive = rel.select(col("o_custkey"),
+        ntile(b).over(w).cast("long").as("q"))
+      val api = Graft.ntileExact(rel, b, kc, asc, "o_custkey", "q")
+        .select("o_custkey", "q")
+      assert(api.except(naive).isEmpty && naive.except(api).isEmpty,
+        s"ntileExact mismatch at buckets=$b key=$kc asc=$asc")
+    }
+    // n < buckets: ntile gives each row its own bucket (= its row number)
+    val t = Graft.ntileExact(rel.limit(2), 7, "f", asc = true, "o_custkey", "q")
+    assert(t.select("q").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
   test("mannWhitney/spearman facades reproduce q211/q210 exactly") {

@@ -359,6 +359,34 @@ class PlanRegressionSpec extends AnyFunSuite {
     Tables.release(s2)
   }
 
+  test("Tables.events: UTC is baked at analysis, the caller's timezone is restored") {
+    // the loader pins UTC only while BUILDING the plan (Spark resolves
+    // timezone-aware casts against the session tz at analysis); a session
+    // that loads events must not find its timezone permanently switched,
+    // and the ts rebuild must stay UTC-correct even when materialized
+    // AFTER the restore
+    val dir = java.nio.file.Files.createTempDirectory("graft_tz_fix").toString
+    val s2 = s.newSession()
+    s2.sql(
+      """SELECT TIMESTAMP_NTZ '2024-01-01 12:00:00' AS ts, 1L AS event_id,
+        |  42L AS user_id, 'view' AS event_type, 1.0e0 AS value,
+        |  '{}' AS props""".stripMargin)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val ev = Tables.events(s2, dir)
+      assert(s2.conf.get("spark.sql.session.timeZone") == "America/New_York",
+        "events loader leaked its UTC pin into the session")
+      // NY would put noon-naive at 17:00 UTC (1704128400); baked UTC keeps it
+      val t = ev.select("ts").head().getLong(0)
+      assert(t == 1704110400L * 1000000000L,
+        s"ts rebuilt under the wrong timezone: $t")
+    } finally {
+      s2.conf.unset("spark.sql.session.timeZone")
+      Tables.release(s2)
+    }
+  }
+
   test("q117 gapFill: only the calendar spine is forced-broadcast; the fill join shuffles") {
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -528,6 +556,63 @@ class PlanRegressionSpec extends AnyFunSuite {
       }
     assert(offenders.isEmpty,
       s"unpartitioned Window over a fact-proportional input in:\n  ${offenders.mkString("\n  ")}")
+  }
+
+  test("inventory-wide sweep: no partitioned-but-WIDE Window (few partition values over a fact-proportional input)") {
+    // The r8/r9 defect class the unpartitioned sweep cannot see: a Window
+    // partitioned by a FEW-valued column (3 return flags, 2 arms) over a
+    // fact-proportional input plans one task PER VALUE at any scale —
+    // pre-migration q149 (3 flags × distinct-price series) and q209
+    // (64 dims × full corpus) were exactly this shape. For each Window
+    // with a non-empty partitionSpec whose input exceeds the row
+    // threshold, count the DISTINCT partition values at sf0.001 and flag
+    // anything under 8 — wide real partitionings (custkey, user_id,
+    // (dim, value) supports) sail past 8 even at this SF, while a
+    // few-wide-groups plan can never reach it at ANY SF.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Aggregate}
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    val skip = Set("q65_als_recommend", "q66_als_rmse",
+      "q70_dedup_near_minhash", "q93_dedup_components", "q101_dedup_cluster_keep",
+      "q105_curation_pipeline", "q113_item_pagerank")
+    // Documented exemptions — few-valued partitionings whose INPUT is
+    // bounded by a domain (calendar × a category), not by the fact count,
+    // so the per-task series cannot grow with SF:
+    // (populated after the first sweep; keep empty if none qualify)
+    val exempt = Set.empty[String]
+    val rowLimit = 256L
+    val minGroups = 8L
+    // The range-block facades (Graft.prefixSum/prefixMax/groupedPrefixSum)
+    // partition their local windows by `__blk`, whose value count IS
+    // spark.sql.shuffle.partitions — 4 under this test config, cluster-
+    // sized in production. That is the designed-parallel decomposition
+    // this lint exists to push queries TOWARD, so any window keyed (in
+    // part) on __blk is structurally exempt rather than name-exempt.
+    def isBlockWindow(w: LWindow): Boolean =
+      w.partitionSpec.exists(_.references.exists(_.name == "__blk"))
+    val offenders = SparkEntry.queries
+      .filterNot(kv => skip(kv._1) || exempt(kv._1)).toSeq
+      .sortBy(_._1).flatMap { case (name, fn) =>
+        val opt = fn(s, d).queryExecution.optimizedPlan
+        val wins = opt.collect {
+          case w: LWindow if w.partitionSpec.nonEmpty && !isBlockWindow(w) => w }
+        wins.flatMap { w =>
+          val n = s.sessionState.executePlan(w.child).executedPlan
+            .execute().count()
+          if (n <= rowLimit) None
+          else {
+            val aliased = w.partitionSpec.zipWithIndex.map { case (e, i) =>
+              Alias(e, s"__p$i")() }
+            val g = s.sessionState
+              .executePlan(Aggregate(aliased, aliased, w.child))
+              .executedPlan.execute().count()
+            if (g < minGroups)
+              Some(s"$name (window: $g partition values over $n input rows)")
+            else None
+          }
+        }
+      }
+    assert(offenders.isEmpty,
+      s"few-wide-groups Window over a fact-proportional input in:\n  ${offenders.mkString("\n  ")}")
   }
 
   test("inventory-wide sweep: every BroadcastNestedLoopJoin's broadcast side is bounded") {
