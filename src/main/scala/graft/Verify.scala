@@ -12,16 +12,26 @@ object Verify {
     val selected =
       if (only.isEmpty) SparkEntry.queries.toSeq
       else SparkEntry.queries.filter(kv => only(kv._1)).toSeq
+    // Per-key Spark-side wall seconds, dumped as verify_times.json beside
+    // the results: the Verify analogue of Bench's steady_slowest80 line,
+    // so oracle-run regressions are trackable from round artifacts alone.
+    val times = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val failed = selected.flatMap { case (name, fn) =>
       try {
+        val t0 = System.nanoTime()
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        times += name -> ((System.nanoTime() - t0) / 1e9)
         None
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         Some(name)
       }
     }
+    Files.writeString(Paths.get(s"$outDir/verify_times.json"),
+      times.sortBy(-_._2)
+        .map { case (k, v) => s""""$k": ${math.round(v * 100) / 100.0}""" }
+        .mkString("{", ", ", "}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

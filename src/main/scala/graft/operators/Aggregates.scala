@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.4 aggregations: hash agg, distinct (exact + HLL), rollup/cube/grouping
@@ -251,11 +252,17 @@ object Aggregates {
     * fact-domain-proportional distinct-price series — the few-wide-groups
     * shape the facade exists to replace. */
   def q149(s: SparkSession, d: String): DataFrame = {
-    val grouped = lineitem(s, d)
-      .select(col("l_returnflag"), col("l_extendedprice"),
-        col("l_quantity").cast("long").as("wt"))
-      .groupBy("l_returnflag", "l_extendedprice")
-      .agg(sum("wt").as("w"))
+    // memo+cached like q210's rank supports: the grain is DOMAIN-bounded
+    // (price grid × flag) and groupedPrefixSum references its input three
+    // times (bounds, blocked rows, block totals) — uncached, each
+    // reference re-runs the fact scan+agg
+    val grouped = graft.Tables.memoized(s, d, "wmedGrain") {
+      lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_quantity").cast("long").as("wt"))
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(sum("wt").as("w"))
+    }
     val tot = grouped.groupBy("l_returnflag").agg(sum("w").as("tw"))
     graft.api.Graft.groupedPrefixSum(grouped, Seq("l_returnflag"),
         "l_extendedprice", Seq("w"))
@@ -268,7 +275,38 @@ object Aggregates {
       .orderBy("l_returnflag")
   }
 
+  /** Exact per-group mode with a DETERMINISTIC tiebreak — the most common
+    * order priority per market segment, plus its support share. The mode
+    * is the operator SQL's `mode()` gets wrong for pipelines (engine-
+    * dependent tie choice); here ties break (count desc, value asc)
+    * explicitly, so both engines — and any rerun at any partitioning —
+    * pick the same value (SURVEY §2.9 rule 4: never an unordered
+    * row-picker).
+    *
+    * Determinism: counts are exact longs; the only float is the pinned
+    * share. Scale: ONE map-side-combined fact agg down to the category
+    * grain (|segments|×|priorities| — domain-bounded at any SF), then a
+    * window over those ≤25 rows; the customer side joins on custkey
+    * before the agg (fact-to-dim equi join the planner broadcasts from
+    * stats when genuinely small). */
+  def q236(s: SparkSession, d: String): DataFrame = {
+    val seg = orders(s, d)
+      .join(customer(s, d).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("n").desc, col("o_orderpriority"))
+    seg.withColumn("rn", row_number().over(w))
+      .withColumn("total", sum("n").over(Window.partitionBy("c_mktsegment")))
+      .filter(col("rn") === 1)
+      .select(col("c_mktsegment"), col("o_orderpriority").as("mode_priority"),
+        col("n").as("n_mode"), col("total").as("n_orders"),
+        r4(col("n").cast("double") / col("total").cast("double")).as("share"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_mode_category" -> q236,
     "q149_weighted_median" -> q149,
     "q29_agg_quantiles" -> q29,
     "q59_agg_approx_quantiles" -> q59,
@@ -287,6 +325,20 @@ object Aggregates {
     "q110_unpivot_metrics" -> q110)
 
   val oracle: Map[String, String] = Map(
+    "q236_mode_category" ->
+      s"""WITH seg AS (SELECT c_mktsegment, o_orderpriority,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2),
+         |r AS (SELECT c_mktsegment, o_orderpriority, n,
+         |    row_number() OVER (PARTITION BY c_mktsegment
+         |      ORDER BY n DESC, o_orderpriority) AS rn,
+         |    CAST(sum(n) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS total
+         |  FROM seg)
+         |SELECT c_mktsegment, o_orderpriority AS mode_priority,
+         |  n AS n_mode, total AS n_orders,
+         |  ${sr4("CAST(n AS DOUBLE) / CAST(total AS DOUBLE)")} AS share
+         |FROM r WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
     "q149_weighted_median" ->
       """WITH g AS (SELECT l_returnflag, l_extendedprice,
         |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w

@@ -1295,7 +1295,123 @@ object Analytics {
       r4(chi2).as("chi2"), (chi2 > lit(3.841459)).as("srm"))
   }
 
+  /** Kendall rank correlation τ-b between quantity and discount per return
+    * flag — the third member of the correlation family (q58 Pearson, q210
+    * Spearman): counts concordant vs discordant pairs, so it reads
+    * monotone association without q210's rank construction and is the
+    * standard choice when the grids are coarse and tie-heavy (here ~50
+    * quantity × ~11 discount levels). Computed entirely on the JOINT
+    * SUPPORT grain: cells (flag, x, y, n) from one fact pass, then C/D
+    * from the cell-pair join Σ nₐ·n_b over xₐ<x_b split by the y order,
+    * and the τ-b tie terms n₁/n₂ from the marginal supports —
+    * τ-b = (C−D)/√((n₀−n₁)(n₀−n₂)).
+    *
+    * Determinism: x and y are RAW parquet grid values (no arithmetic →
+    * identical doubles in both engines, so cells and comparisons agree
+    * exactly); C, D and the tie terms are exact LONG sums (documented
+    * bound: pair products stay under 2⁶³ while a flag holds < ~3·10⁹
+    * rows — beyond that, lift the C/D accumulators to double and accept
+    * drift ≪ the 4 dp pin); the one float expression √·√ avoids the
+    * (n₀−n₁)(n₀−n₂) long overflow and is the same IEEE sequence in both
+    * engines. Scale: the cell table is DOMAIN-bounded (quantity grid ×
+    * discount grid × 3 flags — never fact-proportional), so the
+    * broadcast cell-pair join is O(|cells|²) independent of fact count;
+    * everything upstream is one map-side-combined hash agg. */
+  def q231(s: SparkSession, d: String): DataFrame = {
+    val cells = graft.Tables.memoized(s, d, "kendallCells") {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag").as("rf"),
+          col("l_quantity").as("x"), col("l_discount").as("y"))
+        .agg(count(lit(1)).as("n"))
+    }
+    val b = cells.select(col("rf").as("rf_b"), col("x").as("xb"),
+      col("y").as("yb"), col("n").as("nb"))
+    val cd = cells.join(broadcast(b),
+        col("rf") === col("rf_b") && col("x") < col("xb"))
+      .groupBy("rf")
+      .agg(sum(when(col("y") < col("yb"), col("n") * col("nb"))
+          .otherwise(0L)).as("c_conc"),
+        sum(when(col("y") > col("yb"), col("n") * col("nb"))
+          .otherwise(0L)).as("d_disc"))
+    // tie terms via exact integer division (t(t−1) is always even)
+    val xt = cells.groupBy("rf", "x").agg(sum("n").as("t"))
+      .groupBy("rf").agg(expr("sum(t * (t - 1)) div 2").as("n1"))
+    val yt = cells.groupBy("rf", "y").agg(sum("n").as("t"))
+      .groupBy("rf").agg(expr("sum(t * (t - 1)) div 2").as("n2"))
+    val tot = cells.groupBy("rf").agg(sum("n").as("nn"))
+      .select(col("rf"), col("nn"), expr("(nn * (nn - 1)) div 2").as("n0"))
+    cd.join(xt, "rf").join(yt, "rf").join(tot, "rf")
+      .select(col("rf"), col("nn").as("n"),
+        col("c_conc"), col("d_disc"),
+        r4((col("c_conc") - col("d_disc")).cast("double") /
+          (sqrt((col("n0") - col("n1")).cast("double")) *
+           sqrt((col("n0") - col("n2")).cast("double")))).as("tau_b"))
+      .orderBy("rf")
+  }
+
+  /** One-way ANOVA F-test of discounted revenue across the three return
+    * flags — the k-group generalization of q207's two-arm Welch t:
+    * between/within sum-of-squares from per-group sufficient statistics
+    * (n, Σy, Σy²), F = (SSB/(k−1))/(SSW/(N−k)), with the η² effect size
+    * (share of variance explained by the grouping) beside it, mirroring
+    * how q222 pairs χ² with Cramér's V.
+    *
+    * Determinism: y pins to the 2 dp grid first, so both engines
+    * aggregate identical doubles; SSB/SSW assemble from the same sums
+    * with the same IEEE expression shape, leaving summation-order drift
+    * ≪ the 4 dp pin. Scale: ONE map-side-combined fact pass to the
+    * 3-row group grain, then scalar arithmetic — no window, no join
+    * wider than 3 rows. */
+  def q232(s: SparkSession, d: String): DataFrame = {
+    val y = r2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    val per = lineitem(s, d).select(col("l_returnflag").as("g"), y.as("y"))
+      .groupBy("g").agg(count(lit(1)).as("n"),
+        sum("y").as("sy"), sum(col("y") * col("y")).as("ssy"))
+    val agg = per.agg(count(lit(1)).as("k"), sum("n").as("nn"),
+      sum("sy").as("s"), sum("ssy").as("ss"),
+      sum(col("sy") * col("sy") / col("n").cast("double")).as("sb"))
+    val ssb = col("sb") - col("s") * col("s") / col("nn").cast("double")
+    val ssw = col("ss") - col("sb")
+    agg.select(col("k"), col("nn").as("n"),
+      r2(ssb / (col("k") - 1).cast("double")).as("ms_between"),
+      r2(ssw / (col("nn") - col("k")).cast("double")).as("ms_within"),
+      r4((ssb / (col("k") - 1).cast("double")) /
+        (ssw / (col("nn") - col("k")).cast("double"))).as("f"),
+      r5(ssb / (ssb + ssw)).as("eta_sq"))
+  }
+
+  /** Day-of-week seasonal index of daily revenue — the multiplicative
+    * weekly profile behind q208's lag-7 seasonal-naive model and q212's
+    * ACF spike: index(dow) = mean daily revenue on that weekday / overall
+    * mean daily revenue (>1 ⇒ above-trend weekday). Weekday is computed
+    * by pure INTEGER epoch-day arithmetic — pmod(epoch_day + 4, 7), 0 =
+    * Sunday (1970-01-01 was a Thursday) — sidestepping the Spark(1–7) vs
+    * DuckDB(0–6) dayofweek off-by-one entirely (SURVEY §2.9 gotcha 6).
+    *
+    * Determinism: daily revenue pins at 2 dp before the weekday
+    * averages; the dow key is exact integer. Scale: one day-grain fact
+    * agg (calendar-sized output), a 7-row group-by, and a broadcast
+    * one-row grand mean. */
+  def q238(s: SparkSession, d: String): DataFrame = {
+    val daily = lineitem(s, d)
+      .groupBy(col("l_shipdate").as("day"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("rev"))
+      .withColumn("dow", pmod(datediff(col("day"), lit("1970-01-01")) + 4, lit(7))
+        .cast("long"))
+    val overall = daily.agg(avg("rev").as("grand"))
+    daily.groupBy("dow")
+      .agg(count(lit(1)).as("n_days"), avg("rev").as("m"))
+      .crossJoin(broadcast(overall))
+      .select(col("dow"), col("n_days"), r2(col("m")).as("avg_rev"),
+        r4(col("m") / col("grand")).as("seasonal_index"))
+      .orderBy("dow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_kendall_tau" -> q231,
+    "q232_anova_f" -> q232,
+    "q238_seasonal_index" -> q238,
     "q230_srm_check" -> q230,
     "q227_burstiness" -> q227,
     "q228_conversion_lag" -> q228,
@@ -1344,6 +1460,54 @@ object Analytics {
     "q156_cusum_changepoint" -> q156)
 
   val oracle: Map[String, String] = Map(
+    "q231_kendall_tau" ->
+      s"""WITH cells AS (SELECT l_returnflag AS rf, l_quantity AS x,
+         |    l_discount AS y, CAST(count(*) AS BIGINT) AS n
+         |  FROM lineitem GROUP BY 1, 2, 3),
+         |cd AS (SELECT a.rf,
+         |    CAST(sum(CASE WHEN a.y < b.y THEN a.n * b.n ELSE 0 END) AS BIGINT) AS c_conc,
+         |    CAST(sum(CASE WHEN a.y > b.y THEN a.n * b.n ELSE 0 END) AS BIGINT) AS d_disc
+         |  FROM cells a JOIN cells b ON a.rf = b.rf AND a.x < b.x
+         |  GROUP BY 1),
+         |xt AS (SELECT rf, CAST(sum(t * (t - 1)) // 2 AS BIGINT) AS n1 FROM (
+         |    SELECT rf, x, sum(n) AS t FROM cells GROUP BY 1, 2) GROUP BY 1),
+         |yt AS (SELECT rf, CAST(sum(t * (t - 1)) // 2 AS BIGINT) AS n2 FROM (
+         |    SELECT rf, y, sum(n) AS t FROM cells GROUP BY 1, 2) GROUP BY 1),
+         |tot AS (SELECT rf, CAST(sum(n) AS BIGINT) AS nn,
+         |    CAST(sum(n) * (sum(n) - 1) // 2 AS BIGINT) AS n0
+         |  FROM cells GROUP BY 1)
+         |SELECT cd.rf, tot.nn AS n, cd.c_conc, cd.d_disc,
+         |  ${sr4("CAST(cd.c_conc - cd.d_disc AS DOUBLE) / (sqrt(CAST(tot.n0 - xt.n1 AS DOUBLE)) * sqrt(CAST(tot.n0 - yt.n2 AS DOUBLE)))")} AS tau_b
+         |FROM cd JOIN xt USING (rf) JOIN yt USING (rf) JOIN tot USING (rf)
+         |ORDER BY rf""".stripMargin,
+    "q232_anova_f" ->
+      s"""WITH y AS (SELECT l_returnflag AS g,
+         |    ${sr2("l_extendedprice * (1e0 - l_discount)")} AS y
+         |  FROM lineitem),
+         |per AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |    sum(y) AS sy, sum(y * y) AS ssy
+         |  FROM y GROUP BY 1),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |    CAST(sum(n) AS BIGINT) AS nn, sum(sy) AS s, sum(ssy) AS ss,
+         |    sum(sy * sy / CAST(n AS DOUBLE)) AS sb
+         |  FROM per)
+         |SELECT k, nn AS n,
+         |  ${sr2("(sb - s * s / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE)")} AS ms_between,
+         |  ${sr2("(ss - sb) / CAST(nn - k AS DOUBLE)")} AS ms_within,
+         |  ${sr4("((sb - s * s / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE)) / ((ss - sb) / CAST(nn - k AS DOUBLE))")} AS f,
+         |  ${sr5("(sb - s * s / CAST(nn AS DOUBLE)) / ((sb - s * s / CAST(nn AS DOUBLE)) + (ss - sb))")} AS eta_sq
+         |FROM agg""".stripMargin,
+    "q238_seasonal_index" ->
+      s"""WITH daily AS (SELECT l_shipdate AS day,
+         |    ${sr2("sum(l_extendedprice * (1e0 - l_discount))")} AS rev
+         |  FROM lineitem GROUP BY 1),
+         |dw AS (SELECT CAST(((epoch_us(day) // 86400000000) + 4) % 7 AS BIGINT)
+         |    AS dow, rev FROM daily),
+         |o AS (SELECT avg(rev) AS grand FROM dw)
+         |SELECT dow, count(*) AS n_days,
+         |  ${sr2("avg(rev)")} AS avg_rev,
+         |  ${sr4("avg(rev) / max(grand)")} AS seasonal_index
+         |FROM dw CROSS JOIN o GROUP BY dow ORDER BY dow""".stripMargin,
     "q230_srm_check" ->
       s"""WITH u AS (SELECT DISTINCT user_id FROM events),
          |lab AS (SELECT

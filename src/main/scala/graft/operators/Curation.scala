@@ -342,7 +342,72 @@ object Curation {
       .orderBy("split")
   }
 
+  /** Ordered curation-filter cascade with per-stage pass accounting — the
+    * observability wrapper every production filter pipeline runs: each
+    * gate (minimum length → trigram-repetition cap → PII rejection →
+    * stopword-density floor) sees only the survivors of the previous one,
+    * and the report is n_in/n_pass/pass_rate per stage — the numbers a
+    * pipeline owner reads to see WHERE the corpus is being lost. Gates
+    * reuse the inventory's own primitives verbatim (q79 tokenization and
+    * stopword list, q98 trigram dup_ratio, q219 PII regexes), so the
+    * cascade is the composed form of already-verified filters, like q105
+    * composes dedup+quality.
+    *
+    * Determinism: every gate compares exact integers or exact integer
+    * ratios (dup_ratio and stop_ratio are integer/integer divisions of
+    * identical counts — same IEEE double both engines; thresholds are
+    * exact binary fractions or far from any achievable ratio); pass
+    * counts are exact longs; pass_rate pins at 4 dp. Scale: one
+    * row-linear flag computation per doc (the trigram stats are a
+    * doc-grain agg) then a single 4-conjunction fold to one row,
+    * stacked to 4 — no window, no join wider than doc-grain. */
+  def q234(s: SparkSession, d: String): DataFrame = {
+    val tri = TextPipeline.docWords(s, d)
+      .filter(size(col("words")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(words) - 2), i -> array_join(slice(words, i, 3), ' '))"))
+        .as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tri"), count(lit(1)).as("n_dis"))
+    val flags = documents(s, d)
+      .join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(expr("filter(split(lower(text), ' '), w -> w != '')"))
+          .cast("long").as("n_words"),
+        // docs with <3 words have no trigrams: dup_ratio 0 (vacuously clean)
+        coalesce(lit(1.0) - col("n_dis").cast("double") / col("n_tri").cast("double"),
+          lit(0.0)).as("dup_ratio"),
+        (regexp_count(lower(col("text")), lit("[a-z0-9._%-]+@[a-z0-9.-]+")) +
+          regexp_count(col("text"), lit("[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}")) +
+          regexp_count(col("text"), lit("[0-9]{8,}"))).cast("long").as("pii"),
+        expr("CAST(size(filter(split(lower(text), ' '), " +
+          "w -> w IN ('the', 'a', 'of', 'in', 'and', 'to'))) AS DOUBLE) " +
+          "/ size(filter(split(lower(text), ' '), w -> w != ''))").as("stop_ratio"))
+      .select(col("doc_id"),
+        (col("n_words") >= 30).as("f1"),
+        (col("dup_ratio") <= 0.25).as("f2"),
+        (col("pii") === 0).as("f3"),
+        (col("stop_ratio") >= 0.02).as("f4"))
+    val agg = flags.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("f1"), 1L).otherwise(0L)).as("p1"),
+      sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("p2"),
+      sum(when(col("f1") && col("f2") && col("f3"), 1L).otherwise(0L)).as("p3"),
+      sum(when(col("f1") && col("f2") && col("f3") && col("f4"), 1L).otherwise(0L)).as("p4"))
+    agg.selectExpr(
+        """stack(4,
+          |  1L, 'min_words',   n0, p1,
+          |  2L, 'low_dup',     p1, p2,
+          |  3L, 'no_pii',      p2, p3,
+          |  4L, 'stop_density', p3, p4) AS (stage_id, stage, n_in, n_pass)""".stripMargin)
+      .withColumn("pass_rate", r4(when(col("n_in") === 0, null)
+        .otherwise(col("n_pass").cast("double") / col("n_in").cast("double"))))
+      .orderBy("stage_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_filter_cascade" -> q234,
     "q135_temporal_split" -> q135,
     "q46_doc_chunk_overlap" -> q46,
     "q49_approx_topk_sketch" -> q49,
@@ -364,6 +429,42 @@ object Curation {
   private val shCte = s"sh AS (${TextPipeline.shinglesSql})"
 
   val oracle: Map[String, String] = Map(
+    "q234_filter_cascade" ->
+      s"""WITH $wordsCte,
+         |tri AS (SELECT doc_id, t, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(words) - 2),
+         |      i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS t
+         |    FROM w WHERE len(words) >= 3) GROUP BY 1, 2),
+         |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tri,
+         |    count(*) AS n_dis FROM tri GROUP BY 1),
+         |fl AS (SELECT d.doc_id,
+         |    len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS n_words,
+         |    coalesce(1e0 - CAST(n_dis AS DOUBLE) / CAST(n_tri AS DOUBLE), 0e0) AS dup_ratio,
+         |    len(regexp_extract_all(lower(text), '[a-z0-9._%-]+@[a-z0-9.-]+'))
+         |      + len(regexp_extract_all(text, '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}'))
+         |      + len(regexp_extract_all(text, '[0-9]{8,}')) AS pii,
+         |    CAST(len(list_filter(string_split(lower(text), ' '),
+         |      x -> x IN ('the', 'a', 'of', 'in', 'and', 'to'))) AS DOUBLE)
+         |      / len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS stop_ratio
+         |  FROM documents d LEFT JOIN ts ON d.doc_id = ts.doc_id),
+         |fb AS (SELECT n_words >= 30 AS f1, dup_ratio <= 0.25e0 AS f2,
+         |    pii = 0 AS f3, stop_ratio >= 0.02e0 AS f4 FROM fl),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+         |    CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+         |    CAST(sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+         |    CAST(sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+         |    CAST(sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS p4
+         |  FROM fb),
+         |sel AS (
+         |  SELECT CAST(1 AS BIGINT) AS stage_id, 'min_words' AS stage,
+         |    n0 AS n_in, p1 AS n_pass FROM a
+         |  UNION ALL SELECT 2, 'low_dup', p1, p2 FROM a
+         |  UNION ALL SELECT 3, 'no_pii', p2, p3 FROM a
+         |  UNION ALL SELECT 4, 'stop_density', p3, p4 FROM a)
+         |SELECT stage_id, stage, n_in, n_pass,
+         |  CASE WHEN n_in = 0 THEN NULL
+         |    ELSE ${sr4("CAST(n_pass AS DOUBLE) / CAST(n_in AS DOUBLE)")} END AS pass_rate
+         |FROM sel ORDER BY stage_id""".stripMargin,
     "q135_temporal_split" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
         |    CAST(json_extract(props, '$.k') AS BIGINT) AS item FROM events),

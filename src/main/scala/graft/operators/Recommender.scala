@@ -700,7 +700,51 @@ object Recommender {
       .orderBy("user_id", "item")
   }
 
+  /** Intra-list similarity / diversity of each user's top-10 items — the
+    * beyond-accuracy metric (Ziegler et al. 2005) read next to q126's
+    * coverage: a user whose list's average pairwise item-cosine is high
+    * is being fed near-duplicates (ILS → 1, diversity → 0). Pairwise
+    * similarities come from the SAME [[graft.Tables.itemDots]] relation
+    * q63/q88 rank with, so the metric measures exactly what the
+    * recommenders optimize; item pairs with no co-rater have dot 0 —
+    * orthogonal, cosine 0. Reports the 20 least-diverse users.
+    *
+    * Determinism: the top-10 cut orders by the 4 dp-pinned rating with
+    * item tiebreak (the cappedRatings discipline, top-10 ⊂ top-50); each
+    * cosine divides identical sums; the per-user mean averages ≤45 such
+    * values — drift ≪ the 4 dp pin; final order is on the pinned mean
+    * with user tiebreak. Scale: the cap bounds pairs at 45/user —
+    * row-linear in users; the pair→dot join keys the canonical (i1, i2)
+    * grain; norms are catalog-sized broadcasts. */
+  def q235(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(r4(col("rating")).desc, col("item"))
+    val top10 = cappedRatings(s, d)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select("user_id", "item")
+    val nrm = ratings(s, d).groupBy("item")
+      .agg(sum(col("rating") * col("rating")).as("sq"))
+    val pairs = top10.select(col("user_id"), col("item").as("i1"))
+      .join(top10.select(col("user_id"), col("item").as("i2")), "user_id")
+      .filter(col("i1") < col("i2"))
+    val scored = pairs
+      .join(graft.Tables.itemDots(s, d), Seq("i1", "i2"), "left")
+      .join(broadcast(nrm.select(col("item").as("i1"), col("sq").as("sq1"))), "i1")
+      .join(broadcast(nrm.select(col("item").as("i2"), col("sq").as("sq2"))), "i2")
+      .withColumn("cos", coalesce(
+        col("dot") / (sqrt(col("sq1")) * sqrt(col("sq2"))), lit(0.0)))
+    val items = top10.groupBy("user_id").agg(count(lit(1)).as("n_items"))
+    scored.groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"), r4(avg("cos")).as("ils"))
+      .join(items, "user_id")
+      .select(col("user_id"), col("n_items"), col("n_pairs"),
+        col("ils"), r4(lit(1.0) - col("ils")).as("diversity"))
+      .orderBy(col("ils").desc, col("user_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_rec_diversity" -> q235,
     "q197_slope_one" -> q197,
     "q178_assoc_rules" -> q178,
     "q180_rank_churn" -> q180,
@@ -728,6 +772,29 @@ object Recommender {
     "q68_tfidf_terms" -> q68)
 
   val oracle: Map[String, String] = Map(
+    "q235_rec_diversity" ->
+      s"""WITH r AS ($ratingsSql),
+         |t AS (SELECT user_id, item FROM (
+         |    SELECT user_id, item, row_number() OVER (
+         |      PARTITION BY user_id ORDER BY ${sr4("rating")} DESC, item) AS rn
+         |    FROM r) WHERE rn <= 10),
+         |nrm AS (SELECT item, sum(rating * rating) AS sq FROM r GROUP BY 1),
+         |dots AS (SELECT a.item AS i1, b.item AS i2, sum(a.rating * b.rating) AS dot
+         |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item < b.item
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT a.user_id, a.item AS i1, b.item AS i2
+         |  FROM t a JOIN t b ON a.user_id = b.user_id AND a.item < b.item),
+         |sc AS (SELECT p.user_id,
+         |    coalesce(d.dot / (sqrt(n1.sq) * sqrt(n2.sq)), 0e0) AS cos
+         |  FROM pairs p LEFT JOIN dots d ON p.i1 = d.i1 AND p.i2 = d.i2
+         |  JOIN nrm n1 ON p.i1 = n1.item JOIN nrm n2 ON p.i2 = n2.item),
+         |g AS (SELECT user_id, count(*) AS n_pairs,
+         |    ${sr4("avg(cos)")} AS ils FROM sc GROUP BY 1),
+         |items AS (SELECT user_id, count(*) AS n_items FROM t GROUP BY 1)
+         |SELECT g.user_id, items.n_items, g.n_pairs, g.ils,
+         |  ${sr4("1e0 - g.ils")} AS diversity
+         |FROM g JOIN items USING (user_id)
+         |ORDER BY g.ils DESC, g.user_id LIMIT 20""".stripMargin,
     "q197_slope_one" ->
       s"""WITH r AS ($ratingsSql),
          |capped AS (SELECT user_id, item, rating FROM (

@@ -704,7 +704,158 @@ object TextPipeline {
       .orderBy("source")
   }
 
+  /** Per-source token Shannon entropy (and its [0,1] normalization by
+    * ln|vocab|) — the unigram information density read beside q201's Gini
+    * and q223's Zipf slope: a template-spam source concentrates its token
+    * mass on few types (entropy ≪ ln V), natural prose sits near the
+    * Zipf-expected value. H = −Σ (c/n)·ln(c/n) over the (source, word)
+    * support.
+    *
+    * Determinism: counts are exact longs; each term divides and logs
+    * identical exact values and the per-source sum runs over |vocab|
+    * terms — drift ≪ the 4 dp pin; the normalization guards V=1 (H=0,
+    * ratio undefined → NULL in both engines). Scale: row-linear explode,
+    * (source, word)-grain agg with map-side combine, source-grain
+    * totals joined back by source — no window, no pairs. */
+  def q237(s: SparkSession, d: String): DataFrame = {
+    val cnt = documents(s, d)
+      .select(col("source"),
+        explode(expr("filter(split(lower(text), ' '), w -> w != '')")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("source")
+      .agg(sum("c").as("n"), count(lit(1)).as("v"))
+    cnt.join(tot, "source")
+      .groupBy("source")
+      .agg(max("n").as("n_tokens"), max("v").as("n_vocab"),
+        r4(-sum((col("c").cast("double") / col("n").cast("double")) *
+          log(col("c").cast("double") / col("n").cast("double")))).as("entropy"))
+      .withColumn("norm_entropy",
+        r4(when(col("n_vocab") === 1, null)
+          .otherwise(col("entropy") / log(col("n_vocab").cast("double")))))
+      .orderBy("source")
+  }
+
+  /** Pairwise vocabulary Jaccard between sources — the corpus-slice
+    * similarity matrix a training-mix builder reads before weighting
+    * (q109): two sources sharing most of their vocabulary are near-
+    * redundant slices. Top-20 most-overlapping pairs.
+    *
+    * Determinism: shared counts and vocab sizes are exact longs; one
+    * pinned ratio; ties order (source_a, source_b). Scale: this is
+    * inverted-index dedup at the SOURCE grain — the (source, word)
+    * distinct relation joins itself on word, so the fan-out per word is
+    * ≤|sources|² (a few hundred), never doc-pairwise; everything else
+    * is source-grain. */
+  def q239(s: SparkSession, d: String): DataFrame = {
+    val sv = documents(s, d)
+      .select(col("source"),
+        explode(expr("filter(split(lower(text), ' '), w -> w != '')")).as("w"))
+      .distinct()
+    val sizes = sv.groupBy("source").agg(count(lit(1)).as("v"))
+    sv.select(col("source").as("source_a"), col("w"))
+      .join(sv.select(col("source").as("source_b"), col("w")), "w")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("source").as("source_a"), col("v").as("va")), "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("v").as("vb")), "source_b")
+      .select(col("source_a"), col("source_b"), col("shared"),
+        r5(col("shared").cast("double") /
+          (col("va") + col("vb") - col("shared")).cast("double")).as("jac"))
+      .orderBy(col("jac").desc, col("source_a"), col("source_b"))
+      .limit(20)
+  }
+
+  /** Corpus boilerplate detection: the 20 most widely shared 8-word
+    * phrases (by distinct-document frequency, each doc voting once) —
+    * the navigation-chrome / license-header / template detector run
+    * before near-dup scoring, since shared boilerplate inflates every
+    * pairwise similarity (q76/q86). Longer than q199's trigrams by
+    * design: an 8-gram shared across documents is virtually never
+    * natural coincidence.
+    *
+    * Determinism: exact distinct counts, (df desc, gram) order. Scale:
+    * row-linear explode + distinct + gram-grain count, then a global
+    * top-20 (TakeOrdered, no full sort); at open scale the gram strings
+    * would 64-bit-hash before the distinct, exactly as q199 documents. */
+  def q240(s: SparkSession, d: String): DataFrame = {
+    docWords(s, d)
+      .filter(size(col("words")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(words) - 7), i -> array_join(slice(words, i, 8), ' '))"))
+        .as("gram"))
+      .distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram"))
+      .limit(20)
+  }
+
+  /** BPE merge statistics — step one of byte-pair-encoding tokenizer
+    * training (Sennrich et al. 2016): the most frequent ADJACENT
+    * character pairs inside word tokens, weighted by word occurrence —
+    * exactly the count a BPE trainer maximizes to pick its first merge.
+    * Reported with the distinct word-form support so a pair carried by
+    * one hot word is distinguishable from one spread across the
+    * vocabulary.
+    *
+    * Determinism: exact integer counts over exact substrings; (count
+    * desc, pair) order. Scale: the explode is Σ word-length — the same
+    * row-linear cost as tokenization itself; one pair-grain agg whose
+    * distinct-word count expands map-side; global top-20. A full BPE
+    * train iterates this exact aggregate, re-pairing after each merge —
+    * each iteration stays this same row-linear shape. */
+  def q241(s: SparkSession, d: String): DataFrame = {
+    words1(s, d)
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("p"))
+      .groupBy("p")
+      .agg(count(lit(1)).as("n_occur"), countDistinct("w").as("n_words"))
+      .orderBy(col("n_occur").desc, col("p"))
+      .limit(20)
+  }
+
+  /** Vocabulary coverage curve — the tokenizer-budget statistic: the
+    * smallest vocabulary (taking words most-frequent-first) covering
+    * 50/90/95/99% of corpus token mass. Computed ENTIRELY in integer
+    * arithmetic on the count-support grain: word counts collapse to
+    * (count, n_words, mass) levels, the level cumulatives run over the
+    * ~hundreds of distinct count values, and the crossing vocabulary
+    * interpolates within the crossing level by exact ceiling division —
+    * 100·cum ≥ pct·total compares integers, so no float can move a
+    * boundary.
+    *
+    * Determinism: pure integers end to end (the share pin is the only
+    * float, on an exact ratio). Scale: token explode → word-grain agg →
+    * COUNT-support grain (vanishingly small); the descending cumulative
+    * runs through [[graft.api.Graft.prefixSum]]'s range-block combine on
+    * the negated count, and the 4-row threshold table broadcasts. */
+  def q242(s: SparkSession, d: String): DataFrame = {
+    val lvl = words1(s, d)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("nw"))
+      .withColumn("mass", col("c") * col("nw"))
+      .withColumn("oc", -col("c"))
+    val cum = graft.api.Graft.prefixSum(lvl, "oc", Seq("mass", "nw"))
+    val tot = lvl.agg(sum("mass").as("tm"), sum("nw").as("tv"))
+    val th = s.sql("SELECT explode(array(50L, 90L, 95L, 99L)) AS pct")
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(th))
+      .filter(col("mass_cum") * 100 >= col("pct") * col("tm") &&
+        (col("mass_cum") - col("mass")) * 100 < col("pct") * col("tm"))
+      .withColumn("vocab_size", expr(
+        "(nw_cum - nw) + ((pct * tm - 100 * (mass_cum - mass)) + 100 * c - 1) div (100 * c)"))
+      .select(col("pct"), col("vocab_size"),
+        col("tv").as("total_vocab"), col("tm").as("total_tokens"),
+        r5(col("vocab_size").cast("double") / col("tv").cast("double"))
+          .as("vocab_share"))
+      .orderBy("pct")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_source_entropy" -> q237,
+    "q239_source_overlap" -> q239,
+    "q240_boilerplate_ngrams" -> q240,
+    "q241_bpe_pair_stats" -> q241,
+    "q242_vocab_coverage" -> q242,
     "q226_heaps_law" -> q226,
     "q221_js_divergence" -> q221,
     "q223_zipf_slope" -> q223,
@@ -732,6 +883,80 @@ object TextPipeline {
   private val wordsCte = s"w AS ($wordsSql)"
 
   val oracle: Map[String, String] = Map(
+    "q237_source_entropy" ->
+      s"""WITH tok AS (SELECT source, unnest(list_filter(
+         |    string_split(lower(text), ' '), x -> x != '')) AS w
+         |  FROM documents),
+         |cnt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS v FROM cnt GROUP BY 1),
+         |h AS (SELECT cnt.source, max(n) AS n_tokens, max(v) AS n_vocab,
+         |    ${sr4("-sum((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))")} AS entropy
+         |  FROM cnt JOIN tot USING (source) GROUP BY 1)
+         |SELECT source, n_tokens, n_vocab, entropy,
+         |  CASE WHEN n_vocab = 1 THEN NULL
+         |    ELSE ${sr4("entropy / ln(CAST(n_vocab AS DOUBLE))")} END AS norm_entropy
+         |FROM h ORDER BY source""".stripMargin,
+    "q239_source_overlap" ->
+      s"""WITH sv AS (SELECT DISTINCT source, w FROM (
+         |    SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+         |      x -> x != '')) AS w
+         |    FROM documents)),
+         |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS v
+         |  FROM sv GROUP BY 1),
+         |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(count(*) AS BIGINT) AS shared
+         |  FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, shared,
+         |  ${sr5("CAST(shared AS DOUBLE) / CAST(na.v + nb.v - shared AS DOUBLE)")} AS jac
+         |FROM pairs
+         |JOIN sizes na ON source_a = na.source
+         |JOIN sizes nb ON source_b = nb.source
+         |ORDER BY jac DESC, source_a, source_b LIMIT 20""".stripMargin,
+    "q240_boilerplate_ngrams" ->
+      s"""WITH $wordsCte,
+         |g8 AS (SELECT DISTINCT doc_id, g FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(words) - 7),
+         |      i -> array_to_string(list_slice(words, i, i + 7), ' '))) AS g
+         |    FROM w WHERE len(words) >= 8))
+         |SELECT g AS gram, CAST(count(*) AS BIGINT) AS df
+         |FROM g8 GROUP BY 1 ORDER BY df DESC, gram LIMIT 20""".stripMargin,
+    "q241_bpe_pair_stats" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT unnest(words) AS w FROM w),
+         |pr AS (SELECT w, unnest(list_transform(generate_series(1, length(w) - 1),
+         |    i -> substr(w, i, 2))) AS p
+         |  FROM tok WHERE length(w) >= 2)
+         |SELECT p, CAST(count(*) AS BIGINT) AS n_occur,
+         |  CAST(count(DISTINCT w) AS BIGINT) AS n_words
+         |FROM pr GROUP BY 1 ORDER BY n_occur DESC, p LIMIT 20""".stripMargin,
+    "q242_vocab_coverage" ->
+      s"""WITH $wordsCte,
+         |tok AS (SELECT unnest(words) AS wd FROM w),
+         |wc AS (SELECT wd, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+         |lvl AS (SELECT c, CAST(count(*) AS BIGINT) AS nw,
+         |    CAST(c * count(*) AS BIGINT) AS mass FROM wc GROUP BY 1),
+         |cum AS (SELECT c, nw, mass,
+         |    CAST(sum(mass) OVER (ORDER BY c DESC ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS mass_cum,
+         |    CAST(sum(nw) OVER (ORDER BY c DESC ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS nw_cum
+         |  FROM lvl),
+         |tot AS (SELECT CAST(sum(mass) AS BIGINT) AS tm,
+         |    CAST(sum(nw) AS BIGINT) AS tv FROM lvl),
+         |th AS (SELECT CAST(unnest([50, 90, 95, 99]) AS BIGINT) AS pct),
+         |x AS (SELECT pct,
+         |    (nw_cum - nw) + ((pct * tm - 100 * (mass_cum - mass)) + 100 * c - 1)
+         |      // (100 * c) AS k, tv, tm
+         |  FROM cum CROSS JOIN tot CROSS JOIN th
+         |  WHERE mass_cum * 100 >= pct * tm
+         |    AND (mass_cum - mass) * 100 < pct * tm)
+         |SELECT pct, CAST(k AS BIGINT) AS vocab_size, tv AS total_vocab,
+         |  tm AS total_tokens,
+         |  ${sr5("CAST(k AS DOUBLE) / CAST(tv AS DOUBLE)")} AS vocab_share
+         |FROM x ORDER BY pct""".stripMargin,
     "q226_heaps_law" ->
       s"""WITH tok AS (SELECT doc_id, source, unnest(list_filter(
          |    string_split(lower(text), ' '), x -> x != '')) AS wd

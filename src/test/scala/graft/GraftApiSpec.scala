@@ -690,6 +690,41 @@ class GraftApiSpec extends AnyFunSuite {
     assert(t.select("q").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("ntileExactGrouped reproduces the partitioned ntile window bit-for-bit, NULL group included") {
+    import org.apache.spark.sql.expressions.Window
+    import TestSpark.spark.implicits._
+    // real groups: per-segment customer spend quartiles, ties on f
+    val rel = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_custkey")
+      .agg(count(lit(1)).as("f"), Tables.r2(sum("o_totalprice")).as("m"))
+    for {
+      b <- Seq(3, 4)
+      (kc, asc) <- Seq(("f", true), ("m", false))
+    } {
+      val w = Window.partitionBy("c_mktsegment")
+      val ww = if (asc) w.orderBy(col(kc).asc, col("o_custkey"))
+               else w.orderBy(col(kc).desc, col("o_custkey"))
+      val naive = rel.select(col("c_mktsegment"), col("o_custkey"),
+        ntile(b).over(ww).cast("long").as("q"))
+      val api = Graft.ntileExactGrouped(rel, b, Seq("c_mktsegment"), kc, asc,
+        "o_custkey", "q").select("c_mktsegment", "o_custkey", "q")
+      assert(api.except(naive).isEmpty && naive.except(api).isEmpty,
+        s"ntileExactGrouped mismatch at buckets=$b key=$kc asc=$asc")
+    }
+    // NULL group key: its own group, exactly as Window.partitionBy
+    val withNull = Seq((Some("g1"), 1L, 10.0), (Some("g1"), 2L, 20.0),
+      (Some("g1"), 3L, 30.0), (None, 4L, 5.0), (None, 5L, 15.0))
+      .toDF("g", "id", "v")
+    val w = Window.partitionBy("g").orderBy(col("v").asc, col("id"))
+    val naive = withNull.select(col("g"), col("id"),
+      ntile(2).over(w).cast("long").as("q"))
+    val api = Graft.ntileExactGrouped(withNull, 2, Seq("g"), "v", asc = true,
+      "id", "q").select("g", "id", "q")
+    assert(api.except(naive).isEmpty && naive.except(api).isEmpty,
+      "NULL group rows must form their own complete ntile split")
+  }
+
   test("mannWhitney/spearman facades reproduce q211/q210 exactly") {
     // q211's exact input relation, rebuilt generically, then the facade's
     // raw outputs pinned at the same edge the operator pins

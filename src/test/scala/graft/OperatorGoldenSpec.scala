@@ -1231,4 +1231,252 @@ class OperatorGoldenSpec extends AnyFunSuite {
       assert(srm.getLong(0) + srm.getLong(1) > 0 && srm.getDouble(2) >= 0.0)
     }
   }
+
+  // ---- r9: constructed-fixture goldens for the new keys ----
+
+  test("q231 golden: monotone flags pin tau_b to ±1; tie case matches a brute-force count") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g231").toString
+    // N: y rises with x (tau=1), A: y falls with x (tau=-1), R: a tie-heavy
+    // case checked against an O(n²) reference count over the raw rows
+    val up = (1 to 15).map(i => ("N", i.toDouble, 0.0, 0.001 * i))
+    val dn = (1 to 15).map(i => ("A", i.toDouble, 0.0, 0.001 * (16 - i)))
+    val tieRows = Seq((1.0, 0.01), (1.0, 0.01), (1.0, 0.02), (2.0, 0.01),
+      (2.0, 0.03), (3.0, 0.02), (3.0, 0.03), (3.0, 0.03))
+    val tie = tieRows.map { case (x, y) => ("R", x, 0.0, y) }
+    (up ++ dn ++ tie)
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = operators.Analytics.q231(s, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(got("N") == 1.0 && got("A") == -1.0)
+    // brute-force reference on the R rows
+    var c = 0L; var dd = 0L
+    for (i <- tieRows.indices; j <- tieRows.indices if i < j) {
+      val ((xa, ya), (xb, yb)) = (tieRows(i), tieRows(j))
+      if (xa != xb && ya != yb) {
+        if ((xa < xb) == (ya < yb)) c += 1 else dd += 1
+      }
+    }
+    val n = tieRows.size.toLong
+    val n0 = n * (n - 1) / 2
+    val n1 = tieRows.groupBy(_._1).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val n2 = tieRows.groupBy(_._2).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val tau = (c - dd).toDouble / (math.sqrt((n0 - n1).toDouble) * math.sqrt((n0 - n2).toDouble))
+    assert(math.abs(got("R") - pin(tau, 1e4)) < 1e-9)
+  }
+
+  test("q232 golden: textbook 3x3 ANOVA gives F=3, eta²=0.5; equal groups give F=0") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g232").toString
+    // groups {1,2,3},{2,3,4},{3,4,5}: SSB=6, SSW=6, F=(6/2)/(6/6)=3
+    val rows = Seq("A" -> 1.0, "A" -> 2.0, "A" -> 3.0,
+      "N" -> 2.0, "N" -> 3.0, "N" -> 4.0,
+      "R" -> 3.0, "R" -> 4.0, "R" -> 5.0)
+    rows.map { case (g, y) => (g, y, 0.0) }
+      .toDF("l_returnflag", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = operators.Analytics.q232(s, dir).head()
+    assert(got.getLong(0) == 3L && got.getLong(1) == 9L)
+    assert(got.getDouble(4) == 3.0 && got.getDouble(5) == 0.5)
+  }
+
+  test("q233 golden: three overlapping orders produce the hand-traced concurrency curve") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g233").toString
+    val d0 = java.time.LocalDate.of(2000, 1, 10)
+    def ts(off: Int) = java.sql.Timestamp.valueOf(d0.plusDays(off).atStartOfDay)
+    // order 1 open d0..d2, order 2 open d1..d1, order 3 open d1..d3
+    Seq((1L, ts(0)), (2L, ts(1)), (3L, ts(1)))
+      .toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, ts(1)), (1L, ts(2)), (2L, ts(1)), (3L, ts(3)))
+      .toDF("l_orderkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val base = d0.toEpochDay
+    val got = operators.Workloads.q233(s, dir).collect()
+      .map(r => (r.getLong(0) - base) -> r.getLong(2)).toMap
+    assert(got == Map(0L -> 1L, 1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("q234 golden: each constructed gate drops exactly its one designed failure") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g234").toString
+    val clean = (1 to 30).map(i => s"word$i").mkString(" ") + " the of in and to"
+    val repeat = Seq.fill(20)("data row key").flatMap(_.split(" ")).mkString(" ")
+    val pii = (1 to 33).map(i => s"tok$i").mkString(" ") + " the contact bob@example.com"
+    val nostop = (1 to 35).map(i => s"item$i").mkString(" ")
+    val docs = Seq((1L, clean), (2L, "short text"), (3L, repeat),
+      (4L, pii), (5L, nostop))
+    docs.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.Curation.q234(s, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // d2 fails min_words, d3 fails low_dup, d4 fails no_pii, d5 fails stop
+    assert(got == Map(1L -> ((5L, 4L)), 2L -> ((4L, 3L)),
+      3L -> ((3L, 2L)), 4L -> ((2L, 1L))))
+  }
+
+  test("q235 golden: identical-taste users get ILS exactly 1 (zero diversity)") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g235").toString
+    // 2 users × 5 items, every rating 4.0: every pairwise item cosine is
+    // exactly 1 (proportional co-rating vectors), so ils=1, diversity=0
+    val rows = for (u <- 1L to 2L; k <- 0L until 5L) yield
+      (u * 100 + k, dayNs(k), u, "view", 4.0, s"""{"k": $k}""")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Recommender.q235(s, dir).collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      assert(r.getLong(1) == 5L && r.getLong(2) == 10L)
+      assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 0.0)
+    }
+  }
+
+  test("q236 golden: mode tiebreak picks the lexicographically first priority") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g236").toString
+    Seq((1L, "X"), (2L, "Y")).toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // X: 2-2 tie between 1-URGENT and 2-HIGH -> 1-URGENT by value asc;
+    // Y: clear 2-HIGH majority
+    Seq((1L, 1L, "1-URGENT"), (2L, 1L, "1-URGENT"), (3L, 1L, "2-HIGH"),
+      (4L, 1L, "2-HIGH"), (5L, 2L, "2-HIGH"), (6L, 2L, "2-HIGH"),
+      (7L, 2L, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = operators.Aggregates.q236(s, dir).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map("X" -> (("1-URGENT", 2L, 4L)), "Y" -> (("2-HIGH", 2L, 3L))))
+  }
+
+  test("q237 golden: uniform source hits ln(V); single-word source gets H=0, norm NULL") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g237").toString
+    Seq((1L, "alpha beta gamma delta", "en", "uni", 22L),
+      (2L, "solo solo solo solo", "en", "mono", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.TextPipeline.q237(s, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("uni").getDouble(3) == pin(math.log(4.0), 1e4))
+    assert(got("uni").getDouble(4) == 1.0)
+    assert(got("mono").getDouble(3) == 0.0 && got("mono").isNullAt(4))
+  }
+
+  test("q238 golden: doubled Sundays give index 1.75 vs 0.875 weekdays") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g238").toString
+    val start = java.time.LocalDate.of(2000, 3, 5) // a Sunday
+    (0 until 14).map { i =>
+        val day = start.plusDays(i)
+        val rev = if (i % 7 == 0) 200.0 else 100.0
+        (java.sql.Timestamp.valueOf(day.atStartOfDay), rev, 0.0)
+      }
+      .toDF("l_shipdate", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = operators.Analytics.q238(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // grand mean = (2·200 + 12·100)/14; sunday index 200/grand = 1.75
+    assert(got(0L) == 1.75)
+    (1L to 6L).foreach(k => assert(got(k) == 0.875))
+  }
+
+  test("q239 golden: constructed vocabularies give Jaccard 2/6 and zero overlaps drop out") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g239").toString
+    Seq((1L, "aa bb cc dd", "en", "s1", 11L), (2L, "cc dd ee ff", "en", "s2", 11L),
+      (3L, "zz", "en", "s3", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.TextPipeline.q239(s, dir).collect()
+    // s1-s3 and s2-s3 share nothing -> no inverted-index pair row at all
+    assert(got.length == 1)
+    assert(got(0).getString(0) == "s1" && got(0).getString(1) == "s2")
+    assert(got(0).getLong(2) == 2L && got(0).getDouble(3) == pin(2.0 / 6.0, 1e5))
+  }
+
+  test("q240 golden: the one shared 8-gram tops the boilerplate list with df=2") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g240").toString
+    val shared = "one two three four five six seven eight"
+    Seq((1L, s"$shared pad1 pad2 pad3", "en", "s", 1L),
+      (2L, s"intro $shared tail1 tail2", "en", "s", 1L))
+      .map { case (id, t, l, src, _) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.TextPipeline.q240(s, dir).collect()
+    assert(got.head.getString(0) == shared && got.head.getLong(1) == 2L)
+    assert(got.tail.forall(_.getLong(1) == 1L))
+  }
+
+  test("q241 golden: adjacent character pairs count per occurrence, words per form") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g241").toString
+    // words: "aa" ×2 and "ab" ×1 -> pair "aa": 2 occurrences from 1 word
+    // form; pair "ab": 1 occurrence from 1 form
+    Seq((1L, "aa aa ab", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.TextPipeline.q241(s, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("aa" -> ((2L, 1L)), "ab" -> ((1L, 1L))))
+  }
+
+  test("q242 golden: 9:1 token split pins the coverage interpolation exactly") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g242").toString
+    Seq((1L, "aaa aaa aaa aaa aaa aaa aaa aaa aaa bbb", "en", "s", 39L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.TextPipeline.q242(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // top word covers 90% exactly: 50/90 need 1 word, 95/99 need both
+    assert(got == Map(50L -> 1L, 90L -> 1L, 95L -> 2L, 99L -> 2L))
+  }
+
+  test("r9 additions invariants at sf0.001 AND sf0.01: bounds, monotone chains, conservation") {
+    for (sf <- Seq(d, TestSpark.sf001)) {
+      val kt = operators.Analytics.q231(s, sf).collect()
+      assert(kt.length == 3 && kt.forall(r => math.abs(r.getDouble(4)) <= 1.0))
+      val av = operators.Analytics.q232(s, sf).head()
+      assert(av.getDouble(4) >= 0.0 &&
+        av.getDouble(5) >= 0.0 && av.getDouble(5) <= 1.0)
+      val oo = operators.Workloads.q233(s, sf).collect()
+      assert(oo.length == 20 && oo.forall(_.getLong(2) >= 0L))
+      val fc = operators.Curation.q234(s, sf).collect().sortBy(_.getLong(0))
+      assert(fc.length == 4)
+      fc.foreach(r => assert(r.getLong(3) <= r.getLong(2)))
+      fc.sliding(2).foreach { p =>
+        assert(p(1).getLong(2) == p(0).getLong(3), "cascade chain must link")
+      }
+      val il = operators.Recommender.q235(s, sf).collect()
+      assert(il.nonEmpty && il.forall(r =>
+        math.abs(r.getDouble(3)) <= 1.0 && r.getLong(2) <= 45L))
+      val md = operators.Aggregates.q236(s, sf).collect()
+      assert(md.nonEmpty && md.forall(r =>
+        r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0 &&
+        r.getLong(2) <= r.getLong(3)))
+      val en = operators.TextPipeline.q237(s, sf).collect()
+      assert(en.nonEmpty && en.forall { r =>
+        r.getDouble(3) >= 0.0 &&
+        (r.isNullAt(4) || (r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0 + 1e-9))
+      })
+      val si = operators.Analytics.q238(s, sf).collect()
+      assert(si.length == 7 && si.forall(_.getDouble(3) > 0.0))
+      val so = operators.TextPipeline.q239(s, sf).collect()
+      assert(so.nonEmpty && so.forall(r =>
+        r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+      val bp = operators.TextPipeline.q240(s, sf).collect()
+      assert(bp.nonEmpty && bp.forall(_.getLong(1) >= 1L))
+      val bpe = operators.TextPipeline.q241(s, sf).collect()
+      assert(bpe.nonEmpty && bpe.forall(r => r.getLong(1) >= r.getLong(2)))
+      val vc = operators.TextPipeline.q242(s, sf).collect().sortBy(_.getLong(0))
+      assert(vc.length == 4)
+      vc.sliding(2).foreach(p => assert(p(0).getLong(1) <= p(1).getLong(1)))
+      vc.foreach(r => assert(r.getLong(1) >= 1L && r.getLong(1) <= r.getLong(2)))
+    }
+  }
 }
