@@ -1317,13 +1317,19 @@ object Analytics {
     * discount grid × 3 flags — never fact-proportional), so the
     * broadcast cell-pair join is O(|cells|²) independent of fact count;
     * everything upstream is one map-side-combined hash agg. */
-  def q231(s: SparkSession, d: String): DataFrame = {
-    val cells = graft.Tables.memoized(s, d, "kendallCells") {
+  /** (flag, quantity, discount, n) joint-support cells — DOMAIN-bounded
+    * (quantity grid × discount grid × 3 flags), shared by q231 (τ-b pair
+    * counts) and q244 (quantity moments via the y-marginal). */
+  private def kendallCells(s: SparkSession, d: String): DataFrame =
+    graft.Tables.memoized(s, d, "kendallCells") {
       lineitem(s, d)
         .groupBy(col("l_returnflag").as("rf"),
           col("l_quantity").as("x"), col("l_discount").as("y"))
         .agg(count(lit(1)).as("n"))
     }
+
+  def q231(s: SparkSession, d: String): DataFrame = {
+    val cells = kendallCells(s, d)
     val b = cells.select(col("rf").as("rf_b"), col("x").as("xb"),
       col("y").as("yb"), col("n").as("nb"))
     val cd = cells.join(broadcast(b),
@@ -1408,7 +1414,248 @@ object Analytics {
       .orderBy("dow")
   }
 
+  /** Kruskal–Wallis rank test of discounted revenue across the three
+    * return flags — the k-group generalization of q211's Mann–Whitney
+    * (as q232's ANOVA generalizes q207's Welch t, but rank-based, so
+    * valid under the same no-normality caveats): H from tie-averaged
+    * ranks, the standard tie correction C = 1 − Σ(t³−t)/(N³−N), and the
+    * ε² effect size H_adj/(N−1).
+    *
+    * Plan: ranks are NEVER a fact-grain global window — revenue pins to
+    * its 2 dp grid, shrinks to the value support, and the cumulative
+    * count runs through [[graft.api.Graft.prefixSum]]'s range-blocked
+    * combine (the q211 discipline); per-group rank sums Σ c·fr are exact
+    * half-integer sums (order-free below 2⁵³). H assembles in DEVIATION
+    * form Σ n_g(R̄_g − (N+1)/2)² — the Σ R_g²/n_g textbook form
+    * cancels ~1e23-magnitude terms and its 3-row summation-order drift
+    * would reach the 4 dp pin; deviations subtract means first, so every
+    * term is small and non-cancelling. Tie cube in double (the q211
+    * overflow bound). */
+  def q243(s: SparkSession, d: String): DataFrame = {
+    val base = lineitem(s, d).select(col("l_returnflag").as("g"),
+      r2(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("v"))
+    val cells = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val sup = cells.groupBy("v").agg(sum("c").as("t"))
+    val ranked = graft.api.Graft.prefixSum(sup, "v", Seq("t"))
+      .select(col("v"), col("t"),
+        ((col("t_cum") - col("t")).cast("double") +
+          (col("t") + 1).cast("double") / lit(2.0)).as("fr"))
+    val per = cells.join(ranked.select("v", "fr"), "v")
+      .groupBy("g").agg(sum("c").as("ng"), sum(col("c") * col("fr")).as("rg"))
+    val ties = ranked.agg(
+      sum(col("t").cast("double") * col("t") * col("t") - col("t")).as("tie3"),
+      sum("t").as("nn"))
+    val dev = per.crossJoin(broadcast(ties))
+      .withColumn("dv", col("rg") / col("ng").cast("double") -
+        (col("nn") + 1).cast("double") / lit(2.0))
+      .withColumn("dev2", col("ng").cast("double") * col("dv") * col("dv"))
+    dev.agg(count(lit(1)).as("k"), max("nn").as("n"),
+        max("tie3").as("tie3"), sum("dev2").as("sdev"))
+      .select(col("k"), col("n"),
+        (lit(12.0) / (col("n").cast("double") * (col("n") + 1).cast("double")) *
+          col("sdev")).as("h0"),
+        (lit(1.0) - col("tie3") /
+          (col("n").cast("double") * col("n") * col("n") - col("n"))).as("cc"))
+      // nullif: when EVERY value ties (one support row) cc is exactly 0
+      // and H is undefined — null, not 0/0 (the q223 degenerate-corpus
+      // guard class)
+      .select(col("k"), col("n"), r4(col("h0")).as("h"),
+        r4(col("h0") / nullif(col("cc"), lit(0.0))).as("h_adj"),
+        r5(col("h0") / nullif(col("cc"), lit(0.0)) /
+          (col("n") - 1).cast("double")).as("eps_sq"))
+  }
+
+  /** Jarque–Bera normality screen of the quantity distribution per return
+    * flag: skewness, excess kurtosis and JB = n/6·(S² + K²/4) — the
+    * moment-based "is this column even roughly normal" gate run before
+    * choosing between q207/q232 (moment tests) and q211/q243 (rank
+    * tests). Computed EXACTLY on the domain-bounded quantity support (the
+    * q231 [[kendallCells]] y-marginal — zero extra fact passes when the
+    * memo is warm): Σ c·x is an exact integer-grid sum, so μ and every
+    * central power (x−μ)^k evaluate as identical IEEE doubles in both
+    * engines, and the ≤50-cell moment sums have no fact-proportional
+    * summation-order surface. The raw-moment form (Σx⁴ etc.) would
+    * cancel ~1e16-magnitude terms; central moments on the support never
+    * cancel. Scale: one map-side-combined agg to the support, then
+    * arithmetic on ≤150 cells. */
+  def q244(s: SparkSession, d: String): DataFrame = {
+    val sup = kendallCells(s, d).groupBy("rf", "x").agg(sum("n").as("c"))
+    val mu = sup.groupBy("rf").agg(sum("c").as("n"),
+      (sum(col("c") * col("x")) / sum("c").cast("double")).as("mu"))
+    val m = sup.join(broadcast(mu), "rf")
+      .withColumn("dx", col("x") - col("mu"))
+      .groupBy("rf")
+      .agg(max("n").as("n"),
+        (sum(col("c") * col("dx") * col("dx")) /
+          max("n").cast("double")).as("m2"),
+        (sum(col("c") * col("dx") * col("dx") * col("dx")) /
+          max("n").cast("double")).as("m3"),
+        (sum(col("c") * col("dx") * col("dx") * col("dx") * col("dx")) /
+          max("n").cast("double")).as("m4"))
+    // nullif: a constant column has m2 = 0 and no defined shape — null,
+    // not 0/0 (the q223 degenerate-corpus guard class)
+    m.select(col("rf"), col("n"),
+        (col("m3") / nullif(col("m2") * sqrt(col("m2")), lit(0.0))).as("sk"),
+        (col("m4") / nullif(col("m2") * col("m2"), lit(0.0)) - lit(3.0)).as("ku"))
+      .select(col("rf"), col("n"), r4(col("sk")).as("skewness"),
+        r4(col("ku")).as("kurtosis_excess"),
+        r2((col("n").cast("double") / lit(6.0)) *
+          (col("sk") * col("sk") + col("ku") * col("ku") / lit(4.0))).as("jb"))
+      .orderBy("rf")
+  }
+
+  /** Functional-dependency audit — the data-quality profiling operator
+    * beside q112 (per-column stats) and q120 (referential integrity):
+    * for each DECLARED determinant → dependent pair, how many
+    * determinant values map to more than one dependent value. A clean
+    * key-determined FD (nation) reads 0; a violated one quantifies HOW
+    * functional the relationship actually is — the check run before
+    * trusting a denormalization or a join-key assumption. Five declared
+    * FDs spanning held, partially-held and violated cases.
+    *
+    * Determinism: counts are exact; one pinned ratio. Scale: each branch
+    * is two hash aggregations (fact → determinant grain → one row), all
+    * map-side combinable; the union is five one-row relations. */
+  def q245(s: SparkSession, d: String): DataFrame = {
+    def fd(df: DataFrame, det: String, dep: String, label: String) =
+      df.groupBy(col(det)).agg(countDistinct(col(dep)).as("nd"))
+        .agg(lit(label).as("fd"), count(lit(1)).as("n_det"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max("nd").as("max_dep"))
+    fd(nation(s, d), "n_nationkey", "n_regionkey",
+        "nation: n_nationkey -> n_regionkey")
+      .unionByName(fd(customer(s, d), "c_nationkey", "c_mktsegment",
+        "customer: c_nationkey -> c_mktsegment"))
+      .unionByName(fd(orders(s, d), "o_custkey", "o_orderpriority",
+        "orders: o_custkey -> o_orderpriority"))
+      .unionByName(fd(lineitem(s, d), "l_orderkey", "l_shipdate",
+        "lineitem: l_orderkey -> l_shipdate"))
+      .unionByName(fd(lineitem(s, d), "l_partkey", "l_extendedprice",
+        "lineitem: l_partkey -> l_extendedprice"))
+      .select(col("fd"), col("n_det"), col("n_violating"),
+        r4(col("n_violating").cast("double") / col("n_det").cast("double"))
+          .as("violation_rate"),
+        col("max_dep"))
+      .orderBy("fd")
+  }
+
+  /** Candidate-key / uniqueness profile — the other half of the q245
+    * audit: for each declared column combination, row count, distinct
+    * count, duplicate-row overhang and an is_key verdict. This is how a
+    * pipeline discovers (rather than assumes) its merge keys and dedup
+    * grains; combos chosen to span unique single keys, a non-unique
+    * foreign key, and composite candidates.
+    *
+    * Determinism: all-integer. Scale: each branch is one hash agg to the
+    * combo grain then one row — the distinct count comes from the SAME
+    * agg (count of grain rows), never a second countDistinct pass. */
+  def q246(s: SparkSession, d: String): DataFrame = {
+    def kp(df: DataFrame, cols: Seq[String], label: String) =
+      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("c"))
+        .agg(lit(label).as("key_cols"), sum("c").as("n_rows"),
+          count(lit(1)).as("n_distinct"), sum(col("c") - 1).as("n_dup_rows"),
+          (max("c") === 1).as("is_key"))
+    kp(orders(s, d), Seq("o_orderkey"), "orders(o_orderkey)")
+      .unionByName(kp(lineitem(s, d), Seq("l_orderkey"),
+        "lineitem(l_orderkey)"))
+      .unionByName(kp(lineitem(s, d), Seq("l_orderkey", "l_linenumber"),
+        "lineitem(l_orderkey,l_linenumber)"))
+      .unionByName(kp(lineitem(s, d),
+        Seq("l_orderkey", "l_partkey", "l_suppkey"),
+        "lineitem(l_orderkey,l_partkey,l_suppkey)"))
+      .unionByName(kp(events(s, d), Seq("event_id"), "events(event_id)"))
+      .unionByName(kp(documents(s, d), Seq("doc_id"), "documents(doc_id)"))
+      .orderBy("key_cols")
+  }
+
+  /** Lead–lag cross-correlation between daily ORDER intake and daily
+    * SHIPPED revenue — the bivariate extension of q212's ACF: xcorr(k) =
+    * corr(rev(t), orders(t−k)) for k ∈ [−7, 7]. A peak at positive k
+    * reads "orders lead revenue by k days" (the order→ship pipeline
+    * delay); the operator behind any "which series is the leading
+    * indicator" question. Like q212, lags index OBSERVED days of the
+    * joined series (documented; gap-fill with q117 first for strict
+    * calendar lags).
+    *
+    * Determinism: both series pin before the windows (revenue 2 dp,
+    * counts exact); corr is the same sample-Pearson in both engines over
+    * identical pairs, pinned 4 dp. Scale: two day-grain fact aggs, one
+    * calendar-sized join, and the lag windows run over the SAME
+    * calendar-bounded series as q212 (the documented fixed-offset-lag
+    * exemption — not prefix-scannable, input never fact-proportional). */
+  def q247(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d).groupBy(col("l_shipdate").as("day"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("rev"))
+    val ord = orders(s, d).groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).cast("double").as("n_ord"))
+    val ser = rev.join(ord, "day")
+    val w = Window.orderBy("day")
+    val shifted = ser.select(col("rev") +:
+      (-7 to 7).map { k =>
+        val c =
+          if (k > 0) lag("n_ord", k).over(w)
+          else if (k < 0) lead("n_ord", -k).over(w)
+          else col("n_ord")
+        c.as(s"f${k + 7}")
+      }: _*)
+    shifted.selectExpr("rev",
+        s"stack(15, ${(-7 to 7).map(k => s"$k, f${k + 7}").mkString(", ")}) AS (lag_k, f)")
+      .groupBy("lag_k")
+      .agg(count(col("f")).as("n_pairs"), r4(corr(col("rev"), col("f"))).as("xcorr"))
+      .select(col("lag_k").cast("long").as("lag_k"), col("n_pairs"), col("xcorr"))
+      .orderBy("lag_k")
+  }
+
+  /** Conditional next-event entropy — how PREDICTABLE each event type's
+    * successor is: H(next | cur=s) in nats over q177's transition grain,
+    * its ln|targets| normalization, and the source's stationary share.
+    * norm_entropy → 0 reads "this state's successor is nearly
+    * deterministic" (a funnel edge), → 1 reads "memoryless" — the
+    * information-theoretic summary of the transition matrix q177 lists
+    * row by row, beside q168's (unconditional) user entropy and q237's
+    * token entropy.
+    *
+    * Determinism: probabilities divide exact longs; ≤5-term entropy sums
+    * drift ≪ the 4 dp pin; norm divides the PINNED entropy (the q237
+    * discipline). The sequence window orders by the full ns ts (q229's
+    * lesson). Scale: one fact-partitioned lag window + hash aggs to the
+    * 5×5 transition grain. */
+  def q248(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tr = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag("event_type", 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = tr.groupBy("from_type")
+      .agg(sum("n").as("n_from"), count(lit(1)).as("n_next_types"))
+    val grand = tot.agg(sum("n_from").as("nn"))
+    tr.join(broadcast(tot), "from_type")
+      .groupBy("from_type")
+      .agg(max("n_from").as("n_from"), max("n_next_types").as("n_next_types"),
+        r4(-sum((col("n").cast("double") / col("n_from").cast("double")) *
+          log(col("n").cast("double") / col("n_from").cast("double"))))
+          .as("entropy"))
+      .crossJoin(broadcast(grand))
+      .select(col("from_type"), col("n_from"), col("n_next_types"),
+        r4(col("n_from").cast("double") / col("nn").cast("double"))
+          .as("p_source"),
+        col("entropy"),
+        r4(when(col("n_next_types") === 1, lit(null))
+          .otherwise(col("entropy") / log(col("n_next_types").cast("double"))))
+          .as("norm_entropy"))
+      .orderBy("from_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_kruskal_wallis" -> q243,
+    "q244_jarque_bera" -> q244,
+    "q245_fd_check" -> q245,
+    "q246_key_profile" -> q246,
+    "q247_cross_corr" -> q247,
+    "q248_transition_entropy" -> q248,
     "q231_kendall_tau" -> q231,
     "q232_anova_f" -> q232,
     "q238_seasonal_index" -> q238,
@@ -1460,6 +1707,158 @@ object Analytics {
     "q156_cusum_changepoint" -> q156)
 
   val oracle: Map[String, String] = Map(
+    "q243_kruskal_wallis" ->
+      s"""WITH base AS (SELECT l_returnflag AS g,
+         |    ${sr2("l_extendedprice * (1.0e0 - l_discount)")} AS v
+         |  FROM lineitem),
+         |cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+         |  FROM base GROUP BY 1, 2),
+         |sup AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1),
+         |rk AS (SELECT v, t, sum(t) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tc FROM sup),
+         |fr AS (SELECT v, t,
+         |    CAST(tc - t AS DOUBLE) + CAST(t + 1 AS DOUBLE) / 2e0 AS fr FROM rk),
+         |per AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng, sum(c * fr) AS rg
+         |  FROM cells JOIN fr USING (v) GROUP BY 1),
+         |ties AS (SELECT sum(CAST(t AS DOUBLE) * t * t - t) AS tie3,
+         |    CAST(sum(t) AS BIGINT) AS nn FROM sup),
+         |dev AS (SELECT g, CAST(ng AS DOUBLE) * dv * dv AS dev2 FROM (
+         |    SELECT g, ng, rg / CAST(ng AS DOUBLE) -
+         |      CAST(nn + 1 AS DOUBLE) / 2e0 AS dv FROM per, ties)),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |    (SELECT nn FROM ties) AS n, (SELECT tie3 FROM ties) AS tie3,
+         |    sum(dev2) AS sdev FROM dev),
+         |fin AS (SELECT k, n,
+         |    12e0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) * sdev AS h0,
+         |    1e0 - tie3 / (CAST(n AS DOUBLE) * n * n - n) AS cc FROM agg)
+         |SELECT k, n, ${sr4("h0")} AS h, ${sr4("h0 / nullif(cc, 0e0)")} AS h_adj,
+         |  ${sr5("h0 / nullif(cc, 0e0) / CAST(n - 1 AS DOUBLE)")} AS eps_sq
+         |FROM fin""".stripMargin,
+    "q244_jarque_bera" ->
+      s"""WITH sup AS (SELECT l_returnflag AS rf, l_quantity AS x,
+         |    CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2),
+         |mu AS (SELECT rf, CAST(sum(c) AS BIGINT) AS n,
+         |    sum(c * x) / CAST(sum(c) AS DOUBLE) AS mu FROM sup GROUP BY 1),
+         |m AS (SELECT rf, max(n) AS n,
+         |    sum(c * dx * dx) / CAST(max(n) AS DOUBLE) AS m2,
+         |    sum(c * dx * dx * dx) / CAST(max(n) AS DOUBLE) AS m3,
+         |    sum(c * dx * dx * dx * dx) / CAST(max(n) AS DOUBLE) AS m4
+         |  FROM (SELECT s.rf, s.c, s.x - mu.mu AS dx, mu.n
+         |        FROM sup s JOIN mu USING (rf))
+         |  GROUP BY 1),
+         |f AS (SELECT rf, n, m3 / nullif(m2 * sqrt(m2), 0e0) AS sk,
+         |    m4 / nullif(m2 * m2, 0e0) - 3e0 AS ku FROM m)
+         |SELECT rf, n, ${sr4("sk")} AS skewness, ${sr4("ku")} AS kurtosis_excess,
+         |  ${sr2("(CAST(n AS DOUBLE) / 6e0) * (sk * sk + ku * ku / 4e0)")} AS jb
+         |FROM f ORDER BY rf""".stripMargin,
+    "q245_fd_check" ->
+      s"""WITH u AS (
+         |  SELECT 'nation: n_nationkey -> n_regionkey' AS fd,
+         |      CAST(count(*) AS BIGINT) AS n_det,
+         |      CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+         |      CAST(max(nd) AS BIGINT) AS max_dep
+         |    FROM (SELECT count(DISTINCT n_regionkey) AS nd FROM nation GROUP BY n_nationkey)
+         |  UNION ALL
+         |  SELECT 'customer: c_nationkey -> c_mktsegment',
+         |      CAST(count(*) AS BIGINT),
+         |      CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+         |      CAST(max(nd) AS BIGINT)
+         |    FROM (SELECT count(DISTINCT c_mktsegment) AS nd FROM customer GROUP BY c_nationkey)
+         |  UNION ALL
+         |  SELECT 'orders: o_custkey -> o_orderpriority',
+         |      CAST(count(*) AS BIGINT),
+         |      CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+         |      CAST(max(nd) AS BIGINT)
+         |    FROM (SELECT count(DISTINCT o_orderpriority) AS nd FROM orders GROUP BY o_custkey)
+         |  UNION ALL
+         |  SELECT 'lineitem: l_orderkey -> l_shipdate',
+         |      CAST(count(*) AS BIGINT),
+         |      CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+         |      CAST(max(nd) AS BIGINT)
+         |    FROM (SELECT count(DISTINCT l_shipdate) AS nd FROM lineitem GROUP BY l_orderkey)
+         |  UNION ALL
+         |  SELECT 'lineitem: l_partkey -> l_extendedprice',
+         |      CAST(count(*) AS BIGINT),
+         |      CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+         |      CAST(max(nd) AS BIGINT)
+         |    FROM (SELECT count(DISTINCT l_extendedprice) AS nd FROM lineitem GROUP BY l_partkey))
+         |SELECT fd, n_det, n_violating,
+         |  ${sr4("CAST(n_violating AS DOUBLE) / CAST(n_det AS DOUBLE)")} AS violation_rate,
+         |  max_dep
+         |FROM u ORDER BY fd""".stripMargin,
+    "q246_key_profile" ->
+      s"""WITH u AS (
+         |  SELECT 'orders(o_orderkey)' AS key_cols,
+         |      CAST(sum(c) AS BIGINT) AS n_rows,
+         |      CAST(count(*) AS BIGINT) AS n_distinct,
+         |      CAST(sum(c - 1) AS BIGINT) AS n_dup_rows, max(c) = 1 AS is_key
+         |    FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+         |  UNION ALL
+         |  SELECT 'lineitem(l_orderkey)', CAST(sum(c) AS BIGINT),
+         |      CAST(count(*) AS BIGINT), CAST(sum(c - 1) AS BIGINT), max(c) = 1
+         |    FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey)
+         |  UNION ALL
+         |  SELECT 'lineitem(l_orderkey,l_linenumber)', CAST(sum(c) AS BIGINT),
+         |      CAST(count(*) AS BIGINT), CAST(sum(c - 1) AS BIGINT), max(c) = 1
+         |    FROM (SELECT count(*) AS c FROM lineitem
+         |          GROUP BY l_orderkey, l_linenumber)
+         |  UNION ALL
+         |  SELECT 'lineitem(l_orderkey,l_partkey,l_suppkey)', CAST(sum(c) AS BIGINT),
+         |      CAST(count(*) AS BIGINT), CAST(sum(c - 1) AS BIGINT), max(c) = 1
+         |    FROM (SELECT count(*) AS c FROM lineitem
+         |          GROUP BY l_orderkey, l_partkey, l_suppkey)
+         |  UNION ALL
+         |  SELECT 'events(event_id)', CAST(sum(c) AS BIGINT),
+         |      CAST(count(*) AS BIGINT), CAST(sum(c - 1) AS BIGINT), max(c) = 1
+         |    FROM (SELECT count(*) AS c FROM events GROUP BY event_id)
+         |  UNION ALL
+         |  SELECT 'documents(doc_id)', CAST(sum(c) AS BIGINT),
+         |      CAST(count(*) AS BIGINT), CAST(sum(c - 1) AS BIGINT), max(c) = 1
+         |    FROM (SELECT count(*) AS c FROM documents GROUP BY doc_id))
+         |SELECT * FROM u ORDER BY key_cols""".stripMargin,
+    "q247_cross_corr" ->
+      s"""WITH rev AS (SELECT l_shipdate AS day,
+         |    ${sr2("sum(l_extendedprice * (1.0e0 - l_discount))")} AS rev
+         |  FROM lineitem GROUP BY 1),
+         |ord AS (SELECT o_orderdate AS day, CAST(count(*) AS DOUBLE) AS n_ord
+         |  FROM orders GROUP BY 1),
+         |ser AS (SELECT rev.day, rev.rev, ord.n_ord FROM rev JOIN ord USING (day)),
+         |l AS (SELECT rev,
+         |    lead(n_ord, 7) OVER w AS f0, lead(n_ord, 6) OVER w AS f1,
+         |    lead(n_ord, 5) OVER w AS f2, lead(n_ord, 4) OVER w AS f3,
+         |    lead(n_ord, 3) OVER w AS f4, lead(n_ord, 2) OVER w AS f5,
+         |    lead(n_ord, 1) OVER w AS f6, n_ord AS f7,
+         |    lag(n_ord, 1) OVER w AS f8, lag(n_ord, 2) OVER w AS f9,
+         |    lag(n_ord, 3) OVER w AS f10, lag(n_ord, 4) OVER w AS f11,
+         |    lag(n_ord, 5) OVER w AS f12, lag(n_ord, 6) OVER w AS f13,
+         |    lag(n_ord, 7) OVER w AS f14
+         |  FROM ser WINDOW w AS (ORDER BY day)),
+         |st AS (SELECT t.k AS lag_k, l.rev,
+         |    CASE t.k WHEN -7 THEN f0 WHEN -6 THEN f1 WHEN -5 THEN f2
+         |      WHEN -4 THEN f3 WHEN -3 THEN f4 WHEN -2 THEN f5 WHEN -1 THEN f6
+         |      WHEN 0 THEN f7 WHEN 1 THEN f8 WHEN 2 THEN f9 WHEN 3 THEN f10
+         |      WHEN 4 THEN f11 WHEN 5 THEN f12 WHEN 6 THEN f13 ELSE f14
+         |    END AS f
+         |  FROM l CROSS JOIN generate_series(-7, 7) t(k))
+         |SELECT lag_k, count(f) AS n_pairs, ${sr4("corr(rev, f)")} AS xcorr
+         |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q248_transition_entropy" ->
+      s"""WITH l AS (SELECT event_type AS to_type, lag(event_type) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id) AS from_type FROM events),
+         |tr AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM l
+         |  WHERE from_type IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from,
+         |    CAST(count(*) AS BIGINT) AS n_next_types FROM tr GROUP BY 1),
+         |g AS (SELECT CAST(sum(n_from) AS BIGINT) AS nn FROM tot),
+         |ent AS (SELECT tr.from_type, max(tot.n_from) AS n_from,
+         |    max(tot.n_next_types) AS n_next_types,
+         |    ${sr4("-sum((CAST(tr.n AS DOUBLE) / CAST(tot.n_from AS DOUBLE)) * ln(CAST(tr.n AS DOUBLE) / CAST(tot.n_from AS DOUBLE)))")} AS entropy
+         |  FROM tr JOIN tot USING (from_type) GROUP BY 1)
+         |SELECT from_type, n_from, n_next_types,
+         |  ${sr4("CAST(n_from AS DOUBLE) / CAST(nn AS DOUBLE)")} AS p_source,
+         |  entropy,
+         |  ${sr4("CASE WHEN n_next_types = 1 THEN NULL ELSE entropy / ln(CAST(n_next_types AS DOUBLE)) END")} AS norm_entropy
+         |FROM ent, g ORDER BY from_type""".stripMargin,
     "q231_kendall_tau" ->
       s"""WITH cells AS (SELECT l_returnflag AS rf, l_quantity AS x,
          |    l_discount AS y, CAST(count(*) AS BIGINT) AS n

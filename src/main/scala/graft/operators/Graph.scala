@@ -86,10 +86,44 @@ object Graph {
       .limit(20)
   }
 
+  /** Local clustering coefficient on the q134 co-occurrence graph — how
+    * CLIQUE-LIKE each item's neighborhood is: coeff = 2T/(d(d−1)) over
+    * the same deterministic top-200 edge set, where T is the node's q134
+    * triangle count and d its degree. High-coefficient items sit inside
+    * tight co-purchase communities (bundle candidates); the graph-density
+    * readout beside q113's flow rank and q134's raw triangle counts.
+    * Degree-1 nodes have no defined coefficient and are filtered.
+    *
+    * Determinism: T and d are exact integers; one pinned ratio with
+    * (coeff desc, item) order. Scale: inherits q134's shapes — the
+    * bounded edge list makes degree a tiny agg and the wedge join
+    * arboricity-bounded; at real graph scale the edge set comes from a
+    * support threshold instead of top-k, everything else unchanged. */
+  def q250(s: SparkSession, d: String): DataFrame = {
+    val edges = pairSupport(s, d)
+      .orderBy(col("c_ab").desc, col("item_a"), col("item_b"))
+      .limit(200)
+      .select("item_a", "item_b")
+    val deg = edges.select(col("item_a").as("item"))
+      .unionAll(edges.select(col("item_b").as("item")))
+      .groupBy("item").agg(count(lit(1)).as("degree"))
+    val tri = graft.api.Graft.triangles(edges, "item_a", "item_b")
+      .withColumnRenamed("node", "item")
+    deg.join(tri, Seq("item"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .filter(col("degree") >= 2)
+      .withColumn("clustering_coeff", r4(lit(2.0) * col("n_triangles") /
+        (col("degree").cast("double") * (col("degree") - 1).cast("double"))))
+      .select("item", "degree", "n_triangles", "clustering_coeff")
+      .orderBy(col("clustering_coeff").desc, col("item"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_item_pagerank" -> q113,
     "q133_link_predict_aa" -> q133,
-    "q134_triangle_count" -> q134)
+    "q134_triangle_count" -> q134,
+    "q250_graph_clustering" -> q250)
 
   /** One unrolled power-iteration round: nodes LEFT JOIN the normalized
     * edges on dst (no inbound edges → null → coalesce 0), rank of the
@@ -138,6 +172,28 @@ object Graph {
          |SELECT item, count(*) AS n_triangles FROM (
          |  SELECT unnest([a, b, c]) AS item FROM tri)
          |GROUP BY 1 ORDER BY n_triangles DESC, item LIMIT 20""".stripMargin,
+    "q250_graph_clustering" ->
+      s"""WITH r AS ($ratingsSql),
+         |$cappedSql,
+         |e0 AS (SELECT a.item AS a, b.item AS b, count(*) AS support
+         |  FROM capped a JOIN capped b
+         |    ON a.user_id = b.user_id AND a.item < b.item
+         |  GROUP BY 1, 2 ORDER BY support DESC, a, b LIMIT 200),
+         |edges AS (SELECT a, b FROM e0),
+         |deg AS (SELECT item, CAST(count(*) AS BIGINT) AS degree FROM (
+         |    SELECT a AS item FROM edges UNION ALL SELECT b FROM edges)
+         |  GROUP BY 1),
+         |tri AS (SELECT e1.a, e1.b, e2.b AS c FROM edges e1
+         |  JOIN edges e2 ON e1.b = e2.a
+         |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tc AS (SELECT item, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+         |    SELECT unnest([a, b, c]) AS item FROM tri) GROUP BY 1)
+         |SELECT deg.item, deg.degree,
+         |  coalesce(tc.n_triangles, 0) AS n_triangles,
+         |  ${sr4("2e0 * coalesce(tc.n_triangles, 0) / (CAST(degree AS DOUBLE) * CAST(degree - 1 AS DOUBLE))")} AS clustering_coeff
+         |FROM deg LEFT JOIN tc USING (item)
+         |WHERE deg.degree >= 2
+         |ORDER BY clustering_coeff DESC, item LIMIT 20""".stripMargin,
     "q113_item_pagerank" ->
       s"""WITH ev AS (SELECT user_id, event_id, ts,
          |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),

@@ -743,7 +743,38 @@ object Recommender {
       .limit(20)
   }
 
+  /** Novelty / mainstreamness of each user's top-10 list — the third
+    * beyond-accuracy metric beside q126 (exposure coverage+Gini) and q235
+    * (intra-list diversity): mean self-information −log₂(popularity
+    * share) of the listed items (Vargas & Castells 2011). A high-novelty
+    * user's list lives in the long tail; avg_pop_share is the same
+    * reading in plain popularity units. Reports the 20 most-novel users.
+    *
+    * Determinism: shares divide exact longs, so every −log₂ term is the
+    * same IEEE double in both engines; the per-user mean averages ≤10
+    * such terms (drift ≪ 4 dp); order on the pinned novelty with user
+    * tiebreak. Scale: the top-10 cut inherits the cappedRatings window
+    * (fact-partitioned by user); popularity is a catalog-sized broadcast;
+    * everything else is row-linear. */
+  def q249(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(r4(col("rating")).desc, col("item"))
+    val top10 = cappedRatings(s, d)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select("user_id", "item")
+    val pop = ratings(s, d).groupBy("item").agg(count(lit(1)).as("cnt"))
+    val tot = pop.agg(sum("cnt").as("tot"))
+    top10.join(broadcast(pop), "item").crossJoin(broadcast(tot))
+      .withColumn("share", col("cnt").cast("double") / col("tot").cast("double"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_items"),
+        r4(avg(-log2(col("share")))).as("novelty"),
+        r5(avg(col("share"))).as("avg_pop_share"))
+      .orderBy(col("novelty").desc, col("user_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_rec_novelty" -> q249,
     "q235_rec_diversity" -> q235,
     "q197_slope_one" -> q197,
     "q178_assoc_rules" -> q178,
@@ -772,6 +803,22 @@ object Recommender {
     "q68_tfidf_terms" -> q68)
 
   val oracle: Map[String, String] = Map(
+    "q249_rec_novelty" ->
+      s"""WITH r AS ($ratingsSql),
+         |t AS (SELECT user_id, item FROM (
+         |    SELECT user_id, item, row_number() OVER (
+         |      PARTITION BY user_id ORDER BY ${sr4("rating")} DESC, item) AS rn
+         |    FROM r) WHERE rn <= 10),
+         |pop AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM pop),
+         |sh AS (SELECT t.user_id,
+         |    CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+         |  FROM t JOIN pop USING (item) CROSS JOIN tot)
+         |SELECT user_id, count(*) AS n_items,
+         |  ${sr4("avg(-log2(share))")} AS novelty,
+         |  ${sr5("avg(share)")} AS avg_pop_share
+         |FROM sh GROUP BY 1
+         |ORDER BY novelty DESC, user_id LIMIT 20""".stripMargin,
     "q235_rec_diversity" ->
       s"""WITH r AS ($ratingsSql),
          |t AS (SELECT user_id, item FROM (

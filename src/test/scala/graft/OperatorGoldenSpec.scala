@@ -1479,4 +1479,196 @@ class OperatorGoldenSpec extends AnyFunSuite {
       vc.foreach(r => assert(r.getLong(1) >= 1L && r.getLong(1) <= r.getLong(2)))
     }
   }
+
+  // ---- r9 batch 2: constructed-fixture goldens ----
+
+  test("q243 golden: separated groups give the textbook H; all-tied input yields null, not 0/0") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g243").toString
+    // A={1,2,3}, N={4,5,6}, R={7,8,9}: no ties, ranks 1..9,
+    // H = 12/(9*10) * (3*(2-5)^2 + 3*0 + 3*(8-5)^2) = 7.2; eps^2 = 7.2/8
+    val rows = Seq("A" -> 1.0, "A" -> 2.0, "A" -> 3.0, "N" -> 4.0,
+      "N" -> 5.0, "N" -> 6.0, "R" -> 7.0, "R" -> 8.0, "R" -> 9.0)
+    rows.map { case (g, v) => (g, v, 0.0) }
+      .toDF("l_returnflag", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = operators.Analytics.q243(s, dir).head()
+    assert(got.getLong(0) == 3L && got.getLong(1) == 9L)
+    assert(got.getDouble(2) == 7.2 && got.getDouble(3) == 7.2)
+    assert(got.getDouble(4) == 0.9)
+    // degenerate: every value identical -> tie correction cc = 0 -> null
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_g243b").toString
+    Seq(("A", 5.0, 0.0), ("N", 5.0, 0.0), ("R", 5.0, 0.0))
+      .toDF("l_returnflag", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir2/lineitem.parquet")
+    val deg = operators.Analytics.q243(s, dir2).head()
+    assert(deg.getDouble(2) == 0.0 && deg.isNullAt(3) && deg.isNullAt(4))
+  }
+
+  test("q244 golden: symmetric grid has zero skew and -1.5 kurtosis; constant column yields nulls") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g244").toString
+    // A: quantities {1,2,3} -> mu=2, m2=2/3, m3=0, m4=2/3:
+    // skew=0, excess kurt = (2/3)/(4/9) - 3 = -1.5, JB = 3/6*(0+2.25/4)=0.28125
+    // N: constant 5 -> m2=0 -> all shape stats null
+    val rows = Seq(("A", 1.0, 0.0), ("A", 2.0, 0.0), ("A", 3.0, 0.0),
+      ("N", 5.0, 0.0), ("N", 5.0, 0.0))
+    rows.toDF("l_returnflag", "l_quantity", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = operators.Analytics.q244(s, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("A")
+    assert(a.getLong(1) == 3L && a.getDouble(2) == 0.0 &&
+      a.getDouble(3) == -1.5 && a.getDouble(4) == 0.28)
+    val n = got("N")
+    assert(n.isNullAt(2) && n.isNullAt(3) && n.isNullAt(4))
+  }
+
+  test("q245 golden: each declared FD reports exactly its designed violation") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g245").toString
+    Seq((1, 10), (2, 20)).toDF("n_nationkey", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, 1, "X"), (2L, 1, "Y"), (3L, 2, "X"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, 1L, "P1"), (2L, 1L, "P2"), (3L, 2L, "P1"), (4L, 2L, "P1"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val t0 = java.sql.Timestamp.valueOf("2000-01-10 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2000-01-11 00:00:00")
+    Seq((1L, 1L, t0, 10.0), (1L, 2L, t1, 10.0),
+      (2L, 2L, t0, 20.0), (2L, 1L, t0, 10.0))
+      .toDF("l_orderkey", "l_partkey", "l_shipdate", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = operators.Analytics.q245(s, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      "nation: n_nationkey -> n_regionkey" -> ((2L, 0L, 0.0, 1L)),
+      "customer: c_nationkey -> c_mktsegment" -> ((2L, 1L, 0.5, 2L)),
+      "orders: o_custkey -> o_orderpriority" -> ((2L, 1L, 0.5, 2L)),
+      "lineitem: l_orderkey -> l_shipdate" -> ((2L, 1L, 0.5, 2L)),
+      "lineitem: l_partkey -> l_extendedprice" -> ((2L, 1L, 0.5, 2L))))
+  }
+
+  test("q246 golden: designed duplicates flip exactly the designed is_key verdicts") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g246").toString
+    Seq(1L, 2L, 3L).toDF("o_orderkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1, 1L, 1L), (1L, 2, 1L, 1L), (2L, 1, 1L, 1L))
+      .toDF("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, dayNs(0), 1L, "view", 1.0, "{}"), (2L, dayNs(1), 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq((1L, "a"), (1L, "b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.Analytics.q246(s, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == Map(
+      "orders(o_orderkey)" -> ((3L, 3L, 0L, true)),
+      "lineitem(l_orderkey)" -> ((3L, 2L, 1L, false)),
+      "lineitem(l_orderkey,l_linenumber)" -> ((3L, 3L, 0L, true)),
+      "lineitem(l_orderkey,l_partkey,l_suppkey)" -> ((3L, 2L, 1L, false)),
+      "events(event_id)" -> ((2L, 2L, 0L, true)),
+      "documents(doc_id)" -> ((2L, 1L, 1L, false))))
+  }
+
+  test("q247 golden: a built-in 2-day order->ship delay puts the xcorr peak exactly at lag +2") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g247").toString
+    val p = Seq(1, 3, 2, 5, 4, 2, 6, 1, 3, 5)
+    val d0 = java.time.LocalDate.of(2000, 3, 1)
+    def ts(off: Int) = java.sql.Timestamp.valueOf(d0.plusDays(off).atStartOfDay)
+    // orders: p(i) orders on day i; revenue: p(i) dollars shipped on day i+2
+    val ordRows = for (i <- p.indices; j <- 1 to p(i))
+      yield (i.toLong * 100 + j, ts(i))
+    ordRows.toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    p.indices.map(i => (ts(i + 2), p(i).toDouble, 0.0))
+      .toDF("l_shipdate", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = operators.Analytics.q247(s, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r)))
+      .toMap
+    // joined series = days 2..9 (8 days); at lag +2 rev(t) == ord(t-2)
+    assert(got(2L)._1 == 6L && got(2L)._2.getDouble(2) == 1.0)
+    assert(got.size == 15 && (-7 to 7).forall(k => got(k.toLong)._1 == math.max(8 - math.abs(k), 0).toLong))
+  }
+
+  test("q248 golden: deterministic chains read zero entropy; an even 2-way split reads ln 2") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g248").toString
+    // user 1: a b a b a  -> a->b x2, b->a x2 (both deterministic)
+    // users 2/3: c a | c b -> c splits evenly between a and b
+    val rows = Seq(
+      (10L, dayNs(0), 1L, "a"), (11L, dayNs(1), 1L, "b"),
+      (12L, dayNs(2), 1L, "a"), (13L, dayNs(3), 1L, "b"),
+      (14L, dayNs(4), 1L, "a"),
+      (20L, dayNs(0), 2L, "c"), (21L, dayNs(1), 2L, "a"),
+      (30L, dayNs(0), 3L, "c"), (31L, dayNs(1), 3L, "b"))
+    rows.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Analytics.q248(s, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("a"); val b = got("b"); val c = got("c")
+    assert(a.getLong(1) == 2L && a.getLong(2) == 1L &&
+      a.getDouble(4) == 0.0 && a.isNullAt(5))
+    assert(b.getLong(1) == 2L && b.getDouble(4) == 0.0)
+    // entropy pins to 0.6931 BEFORE the norm division (the q237
+    // discipline), so norm = r4(0.6931 / ln 2) = 0.9999, not 1.0
+    assert(c.getLong(1) == 2L && c.getLong(2) == 2L &&
+      c.getDouble(4) == 0.6931 && c.getDouble(5) == 0.9999)
+    // p_source: 6 transitions total, 2 from each source
+    Seq(a, b, c).foreach(r => assert(r.getDouble(3) == 0.3333))
+  }
+
+  test("r9 batch-2 invariants at sf0.001 AND sf0.01: rank-test bounds, profile conservation, xcorr symmetry") {
+    for (sf <- Seq(d, TestSpark.sf001)) {
+      val kw = operators.Analytics.q243(s, sf).head()
+      assert(kw.getLong(0) == 3L && kw.getDouble(2) >= 0.0 &&
+        kw.getDouble(3) >= kw.getDouble(2) - 1e-9 &&
+        kw.getDouble(4) >= 0.0 && kw.getDouble(4) <= 1.0 + 1e-9)
+      val jb = operators.Analytics.q244(s, sf).collect()
+      assert(jb.length == 3 && jb.forall(r =>
+        r.getLong(1) > 0L && r.getDouble(4) >= 0.0))
+      val fd = operators.Analytics.q245(s, sf).collect()
+      assert(fd.length == 5)
+      fd.foreach { r =>
+        assert(r.getLong(2) <= r.getLong(1) &&
+          r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      }
+      val clean = fd.find(_.getString(0).startsWith("nation")).get
+      assert(clean.getLong(2) == 0L && clean.getLong(4) == 1L)
+      val kp = operators.Analytics.q246(s, sf).collect()
+      assert(kp.length == 6)
+      kp.foreach { r =>
+        assert(r.getLong(1) >= r.getLong(2) &&
+          r.getLong(3) == r.getLong(1) - r.getLong(2) &&
+          r.getBoolean(4) == (r.getLong(3) == 0L))
+      }
+      Seq("orders(o_orderkey)", "events(event_id)", "documents(doc_id)")
+        .foreach(k => assert(kp.find(_.getString(0) == k).get.getBoolean(4)))
+      val xc = operators.Analytics.q247(s, sf).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(xc.size == 15)
+      val n0 = xc(0L)._1
+      (-7 to 7).foreach { k =>
+        assert(xc(k.toLong)._1 == n0 - math.abs(k))
+        assert(math.abs(xc(k.toLong)._2) <= 1.0 + 1e-9)
+      }
+      val te = operators.Analytics.q248(s, sf).collect()
+      assert(te.length == 5)
+      te.foreach { r =>
+        assert(r.getDouble(4) >= 0.0 &&
+          (r.isNullAt(5) || (r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0 + 1e-9)))
+      }
+      val psum = te.map(_.getDouble(3)).sum
+      assert(psum > 0.999 && psum < 1.001)
+    }
+  }
 }

@@ -539,9 +539,11 @@ class PlanRegressionSpec extends AnyFunSuite {
     // (a sliding frame, so the prefix-scan decomposition doesn't apply);
     // q208's lag-7/lag-1 forecast windows run over the same ~2.4k-day
     // l_shipdate calendar (fixed-offset lags — also not prefix-scannable);
-    // q212's ACF lag-1..7 windows run over that same day calendar.
+    // q212's ACF lag-1..7 windows run over that same day calendar, and
+    // q247's cross-correlation lead/lag ±7 windows over the joined
+    // shipdate∩orderdate calendar (same fixed-offset-lag class).
     val exempt = Set("q34_window_moving_avg", "q208_mase_backtest",
-      "q212_acf_weekly")
+      "q212_acf_weekly", "q247_cross_corr")
     val limit = 256L
     val offenders = SparkEntry.queries
       .filterNot(kv => skip(kv._1) || exempt(kv._1)).toSeq
