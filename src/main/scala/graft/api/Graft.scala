@@ -412,6 +412,58 @@ object Graft {
       .drop("__xs", "__st")
   }
 
+  /** Additive Holt–Winters (triple exponential smoothing) per group: the
+    * [[holt]] fold extended with a rotating `period`-slot seasonal queue.
+    * State = [level, trend, s₁..s_p] where s₁ is the seasonal due NEXT;
+    * per step: l′ = α(y − s₁) + (1−α)(l + b), b′ = β(l′ − l) + (1−β)b,
+    * s′ = γ(y − l′) + (1−γ)s₁, then the queue rotates (s′ appended).
+    * Initialization convention (documented, not estimated): level = y₀,
+    * trend = 0, seasonals = 0 — the first season's residuals charge the
+    * seasonal states directly, standard for streaming-style HW. Returns
+    * (keys..., n_points, level, trend, s_next, forecast = l + b + s_next).
+    *
+    * Determinism: the [[holt]] discipline — every state component pins to
+    * 10 dp per step inside the fold, so a DuckDB list_reduce twin
+    * reproduces the fixpoint bit-for-bit; pin `valCol` to a grid first.
+    * Scale: one shuffle to group grain; the fold is a per-group
+    * sequential recurrence (inherently ordered — state is 2 + period
+    * doubles, the operator's semantics; slice histories first when
+    * groups are unbounded). */
+  def holtWinters(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                  valCol: String, alpha: Double, beta: Double, gamma: Double,
+                  period: Int = 7): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(beta > 0 && beta <= 1, s"beta must be in (0, 1], got $beta")
+    require(gamma > 0 && gamma <= 1, s"gamma must be in (0, 1], got $gamma")
+    require(period >= 2, s"period must be >= 2, got $period")
+    val a = new java.math.BigDecimal(alpha.toString).toPlainString
+    val b = new java.math.BigDecimal(beta.toString).toPlainString
+    val g = new java.math.BigDecimal(gamma.toString).toPlainString
+    // nl is spliced (as in holt) into the trend and seasonal updates —
+    // one self-contained pinned expression, no lets in lambdas
+    val nl = s"floor((${a}e0 * (x.v - element_at(acc, 3)) + (1e0 - ${a}e0) * " +
+      "(element_at(acc, 1) + element_at(acc, 2))) * 1e10 + 0.5e0) / 1e10"
+    val nb = s"floor((${b}e0 * (($nl) - element_at(acc, 1)) + " +
+      s"(1e0 - ${b}e0) * element_at(acc, 2)) * 1e10 + 0.5e0) / 1e10"
+    val ns = s"floor((${g}e0 * (x.v - ($nl)) + " +
+      s"(1e0 - ${g}e0) * element_at(acc, 3)) * 1e10 + 0.5e0) / 1e10"
+    val zeros = Seq.fill(period)("CAST(0e0 AS DOUBLE)").mkString(", ")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        col(orderCol).as("o"), col(valCol).cast("double").as("v")))).as("__xs"))
+      .withColumn("n_points", size(col("__xs")).cast("long"))
+      .withColumn("__st", expr(
+        s"""aggregate(slice(__xs, 2, greatest(size(__xs) - 1, 0)),
+           |  array(CAST(element_at(__xs, 1).v AS DOUBLE), CAST(0e0 AS DOUBLE), $zeros),
+           |  (acc, x) -> concat(array($nl, $nb),
+           |    slice(acc, 4, ${period - 1}), array($ns)))""".stripMargin))
+      .withColumn("level", expr("element_at(__st, 1)"))
+      .withColumn("trend", expr("element_at(__st, 2)"))
+      .withColumn("s_next", expr("element_at(__st, 3)"))
+      .withColumn("forecast", col("level") + col("trend") + col("s_next"))
+      .drop("__xs", "__st")
+  }
+
   /** Referential-integrity audit of one foreign-key edge: child rows,
     * orphaned child rows (no matching parent key), distinct parent keys,
     * and unreferenced parent keys — the data-quality gate run before any

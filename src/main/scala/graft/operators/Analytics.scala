@@ -1649,7 +1649,162 @@ object Analytics {
       .orderBy("from_type")
   }
 
+  /** Trailing 7-observation rolling median and IQR of daily revenue — the
+    * ROBUST rolling profile beside q34's moving mean (one bad day of
+    * revenue corruption saturates a mean but not a median) and q119's
+    * global winsorized stats; the IQR band is the control-limit input for
+    * robust anomaly screens (q122's global MAD, localized). Frames index
+    * OBSERVED days like q34/q212 (gap-fill with q117 first for strict
+    * calendar frames).
+    *
+    * Determinism: daily revenue pins at 2 dp first, so both engines
+    * interpolate percentiles over identical doubles (the q29
+    * percentile ≡ quantile_cont parity); outputs re-pin at 2 dp. Scale:
+    * one day-grain fact agg, then a global window over the
+    * calendar-bounded series — the documented fixed-frame exemption
+    * class (a sliding holistic frame is not prefix-scannable). */
+  def q255(s: SparkSession, d: String): DataFrame = {
+    val daily = lineitem(s, d)
+      .groupBy(col("l_shipdate").as("day"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("rev"))
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    daily.select(col("day"), col("rev"),
+        count(lit(1)).over(w).as("n_win"),
+        r2(percentile(col("rev"), lit(0.5)).over(w)).as("med7"),
+        r2(percentile(col("rev"), lit(0.75)).over(w) -
+          percentile(col("rev"), lit(0.25)).over(w)).as("iqr7"))
+      .orderBy("day")
+  }
+
+  /** New-entity rate — per-day counts of first-seen users and items plus
+    * their cumulative curves: the cold-start / entity-drift monitor a
+    * recommender and a feature store both watch (a jump in new_items
+    * means embeddings and item stats lag behind the catalog). First
+    * occurrence is the q226 trick — min(day) per entity, NO running
+    * distinct state; cumulatives run through the range-blocked
+    * [[graft.api.Graft.prefixSum]].
+    *
+    * Determinism: all-integer. Scale: two entity-grain aggs + a
+    * calendar-sized join and prefix scan. */
+  def q256(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(
+      expr("((ts div 1000) - 1704067200000000) div 86400000000").as("day"),
+      col("user_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("item"))
+    val nu = e.groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    val ni = e.groupBy("item").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_items"))
+    val days = e.select("day").distinct()
+    val joined = days.join(nu, Seq("day"), "left").join(ni, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"),
+        coalesce(col("new_items"), lit(0L)).as("new_items"))
+    graft.api.Graft.prefixSum(joined, "day", Seq("new_users", "new_items"))
+      .select(col("day"), col("new_users"), col("new_items"),
+        col("new_users_cum").as("cum_users"),
+        col("new_items_cum").as("cum_items"))
+      .orderBy("day")
+  }
+
+  /** Additive Holt–Winters forecast of per-flag daily revenue — the
+    * seasonal completion of the forecasting family: q118 smooths level,
+    * q200 adds trend, THIS adds the 7-slot seasonal queue that q238
+    * showed exists and q208's seasonal-naive exploits
+    * (α=0.5, β=0.3, γ=0.4, period 7). Forecast = level + trend + next
+    * seasonal. Seasonal slots rotate per OBSERVED day (q212's observed-
+    * grain caveat; gap-fill with q117 first for strict weekday
+    * alignment).
+    *
+    * Determinism: the [[graft.api.Graft.holtWinters]] fold pins every
+    * state component to 10 dp per step, so the DuckDB list_reduce twin
+    * (9-element rotating state) reproduces the recurrence bit-for-bit —
+    * the q200 discipline, tripled. Scale: one shuffle to the 3-flag
+    * grain; the fold is the operator's inherent per-series recurrence. */
+  def q259(s: SparkSession, d: String): DataFrame = {
+    val daily = lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_shipdate").as("day"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("rev"))
+    graft.api.Graft.holtWinters(daily, Seq("l_returnflag"), "day", "rev",
+        0.5, 0.3, 0.4, period = 7)
+      .select(col("l_returnflag"), col("n_points"),
+        col("level"), col("trend"), col("s_next"),
+        r2(col("forecast")).as("forecast"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Minimum detectable effect of the q140 experiment at 80% power —
+    * the design-side statistic the experimentation family was missing
+    * (q140 tests, q141 tightens, q207 compares, q230 gates; THIS answers
+    * "was the experiment even capable of seeing the effect we care
+    * about"): MDE = (z₀.₉₇₅ + z₀.₈₀)·√(s²_A/n_A + s²_B/n_B) on per-user
+    * purchase spend, absolute and relative to the control mean.
+    *
+    * Determinism: per-user spend pins at 2 dp (exact double multiples of
+    * 0.01 — sums are exact); var_samp is the q26-pinned cross-engine
+    * surface; the z-sum is one shared literal. Scale: one fact pass to
+    * user grain, a 2-row arm agg, a 1×1 broadcast cross. */
+  def q260(s: SparkSession, d: String): DataFrame = {
+    val spend = events(s, d).filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(r2(sum("value")).as("y"))
+      .withColumn("arm",
+        when(graft.api.Graft.hashBucket(col("user_id"), 2) === 0, "A")
+          .otherwise("B"))
+    val per = spend.groupBy("arm")
+      .agg(count(lit(1)).as("n"), avg("y").as("m"), var_samp(col("y")).as("v"))
+    val a = per.filter(col("arm") === "A")
+      .select(col("n").as("n_a"), col("m").as("m_a"), col("v").as("v_a"))
+    val b = per.filter(col("arm") === "B")
+      .select(col("n").as("n_b"), col("m").as("m_b"), col("v").as("v_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("se", sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b")))
+      .select(col("n_a"), col("n_b"), r2(col("m_a")).as("mean_a"),
+        r2(col("m_b")).as("mean_b"), r4(col("se")).as("se"),
+        r4(lit(2.801585) * col("se")).as("mde_abs"),
+        r4(lit(2.801585) * col("se") / col("m_a")).as("mde_rel"))
+  }
+
+  /** Smoothed target encoding of the market segment against customer
+    * order spend — the categorical-feature encoder every tabular
+    * training pipeline ships (beside q175's behavioral features):
+    * enc(seg) = (Σy + m·ȳ_global)/(n + m) with m = 20 pseudo-
+    * observations, shrinking rare segments toward the global mean
+    * (the leave-one-out variant subtracts the own row from the same
+    * sufficient statistics — same relation, per-row arithmetic).
+    *
+    * Determinism: spends pin to the 2 dp grid, so Σy is an EXACT double
+    * (integer multiples of 0.01 under 2⁵³) and both engines divide
+    * identical values; the lift is a ratio of pinned encodings. Scale:
+    * one orders pass to customer grain, a dimension join, a 5-row
+    * agg + one-row broadcast. */
+  def q261(s: SparkSession, d: String): DataFrame = {
+    val spend = orders(s, d).groupBy(col("o_custkey"))
+      .agg(r2(sum("o_totalprice")).as("y"))
+    val seg = customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment"), coalesce(col("y"), lit(0.0)).as("y"))
+    val per = seg.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+    val gl = per.agg((sum("sy") / sum("n").cast("double")).as("g"))
+    per.crossJoin(broadcast(gl))
+      .select(col("c_mktsegment"), col("n"),
+        r2(col("sy") / col("n").cast("double")).as("raw_mean"),
+        r2((col("sy") + lit(20.0) * col("g")) / (col("n") + 20).cast("double"))
+          .as("encoded"),
+        r4(((col("sy") + lit(20.0) * col("g")) / (col("n") + 20).cast("double")) /
+          col("g")).as("lift"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_holt_winters" -> q259,
+    "q260_ab_power" -> q260,
+    "q261_target_encoding" -> q261,
+    "q255_rolling_median" -> q255,
+    "q256_new_entity_rate" -> q256,
     "q243_kruskal_wallis" -> q243,
     "q244_jarque_bera" -> q244,
     "q245_fd_check" -> q245,
@@ -1706,7 +1861,88 @@ object Analytics {
     "q152_skyline" -> q152,
     "q156_cusum_changepoint" -> q156)
 
+  /** DuckDB twins of the [[graft.api.Graft.holtWinters]] per-step pinned
+    * state updates (α=0.5, β=0.3, γ=0.4) — the pinned new-level splices
+    * into the trend and seasonal updates exactly as on the Spark side. */
+  private val hwNl =
+    "floor((0.5e0 * (x[1] - acc[3]) + (1e0 - 0.5e0) * (acc[1] + acc[2])) * 1e10 + 0.5e0) / 1e10"
+  private val hwNb =
+    s"floor((0.3e0 * (($hwNl) - acc[1]) + (1e0 - 0.3e0) * acc[2]) * 1e10 + 0.5e0) / 1e10"
+  private val hwNs =
+    s"floor((0.4e0 * (x[1] - ($hwNl)) + (1e0 - 0.4e0) * acc[3]) * 1e10 + 0.5e0) / 1e10"
+
   val oracle: Map[String, String] = Map(
+    "q259_holt_winters" ->
+      s"""WITH daily AS (SELECT l_returnflag, l_shipdate AS day,
+         |    ${sr2("sum(l_extendedprice * (1e0 - l_discount))")} AS rev
+         |  FROM lineitem GROUP BY 1, 2),
+         |ser AS (SELECT l_returnflag, list(rev ORDER BY day) AS xs
+         |        FROM daily GROUP BY 1),
+         |st AS (SELECT l_returnflag, CAST(len(xs) AS BIGINT) AS n_points,
+         |  list_reduce(
+         |    list_transform(xs, y -> [y, 0e0, 0e0, 0e0, 0e0, 0e0, 0e0, 0e0, 0e0]),
+         |    (acc, x) -> [($hwNl), ($hwNb)] || acc[4:9] || [($hwNs)]) AS st
+         |  FROM ser)
+         |SELECT l_returnflag, n_points, st[1] AS level, st[2] AS trend,
+         |  st[3] AS s_next, ${sr2("st[1] + st[2] + st[3]")} AS forecast
+         |FROM st ORDER BY l_returnflag""".stripMargin,
+    "q260_ab_power" ->
+      s"""WITH spend AS (SELECT user_id, ${sr2("sum(value)")} AS y
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |arms AS (SELECT y,
+         |    CASE WHEN ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+         |         THEN 'A' ELSE 'B' END AS arm
+         |  FROM spend),
+         |per AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, avg(y) AS m,
+         |    var_samp(y) AS v FROM arms GROUP BY 1),
+         |j AS (SELECT a.n AS n_a, b.n AS n_b, a.m AS m_a, b.m AS m_b,
+         |    sqrt(a.v / a.n + b.v / b.n) AS se
+         |  FROM (SELECT * FROM per WHERE arm = 'A') a,
+         |       (SELECT * FROM per WHERE arm = 'B') b)
+         |SELECT n_a, n_b, ${sr2("m_a")} AS mean_a, ${sr2("m_b")} AS mean_b,
+         |  ${sr4("se")} AS se, ${sr4("2.801585e0 * se")} AS mde_abs,
+         |  ${sr4("2.801585e0 * se / m_a")} AS mde_rel
+         |FROM j""".stripMargin,
+    "q261_target_encoding" ->
+      s"""WITH spend AS (SELECT o_custkey, ${sr2("sum(o_totalprice)")} AS y
+         |  FROM orders GROUP BY 1),
+         |seg AS (SELECT c_mktsegment, coalesce(spend.y, 0e0) AS y
+         |  FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+         |per AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+         |    sum(y) AS sy FROM seg GROUP BY 1),
+         |gl AS (SELECT sum(sy) / CAST(sum(n) AS DOUBLE) AS g FROM per)
+         |SELECT c_mktsegment, n, ${sr2("sy / CAST(n AS DOUBLE)")} AS raw_mean,
+         |  ${sr2("(sy + 20e0 * g) / CAST(n + 20 AS DOUBLE)")} AS encoded,
+         |  ${sr4("((sy + 20e0 * g) / CAST(n + 20 AS DOUBLE)) / g")} AS lift
+         |FROM per, gl ORDER BY c_mktsegment""".stripMargin,
+    "q255_rolling_median" ->
+      s"""WITH daily AS (SELECT l_shipdate AS day,
+         |    ${sr2("sum(l_extendedprice * (1.0e0 - l_discount))")} AS rev
+         |  FROM lineitem GROUP BY 1)
+         |SELECT day, rev, count(*) OVER w AS n_win,
+         |  ${sr2("quantile_cont(rev, 0.5) OVER w")} AS med7,
+         |  ${sr2("(quantile_cont(rev, 0.75) OVER w) - (quantile_cont(rev, 0.25) OVER w)")} AS iqr7
+         |FROM daily
+         |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |ORDER BY day""".stripMargin,
+    "q256_new_entity_rate" ->
+      s"""WITH e AS (SELECT (epoch_us(ts) - 1704067200000000) // 86400000000 AS day,
+         |    user_id, CAST(json_extract(props, '$$.k') AS BIGINT) AS item
+         |  FROM events),
+         |nu AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM (
+         |    SELECT user_id, min(day) AS day FROM e GROUP BY 1) GROUP BY 1),
+         |ni AS (SELECT day, CAST(count(*) AS BIGINT) AS new_items FROM (
+         |    SELECT item, min(day) AS day FROM e GROUP BY 1) GROUP BY 1),
+         |days AS (SELECT DISTINCT day FROM e),
+         |j AS (SELECT days.day, coalesce(nu.new_users, 0) AS new_users,
+         |    coalesce(ni.new_items, 0) AS new_items
+         |  FROM days LEFT JOIN nu USING (day) LEFT JOIN ni USING (day))
+         |SELECT day, new_users, new_items,
+         |  CAST(sum(new_users) OVER w AS BIGINT) AS cum_users,
+         |  CAST(sum(new_items) OVER w AS BIGINT) AS cum_items
+         |FROM j
+         |WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY day""".stripMargin,
     "q243_kruskal_wallis" ->
       s"""WITH base AS (SELECT l_returnflag AS g,
          |    ${sr2("l_extendedprice * (1.0e0 - l_discount)")} AS v

@@ -299,7 +299,63 @@ object LlmPipeline {
       .orderBy("source")
   }
 
+  /** Multimodal near-dup by perceptual hash — the dedup step of the
+    * media pipeline (resize → aHash → banded Hamming join), completing
+    * the family: q75 decodes, q06 resizes, q09 extracts features, q95
+    * samples frames, and THIS dedups the assets. The kernel computes the
+    * average-hash on the q06 thumbnail (bit k = thumbnail byte k above
+    * the thumbnail mean — the literal aHash construction, in 1-D);
+    * candidate pairs must share one of 8 8-bit bands (the q86 SimHash
+    * banding discipline — band width tunes candidate rate, never
+    * all-pairs), then exact Hamming verifies; the 20 closest pairs.
+    *
+    * STUB NOTE (q75's disclosure): payloads are encode(text) and the
+    * "resize" is byte striding; a real image thumbnailer drops into the
+    * same kernel. Determinism: the above-mean bit uses INTEGER
+    * cross-multiplication (b·n > Σb — no float mean), the hash is a
+    * 64-char bitstring (packing into one BIGINT would overflow-trap on
+    * bit 63 in one engine and not the other), and Hamming is an exact
+    * integer fold; order (hamming, doc_a, doc_b). Scale: row-linear
+    * kernel + band-bucketed join — the LSH shape. */
+  def q257(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bits = documents(s, d)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val stride = math.max(1, (bytes.length + 63) / 64)
+          val thumb = bytes.indices.by(stride).map(i => bytes(i) & 0xff).toArray
+          val n = thumb.length
+          val total = thumb.map(_.toLong).sum
+          val sb = new StringBuilder(64)
+          var k = 0
+          while (k < 64) {
+            sb.append(if (k < n && thumb(k).toLong * n > total) '1' else '0')
+            k += 1
+          }
+          (id, n.toLong, sb.toString)
+        }
+      }.toDF("doc_id", "n_thumb", "bits")
+    val bands = bits.select(col("doc_id"), col("bits"),
+      posexplode(expr("transform(sequence(0, 7), b -> substring(bits, b * 8 + 1, 8))"))
+        .as(Seq("band", "bval")))
+    bands.select(col("band"), col("bval"), col("doc_id").as("doc_a"), col("bits").as("ba"))
+      .join(bands.select(col("band"), col("bval"), col("doc_id").as("doc_b"),
+        col("bits").as("bb")), Seq("band", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ba", "bb").distinct()
+      .withColumn("hamming", expr(
+        "aggregate(sequence(1, 64), 0, (acc, k) -> acc + IF(substring(ba, k, 1) = substring(bb, k, 1), 0, 1))")
+        .cast("long"))
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy(col("hamming").asc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q257_multimodal_phash" -> q257,
     "q182_embedding_outliers" -> q182,
     "q183_dup_rate_by_source" -> q183,
     "q70_dedup_near_minhash" -> q70,
@@ -317,6 +373,36 @@ object LlmPipeline {
     .mkString(",\n  ")
 
   val oracle: Map[String, String] = Map(
+    // corpus is pure ASCII (verified, q95's disclosure) so ascii(substr)
+    // equals the payload byte and string striding equals byte striding
+    "q257_multimodal_phash" ->
+      s"""WITH src AS (SELECT doc_id, text, length(text) AS len
+         |  FROM documents WHERE length(text) >= 1),
+         |p AS (SELECT doc_id, text, len,
+         |    greatest(1, (len + 63) // 64) AS stride FROM src),
+         |t AS (SELECT doc_id,
+         |    list_transform(generate_series(0, (len + stride - 1) // stride - 1),
+         |      k -> ascii(substr(text, 1 + k * stride, 1))) AS thumb
+         |  FROM p),
+         |h AS (SELECT doc_id,
+         |    array_to_string(list_transform(generate_series(0, 63),
+         |      k -> CASE WHEN k < len(thumb)
+         |                 AND thumb[k + 1] * len(thumb) > list_sum(thumb)
+         |            THEN '1' ELSE '0' END), '') AS bits
+         |  FROM t),
+         |b AS (SELECT doc_id, bits, g.b AS band,
+         |    substr(bits, g.b * 8 + 1, 8) AS bval
+         |  FROM h CROSS JOIN generate_series(0, 7) g(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         |    a.bits AS ba, c.bits AS bb
+         |  FROM b a JOIN b c ON a.band = c.band AND a.bval = c.bval
+         |    AND a.doc_id < c.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(list_sum(list_transform(generate_series(1, 64),
+         |    k -> CASE WHEN substr(ba, k, 1) = substr(bb, k, 1)
+         |         THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+         |FROM cand
+         |ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin,
     "q182_embedding_outliers" ->
       s"""WITH e AS (SELECT vec_id, label,
          |    ${sr5("sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))")} AS norm

@@ -417,7 +417,97 @@ object Retrieval {
       .orderBy(col("ql").desc, col("doc_id")).limit(20)
   }
 
+  /** Per-dimension embedding distribution profile — the feature-store
+    * health check run before any whitening/quantization decision (q102's
+    * int8 grid and q209's rank-normalization both assume they know each
+    * dimension's spread): n, mean, std, min, max per coordinate,
+    * 1-indexed to match q209's dimension ids.
+    *
+    * Determinism: floats widen to double before any arithmetic;
+    * mean/std pin at 5 dp where the corpus-sized summation-order drift
+    * (~1e-12 on O(1) values) is far under the half-step; min/max are
+    * exact. Scale: ONE explode + map-side-combined hash agg to a
+    * 64-row output — the d×N token stream shape, row-linear, no joins,
+    * no windows. */
+  def q251(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .as(Seq("p", "x")))
+      .groupBy((col("p") + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), r5(avg("x")).as("mean"),
+        r5(stddev_samp(col("x"))).as("std"),
+        r5(min("x")).as("min_v"), r5(max("x")).as("max_v"))
+      .orderBy("dim")
+
+  /** Top principal component of the embedding corpus by distributed
+    * covariance + driver-side power iteration — step one of PCA
+    * whitening / dimensionality reduction over a vector column. The
+    * covariance sufficient statistics are computed declaratively: center
+    * per dimension, self-join the exploded (vec_id, dim, x) relation on
+    * vec_id (co-partitioned — ONE exchange feeds both sides, the d²
+    * products are join-local CPU), and map-side-combine to the
+    * d(d+1)/2 = 2080 upper-triangle cells. The 2080-cell collect is
+    * DIMENSION-bounded (~32 KB at d=64 at ANY corpus size) — the same
+    * design as Spark MLlib's RowMatrix.computePrincipalComponents, which
+    * collects the Gram matrix and eigendecomposes on the driver; 200
+    * power-iteration rounds on a 64×64 matrix are then microseconds,
+    * and would be 200 pointless tiny shuffle jobs done "distributed".
+    *
+    * Determinism: v₀ is the basis vector of the max-variance dimension
+    * (lowest index on ties), the iteration count is fixed (no
+    * tolerance-based early exit), and the sign is normalized so the
+    * largest-|loading| component is positive — identical results
+    * run-to-run under the 5 dp pin (cell sums drift ~1e-13 relative; a
+    * 64-dim eigenvector is stable to perturbations at that scale).
+    * No-oracle by design (an eigensolve is not SQL-reproducible);
+    * RetrievalSpec binds it quantitatively: Cov·v = λ·v, λ ≥ every
+    * diagonal variance, unit norm, explained share ∈ (0, 1]. */
+  def q252(s: SparkSession, d: String): DataFrame = {
+    val dims = embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .as(Seq("i", "xi")))
+    val mu = dims.groupBy("i").agg(avg("xi").as("mu"), count(lit(1)).as("n"))
+    val centered = dims.join(broadcast(mu.select("i", "mu")), "i")
+      .select(col("vec_id"), col("i"), (col("xi") - col("mu")).as("x"))
+    val cells = centered.as("a")
+      .join(centered.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(col("a.x") * col("b.x")).as("sxx"))
+    val head = mu.agg(max("n"), max("i")).head()
+    val nRows = head.getLong(0)
+    val d64 = head.getInt(1) + 1
+    val cov = Array.ofDim[Double](d64, d64)
+    cells.collect().foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2) / (nRows - 1))
+      cov(i)(j) = v; cov(j)(i) = v
+    }
+    def matVec(v: Array[Double]): Array[Double] =
+      Array.tabulate(d64)(i => (0 until d64).map(j => cov(i)(j) * v(j)).sum)
+    val seed = (0 until d64).maxBy(i => (cov(i)(i), -i))
+    var v = Array.tabulate(d64)(i => if (i == seed) 1.0 else 0.0)
+    for (_ <- 0 until 200) {
+      val w = matVec(v)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nrm)
+    }
+    val lambda = v.zip(matVec(v)).map { case (a, b) => a * b }.sum
+    val kMax = (0 until d64).maxBy(i => (math.abs(v(i)), -i))
+    if (v(kMax) < 0) v = v.map(-_)
+    val trace = (0 until d64).map(i => cov(i)(i)).sum
+    val rows = (0 until d64).map(i => (i.toLong + 1, v(i), lambda, lambda / trace))
+    import s.implicits._
+    rows.toDF("dim", "loading", "lambda", "explained_share")
+      .select(col("dim"), r5(col("loading")).as("loading"),
+        r4(col("lambda")).as("lambda"),
+        r5(col("explained_share")).as("explained_share"))
+      .orderBy("dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_embed_dim_stats" -> q251,
+    "q252_pca_power" -> q252,
     "q218_query_likelihood" -> q218,
     "q209_quantile_norm" -> q209,
     "q204_kmeans_step" -> q204,
@@ -431,6 +521,16 @@ object Retrieval {
   private val wordsCte = s"w AS (${TextPipeline.wordsSql})"
 
   val oracle: Map[String, String] = Map(
+    // q252_pca_power: no oracle by design (driver-side eigensolve is not
+    // SQL-reproducible) — bound by RetrievalSpec's Cov·v = λ·v checks.
+    "q251_embed_dim_stats" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |x AS (SELECT CAST(t.i AS BIGINT) AS dim, v[t.i] AS x
+         |  FROM e CROSS JOIN generate_series(1, 64) t(i))
+         |SELECT dim, count(*) AS n, ${sr5("avg(x)")} AS mean,
+         |  ${sr5("stddev_samp(x)")} AS std,
+         |  ${sr5("min(x)")} AS min_v, ${sr5("max(x)")} AS max_v
+         |FROM x GROUP BY 1 ORDER BY dim""".stripMargin,
     "q209_quantile_norm" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |x AS (SELECT vec_id, CAST(t.i AS BIGINT) AS i, v[t.i] AS x

@@ -850,7 +850,45 @@ object TextPipeline {
       .orderBy("pct")
   }
 
+  /** Top-20 most-similar document pairs by TF-IDF weighted cosine — the
+    * SPARSE-vector similarity beside q76's set Jaccard (ignores term
+    * weight) and q77's dense embedding cosine (needs an encoder): terms
+    * weighted tf·ln(N/df), pairs generated through the df≤50 inverted
+    * index (the q76/q129 pruning discipline — a term in >50 docs carries
+    * idf < ln(N/50) AND would quadratically dominate the pair fan-out,
+    * so the cap is simultaneously the relevance and the scale cut).
+    * Norms use the SAME pruned weight set, so cos is exact cosine in the
+    * rare-term subspace — documented semantics, not an approximation
+    * error.
+    *
+    * Determinism: weights are identical IEEE products of exact counts;
+    * per-pair dots sum few shared-term products and norms sum each doc's
+    * own terms (drift ≪ 4 dp); order on the pinned cosine with pair
+    * tiebreak. Scale: inverted-index join keyed on the term — the
+    * bounded-df shape, never all-pairs; everything else row-linear. */
+  def q253(s: SparkSession, d: String): DataFrame = {
+    val tf = words1(s, d).groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val nd = documents(s, d).agg(count(lit(1)).as("nn"))
+    val wts = tf.join(dfr.filter(col("df") <= 50), "w")
+      .crossJoin(broadcast(nd))
+      .withColumn("wt", col("tf").cast("double") *
+        log(col("nn").cast("double") / col("df").cast("double")))
+    val nrm = wts.groupBy("doc_id").agg(sum(col("wt") * col("wt")).as("sq"))
+    wts.select(col("doc_id").as("doc_a"), col("w"), col("wt").as("wa"))
+      .join(wts.select(col("doc_id").as("doc_b"), col("w"), col("wt").as("wb")), "w")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(nrm.select(col("doc_id").as("doc_a"), col("sq").as("sqa")), "doc_a")
+      .join(nrm.select(col("doc_id").as("doc_b"), col("sq").as("sqb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        r4(col("dot") / (sqrt(col("sqa")) * sqrt(col("sqb")))).as("cos_tfidf"))
+      .orderBy(col("cos_tfidf").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_tfidf_doc_sim" -> q253,
     "q237_source_entropy" -> q237,
     "q239_source_overlap" -> q239,
     "q240_boilerplate_ngrams" -> q240,
@@ -883,6 +921,27 @@ object TextPipeline {
   private val wordsCte = s"w AS ($wordsSql)"
 
   val oracle: Map[String, String] = Map(
+    "q253_tfidf_doc_sim" ->
+      s"""WITH w AS ($wordsSql),
+         |tk AS (SELECT doc_id, unnest(words) AS w FROM w),
+         |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tk GROUP BY 1, 2),
+         |df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf
+         |  GROUP BY 1 HAVING count(*) <= 50),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+         |wts AS (SELECT doc_id, tf.w,
+         |    CAST(tf AS DOUBLE) * ln(CAST(nn AS DOUBLE) / CAST(df AS DOUBLE)) AS wt
+         |  FROM tf JOIN df USING (w) CROSS JOIN n),
+         |nrm AS (SELECT doc_id, sum(wt * wt) AS sq FROM wts GROUP BY 1),
+         |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    sum(a.wt * b.wt) AS dot
+         |  FROM wts a JOIN wts b ON a.w = b.w AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  ${sr4("dot / (sqrt(na.sq) * sqrt(nb.sq))")} AS cos_tfidf
+         |FROM dots JOIN nrm na ON dots.doc_a = na.doc_id
+         |JOIN nrm nb ON dots.doc_b = nb.doc_id
+         |ORDER BY cos_tfidf DESC, doc_a, doc_b LIMIT 20""".stripMargin,
     "q237_source_entropy" ->
       s"""WITH tok AS (SELECT source, unnest(list_filter(
          |    string_split(lower(text), ' '), x -> x != '')) AS w

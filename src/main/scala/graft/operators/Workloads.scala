@@ -946,7 +946,35 @@ object Workloads {
       .orderBy("s_suppkey")
   }
 
+  /** Order-to-ship cycle-time SLA profile by priority: per priority class
+    * the line count, mean, p50/p90/p99 and max of the ship lag in days —
+    * the fulfilment-ops reading beside q233's concurrency curve and
+    * q150's event-funnel time-to-convert (this one is the RELATIONAL
+    * cycle time, joined fact-to-fact, not a sessionized event path).
+    * An SLA regression shows up as a p99 shift long before the mean
+    * moves.
+    *
+    * Determinism: lags are exact integer day differences widened to
+    * double; percentiles interpolate identically sorted identical values
+    * (q29 parity), pinned at the edge. Scale: one orderkey-keyed
+    * fact-fact shuffle join + a 5-group percentile agg. */
+  def q258(s: SparkSession, d: String): DataFrame = {
+    val j = lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("double").as("lag_d"))
+    j.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), r2(avg("lag_d")).as("avg_lag"),
+        r2(percentile(col("lag_d"), lit(0.5))).as("p50"),
+        r2(percentile(col("lag_d"), lit(0.9))).as("p90"),
+        r2(percentile(col("lag_d"), lit(0.99))).as("p99"),
+        max(col("lag_d")).cast("long").as("max_lag"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q258_ship_lag_sla" -> q258,
     "q233_open_orders" -> q233,
     "q192_tpch_q11_important_stock" -> q192,
     "q193_tpch_q4_priority_exists" -> q193,
@@ -982,6 +1010,17 @@ object Workloads {
     "q37_retention_cohorts" -> q37)
 
   val oracle: Map[String, String] = Map(
+    "q258_ship_lag_sla" ->
+      s"""WITH j AS (SELECT o_orderpriority,
+         |    CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE) AS lag_d
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         |SELECT o_orderpriority, count(*) AS n,
+         |  ${sr2("avg(lag_d)")} AS avg_lag,
+         |  ${sr2("quantile_cont(lag_d, 0.5)")} AS p50,
+         |  ${sr2("quantile_cont(lag_d, 0.9)")} AS p90,
+         |  ${sr2("quantile_cont(lag_d, 0.99)")} AS p99,
+         |  CAST(max(lag_d) AS BIGINT) AS max_lag
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q233_open_orders" ->
       """WITH cl AS (SELECT l_orderkey, max(l_shipdate) AS closed
         |  FROM lineitem GROUP BY 1),

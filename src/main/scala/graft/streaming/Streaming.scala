@@ -82,6 +82,30 @@ object Streaming {
         r2(col("sv")).as("sum_value"))
       .orderBy("user_id", "session_start")
 
+  /** Streaming DEDUP as a windowed aggregation: the distinct
+    * (day, user, event_type) activity stream — the incremental form of a
+    * daily-active rollup. Expressed as groupBy(window(1 day), keys)
+    * rather than dropDuplicates because a day-keyed subset leaves
+    * dropDuplicates' state unevictable (the watermark column is not in
+    * the key) while dropDuplicatesWithinWatermark only dedups arrivals
+    * within the delay — the windowed agg is the form whose event-time
+    * semantics make stream ≡ batch EXACT, with state bounded by
+    * (open windows × active pairs) and watermark-evicted. */
+  def dailyPairs(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("tsc"), "1 day").as("w"),
+        col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_occ"))
+      .select(col("w.start").as("day"), col("user_id"),
+        col("event_type"), col("n_occ"))
+
+  def q254(s: SparkSession, d: String): DataFrame =
+    dailyPairs(events(s, d))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active_pairs"),
+        countDistinct("user_id").as("n_users"),
+        sum("n_occ").as("n_events"))
+      .orderBy("day")
+
   def q225(s: SparkSession, d: String): DataFrame =
     burst(events(s, d))
       .groupBy("user_id")
@@ -92,7 +116,8 @@ object Streaming {
     "q80_tumbling_window" -> q80,
     "q81_sliding_window" -> q81,
     "q82_session_window" -> q82,
-    "q225_burst_windows" -> q225)
+    "q225_burst_windows" -> q225,
+    "q254_daily_dedup" -> q254)
 
   val oracle: Map[String, String] = Map(
     "q80_tumbling_window" ->
@@ -124,6 +149,14 @@ object Streaming {
          |  ${sr2("sum(value)")} AS sum_value
          |FROM s2 GROUP BY user_id, sid
          |ORDER BY user_id, session_start""".stripMargin,
+    "q254_daily_dedup" ->
+      """WITH p AS (SELECT date_trunc('day', ts) AS day, user_id, event_type,
+        |    CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT day, count(*) AS n_active_pairs,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(n_occ) AS BIGINT) AS n_events
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     // Each event belongs to exactly 4 sliding windows (60s length / 15s
     // slide): 15s slots floor15(ts) - k for k in 0..3.
     "q225_burst_windows" ->

@@ -128,12 +128,13 @@ class OperatorGoldenSpec extends AnyFunSuite {
     assert(back.except(sup).count() == 0 && sup.except(back).count() == 0)
   }
 
-  test("driver contract: oracle keys match query keys; only the 5 sketch/model keys lack oracles") {
+  test("driver contract: oracle keys match query keys; only the 6 sketch/model/eigensolve keys lack oracles") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracle SQL for unknown keys: ${o -- q}")
     assert((q -- o) == Set("q22_agg_approx_distinct", "q59_agg_approx_quantiles",
-      "q65_als_recommend", "q66_als_rmse", "q70_dedup_near_minhash"),
+      "q65_als_recommend", "q66_als_rmse", "q70_dedup_near_minhash",
+      "q252_pca_power"),
       s"no-oracle set drifted: ${q -- o}")
     // Bench shortens keys to their qNN prefix for the driver's tail capture —
     // a duplicate prefix would silently merge two queries' timings
@@ -1669,6 +1670,350 @@ class OperatorGoldenSpec extends AnyFunSuite {
       }
       val psum = te.map(_.getDouble(3)).sum
       assert(psum > 0.999 && psum < 1.001)
+    }
+  }
+
+  // ---- r9 batch 3: constructed-fixture goldens ----
+
+  test("q249 golden: uniformly popular items pin novelty to exactly -log2(share)") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g249").toString
+    // 2 users x items 0..3, one rating each: every share = 2/8 = 0.25,
+    // so novelty = -log2(0.25) = 2 for both users
+    val rows = for (u <- 1L to 2L; k <- 0L until 4L) yield
+      (u * 10 + k, dayNs(k), u, "view", 4.0, s"""{"k": $k}""")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Recommender.q249(s, dir).collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      assert(r.getLong(1) == 4L && r.getDouble(2) == 2.0 &&
+        r.getDouble(3) == 0.25)
+    }
+  }
+
+  test("q250 golden: a triangle plus a pendant gives the hand-computed coefficients") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g250").toString
+    // u1 rates {1,2,3} (triangle), u2 rates {3,4} (pendant edge):
+    // coeff(1)=coeff(2)=1.0, coeff(3)=2*1/(3*2)=1/3, node 4 filtered (deg 1)
+    val sets = Seq(1L -> Seq(1L, 2L, 3L), 2L -> Seq(3L, 4L))
+    val rows = for ((u, items) <- sets; k <- items) yield
+      (u * 100 + k, dayNs(k), u, "view", 4.0, s"""{"k": $k}""")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Graph.q250(s, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)), 3L -> ((3L, 1L, 0.3333))))
+  }
+
+  test("q251 golden: two constructed vectors give exact per-dimension moments") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g251").toString
+    Seq((1L, Seq(1.0f, 3.0f)), (2L, Seq(3.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = operators.Retrieval.q251(s, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) == 2L && got(1L).getDouble(2) == 2.0 &&
+      got(1L).getDouble(3) == 1.41421 &&
+      got(1L).getDouble(4) == 1.0 && got(1L).getDouble(5) == 3.0)
+    assert(got(2L).getDouble(2) == 4.0 && got(2L).getDouble(3) == 1.41421 &&
+      got(2L).getDouble(4) == 3.0 && got(2L).getDouble(5) == 5.0)
+  }
+
+  test("q252 golden: variance concentrated along (1,1,0) recovers that component exactly") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g252").toString
+    // vectors t*(1,1,0) for t in {1,-1,2,-2}: cov has the single nonzero
+    // eigenpair lambda = 20/3 at v = (1,1,0)/sqrt(2); explained share 1
+    Seq(1.0f, -1.0f, 2.0f, -2.0f).zipWithIndex
+      .map { case (t, i) => (i.toLong, Seq(t, t, 0.0f)) }
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = operators.Retrieval.q252(s, dir).collect().sortBy(_.getLong(0))
+    assert(got.length == 3)
+    assert(got(0).getDouble(1) == 0.70711 && got(1).getDouble(1) == 0.70711 &&
+      got(2).getDouble(1) == 0.0)
+    assert(got(0).getDouble(2) == pin(20.0 / 3.0, 1e4))
+    assert(got(0).getDouble(3) == 1.0)
+  }
+
+  test("q253 golden: identical rare-term docs read cosine 1; disjoint docs produce no pair") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g253").toString
+    Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta epsilon"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.TextPipeline.q253(s, dir).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 2L &&
+      got(0).getDouble(2) == 1.0)
+  }
+
+  test("q254 golden: designed duplicate activity collapses to the distinct daily pairs") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g254").toString
+    // day 0: u1 a (twice), u1 b, u2 a -> 3 pairs / 2 users / 4 events;
+    // day 1: u1 a -> 1 pair / 1 user / 1 event
+    val rows = Seq(
+      (1L, dayNs(0), 1L, "a"), (2L, dayNs(0) + 1000L, 1L, "a"),
+      (3L, dayNs(0) + 2000L, 1L, "b"), (4L, dayNs(0) + 3000L, 2L, "a"),
+      (5L, dayNs(1), 1L, "a"))
+    rows.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = streaming.Streaming.q254(s, dir).collect()
+      .sortBy(_.get(0).toString)
+    assert(got.length == 2)
+    assert(got(0).getLong(1) == 3L && got(0).getLong(2) == 2L && got(0).getLong(3) == 4L)
+    assert(got(1).getLong(1) == 1L && got(1).getLong(2) == 1L && got(1).getLong(3) == 1L)
+  }
+
+  test("r9 batch-3 invariants at sf0.001 AND sf0.01: metric bounds, dimension coverage, pair conservation") {
+    for (sf <- Seq(d, TestSpark.sf001)) {
+      val nv = operators.Recommender.q249(s, sf).collect()
+      assert(nv.nonEmpty && nv.forall(r => r.getLong(1) <= 10L &&
+        r.getDouble(2) > 0.0 && r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+      val cc = operators.Graph.q250(s, sf).collect()
+      assert(cc.nonEmpty && cc.length <= 20)
+      cc.foreach { r =>
+        val deg = r.getLong(1)
+        assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-9)
+        assert(r.getLong(2) <= deg * (deg - 1) / 2)
+      }
+      val ds = operators.Retrieval.q251(s, sf).collect()
+      assert(ds.length == 64)
+      ds.foreach { r =>
+        assert(r.getDouble(4) <= r.getDouble(2) + 1e-9 &&
+          r.getDouble(2) <= r.getDouble(5) + 1e-9 && r.getDouble(3) >= 0.0)
+      }
+      assert(ds.map(_.getLong(1)).distinct.length == 1)
+      val ts = operators.TextPipeline.q253(s, sf).collect()
+      assert(ts.nonEmpty && ts.forall(r => r.getLong(0) < r.getLong(1) &&
+        r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0 + 1e-9))
+      val dd = streaming.Streaming.q254(s, sf).collect()
+      assert(dd.nonEmpty)
+      dd.foreach { r =>
+        assert(r.getLong(2) <= r.getLong(1) && r.getLong(1) <= r.getLong(3))
+      }
+    }
+  }
+
+  // ---- r9 batch 4: constructed-fixture goldens ----
+
+  test("q255 golden: a linear 8-day ramp gives the hand-interpolated rolling median and IQR") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g255").toString
+    val d0 = java.time.LocalDate.of(2000, 5, 1)
+    def ts(off: Int) = java.sql.Timestamp.valueOf(d0.plusDays(off).atStartOfDay)
+    // rev(day i) = 10*(i+1), i = 0..7
+    (0 until 8).map(i => (ts(i), 10.0 * (i + 1), 0.0))
+      .toDF("l_shipdate", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = operators.Analytics.q255(s, dir).collect()
+    assert(got.length == 8)
+    // day 0: 1-row window; day 6: rows 10..70 -> med 40, IQR 55-25;
+    // day 7: rows 20..80 -> med 50, IQR 65-35
+    assert(got(0).getLong(2) == 1L && got(0).getDouble(3) == 10.0 &&
+      got(0).getDouble(4) == 0.0)
+    assert(got(6).getLong(2) == 7L && got(6).getDouble(3) == 40.0 &&
+      got(6).getDouble(4) == 30.0)
+    assert(got(7).getLong(2) == 7L && got(7).getDouble(3) == 50.0 &&
+      got(7).getDouble(4) == 30.0)
+  }
+
+  test("q256 golden: designed first-seen pattern gives exact new-entity and cumulative counts") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g256").toString
+    // day 0: u1 with item 1; day 1: u1 item 2, u2 item 1
+    val rows = Seq(
+      (1L, dayNs(0), 1L, """{"k": 1}"""),
+      (2L, dayNs(1), 1L, """{"k": 2}"""),
+      (3L, dayNs(1) + 1000L, 2L, """{"k": 1}"""))
+    rows.map { case (id, t, u, p) => (id, t, u, "view", 1.0, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Analytics.q256(s, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(0L -> ((1L, 1L, 1L, 1L)), 1L -> ((1L, 1L, 2L, 2L))))
+  }
+
+  test("q257 golden: identical payloads hash to hamming 0; the constructed third doc lands at exactly 5") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g257").toString
+    // d1 = d2 = "aaa bbb" (bits 1110111+0s); d3 = "ab" (bits 01+0s) shares
+    // the all-zero bands 1..7 -> candidate with hamming 5 against both
+    Seq((1L, "aaa bbb"), (2L, "aaa bbb"), (3L, "ab"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.LlmPipeline.q257(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 2L) -> 0L, (1L, 3L) -> 5L, (2L, 3L) -> 5L))
+  }
+
+  test("q258 golden: three known lags per priority give the hand-interpolated percentiles") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g258").toString
+    val d0 = java.time.LocalDate.of(2000, 7, 1)
+    def ts(off: Int) = java.sql.Timestamp.valueOf(d0.plusDays(off).atStartOfDay)
+    Seq((1L, ts(0), "P1"), (2L, ts(0), "P1"), (3L, ts(0), "P1"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // lags 1, 2, 3 days
+    Seq((1L, ts(1)), (2L, ts(2)), (3L, ts(3)))
+      .toDF("l_orderkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = operators.Workloads.q258(s, dir).head()
+    assert(got.getString(0) == "P1" && got.getLong(1) == 3L)
+    assert(got.getDouble(2) == 2.0 && got.getDouble(3) == 2.0)
+    assert(got.getDouble(4) == 2.8 && got.getDouble(5) == 2.98)
+    assert(got.getLong(6) == 3L)
+  }
+
+  test("r9 batch-4 invariants at sf0.001 AND sf0.01: frame bounds, monotone cumulatives, percentile ordering") {
+    for (sf <- Seq(d, TestSpark.sf001)) {
+      val rm = operators.Analytics.q255(s, sf).collect()
+      assert(rm.nonEmpty && rm.head.getLong(2) == 1L)
+      rm.foreach { r =>
+        assert(r.getLong(2) >= 1L && r.getLong(2) <= 7L && r.getDouble(4) >= 0.0)
+      }
+      val ne = operators.Analytics.q256(s, sf).collect()
+      assert(ne.length == 30)
+      assert(ne.map(_.getLong(1)).sum == ne.last.getLong(3) &&
+        ne.map(_.getLong(2)).sum == ne.last.getLong(4))
+      ne.sliding(2).foreach { p =>
+        assert(p(1).getLong(3) >= p(0).getLong(3) &&
+          p(1).getLong(4) >= p(0).getLong(4))
+      }
+      val ph = operators.LlmPipeline.q257(s, sf).collect()
+      assert(ph.length == 20)
+      ph.foreach(r => assert(r.getLong(0) < r.getLong(1) &&
+        r.getLong(2) >= 0L && r.getLong(2) <= 64L))
+      ph.map(_.getLong(2)).sliding(2).foreach(p => assert(p(0) <= p(1)))
+      val sla = operators.Workloads.q258(s, sf).collect()
+      assert(sla.length == 5)
+      sla.foreach { r =>
+        assert(r.getDouble(3) <= r.getDouble(4) + 1e-9 &&
+          r.getDouble(4) <= r.getDouble(5) + 1e-9 &&
+          r.getDouble(5) <= r.getLong(6) + 1e-9)
+      }
+    }
+  }
+
+  // ---- r9 batch 5: constructed-fixture goldens ----
+
+  test("q259 golden: the distributed Holt-Winters fold equals an independent sequential reference exactly") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g259").toString
+    val d0 = java.time.LocalDate.of(2000, 9, 1)
+    def ts(off: Int) = java.sql.Timestamp.valueOf(d0.plusDays(off).atStartOfDay)
+    // flag A: weekly sawtooth + drift; flag N: constant (level fixes at y0)
+    val ya = (0 until 21).map(i => 100.0 + 10.0 * (i % 7) + i)
+    val rows = ya.zipWithIndex.map { case (y, i) => ("A", ts(i), y, 0.0) } ++
+      (0 until 10).map(i => ("N", ts(i), 50.0, 0.0))
+    rows.toDF("l_returnflag", "l_shipdate", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // independent reference: the plain HW recurrence with the same
+    // per-step 10 dp pin, coded sequentially
+    def p10(x: Double): Double = math.floor(x * 1e10 + 0.5) / 1e10
+    def ref(ys: Seq[Double]): (Double, Double, Double) = {
+      var st = Array(ys.head, 0.0) ++ Array.fill(7)(0.0)
+      for (y <- ys.tail) {
+        val nl = p10(0.5 * (y - st(2)) + 0.5 * (st(0) + st(1)))
+        val nb = p10(0.3 * (nl - st(0)) + 0.7 * st(1))
+        val ns = p10(0.4 * (y - nl) + 0.6 * st(2))
+        st = Array(nl, nb) ++ st.slice(3, 9) ++ Array(ns)
+      }
+      (st(0), st(1), st(2))
+    }
+    val got = operators.Analytics.q259(s, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (la, ba, sa) = ref(ya)
+    assert(got("A").getLong(1) == 21L)
+    assert(got("A").getDouble(2) == la && got("A").getDouble(3) == ba &&
+      got("A").getDouble(4) == sa)
+    val (ln, bn, sn) = ref(Seq.fill(10)(50.0))
+    assert(got("N").getDouble(2) == ln && got("N").getDouble(3) == bn &&
+      got("N").getDouble(4) == sn)
+  }
+
+  test("q260 golden: hand-recomputed MDE matches on a constructed two-arm spend split") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g260").toString
+    // 8 users, one purchase each; arms fall out of the sha-bucket — the
+    // reference recomputes them through the same Graft.hashBucket column
+    val rows = (1L to 8L).map(u => (u, dayNs(u), u, "purchase", 10.0 * u, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val arms = TestSpark.spark.range(1, 9).toDF("user_id")
+      .select(col("user_id"),
+        api.Graft.hashBucket(col("user_id"), 2).as("b")).collect()
+      .map(r => r.getLong(0) -> (if (r.getLong(1) == 0L) "A" else "B")).toMap
+    val byArm = (1L to 8L).groupBy(arms).map { case (a, us) =>
+      a -> us.map(u => 10.0 * u)
+    }
+    def stats(xs: Seq[Double]): (Long, Double, Double) = {
+      val n = xs.length; val m = xs.sum / n
+      (n.toLong, m, xs.map(x => (x - m) * (x - m)).sum / (n - 1))
+    }
+    val (na, ma, va) = stats(byArm("A").toSeq)
+    val (nb, mb, vb) = stats(byArm("B").toSeq)
+    val se = math.sqrt(va / na + vb / nb)
+    val got = operators.Analytics.q260(s, dir).head()
+    assert(got.getLong(0) == na && got.getLong(1) == nb)
+    assert(got.getDouble(2) == pin(ma, 100) && got.getDouble(3) == pin(mb, 100))
+    assert(got.getDouble(5) == pin(2.801585 * se, 1e4))
+    assert(got.getDouble(6) == pin(2.801585 * se / ma, 1e4))
+  }
+
+  test("q261 golden: designed segments shrink toward the hand-computed global mean") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g261").toString
+    Seq((1L, "X"), (2L, "X"), (4L, "X"), (3L, "Y"))
+      .toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // cust 4 places no orders (left-join zero); g = (10+20+30)/4 = 15
+    Seq((1L, 1L, 10.0), (2L, 2L, 20.0), (3L, 3L, 30.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = operators.Analytics.q261(s, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    // X: (30 + 20*15)/23 = 14.347826 -> 14.35, lift 0.9565
+    // Y: (30 + 20*15)/21 = 15.714285 -> 15.71, lift 1.0476
+    assert(got("X") == ((3L, 10.0, 14.35, 0.9565)))
+    assert(got("Y") == ((1L, 30.0, 15.71, 1.0476)))
+  }
+
+  test("r9 batch-5 invariants at sf0.001 AND sf0.01: forecast assembly, power positivity, shrinkage direction") {
+    for (sf <- Seq(d, TestSpark.sf001)) {
+      val hw = operators.Analytics.q259(s, sf).collect()
+      assert(hw.length == 3)
+      hw.foreach { r =>
+        assert(r.getLong(1) > 0L)
+        val asm = r.getDouble(2) + r.getDouble(3) + r.getDouble(4)
+        assert(math.abs(r.getDouble(5) - asm) <= 0.005 + 1e-9)
+      }
+      val pw = operators.Analytics.q260(s, sf).head()
+      assert(pw.getLong(0) > 0L && pw.getLong(1) > 0L)
+      assert(pw.getDouble(4) > 0.0 && pw.getDouble(5) > 0.0 &&
+        pw.getDouble(6) > 0.0)
+      val te = operators.Analytics.q261(s, sf).collect()
+      assert(te.length == 5)
+      val totN = te.map(_.getLong(1)).sum
+      assert(totN == Tables.customer(s, sf).count())
+      // shrinkage: encoded sits between the segment's raw mean and the
+      // global mean (both orderings), within the 2 dp pin slack
+      val g = te.map(r => r.getDouble(2) * r.getLong(1)).sum / totN
+      te.foreach { r =>
+        val lo = math.min(r.getDouble(2), g) - 0.011
+        val hi = math.max(r.getDouble(2), g) + 0.011
+        assert(r.getDouble(3) >= lo && r.getDouble(3) <= hi)
+      }
     }
   }
 }

@@ -508,7 +508,7 @@ class PlanRegressionSpec extends AnyFunSuite {
     // quantitative coverage.
     val skip = Set("q18_join_cross", "q65_als_recommend", "q66_als_rmse",
       "q70_dedup_near_minhash", "q93_dedup_components", "q101_dedup_cluster_keep",
-      "q105_curation_pipeline", "q113_item_pagerank")
+      "q105_curation_pipeline", "q113_item_pagerank", "q252_pca_power")
     val offenders = SparkEntry.queries.filterNot(kv => skip(kv._1)).flatMap {
       case (name, fn) =>
         val plan = fn(s, d).queryExecution.executedPlan.toString
@@ -531,7 +531,7 @@ class PlanRegressionSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val skip = Set("q65_als_recommend", "q66_als_rmse",
       "q70_dedup_near_minhash", "q93_dedup_components", "q101_dedup_cluster_keep",
-      "q105_curation_pipeline", "q113_item_pagerank")
+      "q105_curation_pipeline", "q113_item_pagerank", "q252_pca_power")
     // Documented exemptions — global windows whose input is bounded by a
     // DOMAIN, not by the fact count, but which exceeds the threshold at
     // this SF: q34's moving average runs over the daily o_orderdate grain,
@@ -543,7 +543,7 @@ class PlanRegressionSpec extends AnyFunSuite {
     // q247's cross-correlation lead/lag ±7 windows over the joined
     // shipdate∩orderdate calendar (same fixed-offset-lag class).
     val exempt = Set("q34_window_moving_avg", "q208_mase_backtest",
-      "q212_acf_weekly", "q247_cross_corr")
+      "q212_acf_weekly", "q247_cross_corr", "q255_rolling_median")
     val limit = 256L
     val offenders = SparkEntry.queries
       .filterNot(kv => skip(kv._1) || exempt(kv._1)).toSeq
@@ -575,7 +575,7 @@ class PlanRegressionSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.expressions.Alias
     val skip = Set("q65_als_recommend", "q66_als_rmse",
       "q70_dedup_near_minhash", "q93_dedup_components", "q101_dedup_cluster_keep",
-      "q105_curation_pipeline", "q113_item_pagerank")
+      "q105_curation_pipeline", "q113_item_pagerank", "q252_pca_power")
     // Documented exemptions — few-valued partitionings whose INPUT is
     // bounded by a domain (calendar × a category), not by the fact count,
     // so the per-task series cannot grow with SF:
@@ -631,7 +631,7 @@ class PlanRegressionSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
     val skip = Set("q65_als_recommend", "q66_als_rmse",
       "q70_dedup_near_minhash", "q93_dedup_components", "q101_dedup_cluster_keep",
-      "q105_curation_pipeline", "q113_item_pagerank")
+      "q105_curation_pipeline", "q113_item_pagerank", "q252_pca_power")
     // Documented exemptions — broadcast sides that exceed the threshold but
     // are NOT fact-proportional (or are the marked baseline):
     // - q117 gapFill broadcasts the calendar spine (~720 hour rows): sized

@@ -51,6 +51,41 @@ class PropertySpec extends AnyFunSuite {
     assert(got.size == rows.size && got == want)
   }
 
+  test("holtWinters equals a sequential reference recurrence on seeded random series") {
+    // the distributed HOF fold (sort_array + aggregate with the rotating
+    // 9-element state) must match a plain sequentially-coded recurrence
+    // bit-for-bit, including the per-step 10 dp pins — across random
+    // lengths, shuffled input order, and a length-1 group (fold never runs)
+    def p10(x: Double): Double = math.floor(x * 1e10 + 0.5) / 1e10
+    def ref(ys: Seq[Double], p: Int): Seq[Double] = {
+      var st = Array(ys.head, 0.0) ++ Array.fill(p)(0.0)
+      for (y <- ys.tail) {
+        val nl = p10(0.5 * (y - st(2)) + 0.5 * (st(0) + st(1)))
+        val nb = p10(0.3 * (nl - st(0)) + 0.7 * st(1))
+        val ns = p10(0.4 * (y - nl) + 0.6 * st(2))
+        st = Array(nl, nb) ++ st.slice(3, 2 + p) ++ Array(ns)
+      }
+      Seq(st(0), st(1), st(2))
+    }
+    val rng = new scala.util.Random(7)
+    val series = Map(
+      "a" -> Seq.fill(40)((rng.nextInt(20001) - 10000) / 100.0),
+      "b" -> Seq.fill(13)(rng.nextInt(1000) / 100.0),
+      "c" -> Seq(42.17))
+    val rows = rng.shuffle(series.toSeq.flatMap { case (g, ys) =>
+      ys.zipWithIndex.map { case (y, i) => (g, i.toLong, y) }
+    })
+    val df = s.createDataFrame(rows).toDF("g", "t", "y")
+    val got = graft.api.Graft.holtWinters(df, Seq("g"), "t", "y", 0.5, 0.3, 0.4, 7)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    series.foreach { case (g, ys) =>
+      assert(got(g) == ref(ys, 7), s"group $g diverged from the reference fold")
+    }
+    // the length-1 group is the init state verbatim
+    assert(got("c") == Seq(42.17, 0.0, 0.0))
+  }
+
   test("sqlFloorDiv floors for ALL signs (Spark div truncates; DuckDB // floors)") {
     val xs = (-25L to 25L).toSeq
     val rows = s.createDataFrame(xs.map(Tuple1(_))).toDF("x")

@@ -127,4 +127,37 @@ class RetrievalSpec extends AnyFunSuite {
     assert(rAll == bruteTop1.size,
       s"nprobe = |cells| must be exhaustive ($rAll/${bruteTop1.size})")
   }
+
+  test("q252 PCA: eigenpair residual, dominance over every diagonal variance, unit norm") {
+    // independent covariance: brute-force from the raw vectors in Scala
+    val vecs = Tables.embeddings(s, d)
+      .select(org.apache.spark.sql.functions.expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = vecs.length
+    val dim = vecs.head.length
+    val mu = Array.tabulate(dim)(i => vecs.map(_(i)).sum / n)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      vecs.map(v => (v(i) - mu(i)) * (v(j) - mu(j))).sum / (n - 1)
+    }
+    val out = operators.Retrieval.q252(s, d).collect().sortBy(_.getLong(0))
+    assert(out.length == dim)
+    val v = out.map(_.getDouble(1))
+    val lambda = out.head.getDouble(2)
+    val share = out.head.getDouble(3)
+    assert(lambda > 0.0 && share > 0.0 && share <= 1.0)
+    // unit norm survives the 5 dp pin
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-3, s"loading norm $norm")
+    // Cov v = lambda v within pin + convergence tolerance
+    val cv = Array.tabulate(dim)(i => (0 until dim).map(j => cov(i)(j) * v(j)).sum)
+    val resid = cv.zip(v).map { case (a, b) => math.abs(a - lambda * b) }.max
+    assert(resid <= 1e-2 * lambda + 1e-4, s"eigen residual $resid vs lambda $lambda")
+    // the top eigenvalue dominates every single-dimension variance
+    val maxDiag = (0 until dim).map(i => cov(i)(i)).max
+    assert(lambda >= maxDiag - 1e-6)
+    // trace-based share consistency: share == lambda / trace under pins
+    val trace = (0 until dim).map(i => cov(i)(i)).sum
+    assert(math.abs(share - lambda / trace) < 1e-3)
+  }
 }

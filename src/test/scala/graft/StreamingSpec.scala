@@ -81,6 +81,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() == batch.count())
   }
 
+  test("daily dedup pairs: stream result equals batch result") {
+    val sp = s
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(batchEvents.as[Ev].collect().toIndexedSeq)
+    val streamed = runComplete(
+      streaming.Streaming.dailyPairs(ms.toDF.withWatermark("tsc", "10 minutes")),
+      "dailypairs_out")
+    val batch = streaming.Streaming.dailyPairs(batchEvents)
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+    assert(streamed.count() == batch.count())
+  }
+
   test("watermark drops late data in append mode") {
     val sp = s
     import sp.implicits._
