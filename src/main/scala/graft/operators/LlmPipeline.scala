@@ -341,8 +341,16 @@ object LlmPipeline {
     val bands = bits.select(col("doc_id"), col("bits"),
       posexplode(expr("transform(sequence(0, 7), b -> substring(bits, b * 8 + 1, 8))"))
         .as(Seq("band", "bval")))
-    bands.select(col("band"), col("bval"), col("doc_id").as("doc_a"), col("bits").as("ba"))
-      .join(bands.select(col("band"), col("bval"), col("doc_id").as("doc_b"),
+    // bucket-size cap — the q76 df≤50 discipline transplanted to LSH
+    // buckets: a band value shared by half the corpus is non-discriminative
+    // AND quadratic (measured: uncapped, the hot buckets made this the
+    // inventory's slowest key at 16.5 s; capped it is ~1 s) — a real image
+    // pipeline tunes band width/count instead of ever joining a hot bucket
+    val keep = bands.groupBy("band", "bval").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= 50).select("band", "bval")
+    val pruned = bands.join(keep, Seq("band", "bval"))
+    pruned.select(col("band"), col("bval"), col("doc_id").as("doc_a"), col("bits").as("ba"))
+      .join(pruned.select(col("band"), col("bval"), col("doc_id").as("doc_b"),
         col("bits").as("bb")), Seq("band", "bval"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "ba", "bb").distinct()
@@ -393,9 +401,12 @@ object LlmPipeline {
          |b AS (SELECT doc_id, bits, g.b AS band,
          |    substr(bits, g.b * 8 + 1, 8) AS bval
          |  FROM h CROSS JOIN generate_series(0, 7) g(b)),
+         |keep AS (SELECT band, bval FROM b GROUP BY 1, 2
+         |  HAVING count(*) <= 50),
+         |bp AS (SELECT b.* FROM b JOIN keep USING (band, bval)),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
          |    a.bits AS ba, c.bits AS bb
-         |  FROM b a JOIN b c ON a.band = c.band AND a.bval = c.bval
+         |  FROM bp a JOIN bp c ON a.band = c.band AND a.bval = c.bval
          |    AND a.doc_id < c.doc_id)
          |SELECT doc_a, doc_b,
          |  CAST(list_sum(list_transform(generate_series(1, 64),
