@@ -406,7 +406,43 @@ object Curation {
       .orderBy("stage_id")
   }
 
+  /** Count–min sketch accuracy audit on the item stream: a 4×64 CMS
+    * built from salted sha-bucket counts (zero RNG — reproducible on any
+    * cluster, and each cell is a plain map-side-combinable COUNT, the
+    * mergeability that makes CMS the streaming/mapside heavy-hitter
+    * sketch beside q49's tracked-set approx_top_k and q69's exact
+    * heavy hitters), then each top-10 exact item's estimate = min over
+    * the 4 rows of its cell counts. CMS never underestimates, so
+    * `overestimate` ≥ 0 row by row — the sketch's error bound made
+    * visible against ground truth at this width.
+    *
+    * Determinism: buckets are sha2 arithmetic on the item id salted by
+    * the row index; all counts exact longs. Scale: the sketch build is
+    * ONE 4×-exploded hash agg to 256 cells; ground truth is the q61
+    * popularity agg; the estimate join touches 10×4 cells. */
+  def q262(s: SparkSession, d: String): DataFrame = {
+    val items = events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("item"))
+    val rows4 = items.crossJoin(broadcast(s.range(0, 4).toDF("r")))
+      .select(col("r"),
+        graft.api.Graft.hashBucket(concat(col("item"), lit("#"), col("r")), 64)
+          .as("b"))
+    val cells = rows4.groupBy("r", "b").agg(count(lit(1)).as("c"))
+    val exact = items.groupBy("item").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("item")).limit(10)
+    val probes = exact.crossJoin(broadcast(s.range(0, 4).toDF("r")))
+      .select(col("item"), col("exact"), col("r"),
+        graft.api.Graft.hashBucket(concat(col("item"), lit("#"), col("r")), 64)
+          .as("b"))
+    probes.join(broadcast(cells), Seq("r", "b"))
+      .groupBy("item", "exact").agg(min("c").as("cms_est"))
+      .select(col("item"), col("exact"), col("cms_est"),
+        (col("cms_est") - col("exact")).as("overestimate"))
+      .orderBy(col("exact").desc, col("item"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q262_countmin_sketch" -> q262,
     "q234_filter_cascade" -> q234,
     "q135_temporal_split" -> q135,
     "q46_doc_chunk_overlap" -> q46,
@@ -429,6 +465,23 @@ object Curation {
   private val shCte = s"sh AS (${TextPipeline.shinglesSql})"
 
   val oracle: Map[String, String] = Map(
+    "q262_countmin_sketch" ->
+      s"""WITH items AS (SELECT CAST(json_extract(props, '$$.k') AS BIGINT) AS item
+         |  FROM events),
+         |rx AS (SELECT item, t.r AS r,
+         |    ('0x' || substr(sha256(CAST(item AS VARCHAR) || '#' || CAST(t.r AS VARCHAR)), 1, 8))::BIGINT % 64 AS b
+         |  FROM items CROSS JOIN generate_series(0, 3) t(r)),
+         |cells AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c
+         |  FROM rx GROUP BY 1, 2),
+         |exact AS (SELECT item, CAST(count(*) AS BIGINT) AS exact
+         |  FROM items GROUP BY 1 ORDER BY exact DESC, item LIMIT 10),
+         |probes AS (SELECT e.item, e.exact, t.r,
+         |    ('0x' || substr(sha256(CAST(e.item AS VARCHAR) || '#' || CAST(t.r AS VARCHAR)), 1, 8))::BIGINT % 64 AS b
+         |  FROM exact e CROSS JOIN generate_series(0, 3) t(r))
+         |SELECT p.item, p.exact, CAST(min(c.c) AS BIGINT) AS cms_est,
+         |  CAST(min(c.c) - p.exact AS BIGINT) AS overestimate
+         |FROM probes p JOIN cells c USING (r, b)
+         |GROUP BY 1, 2 ORDER BY exact DESC, item""".stripMargin,
     "q234_filter_cascade" ->
       s"""WITH $wordsCte,
          |tri AS (SELECT doc_id, t, count(*) AS c FROM (

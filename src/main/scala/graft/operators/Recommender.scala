@@ -773,7 +773,83 @@ object Recommender {
       .limit(20)
   }
 
+  /** AUC / Gini of the q62 bias scorer against the "rating ≥ 4" label —
+    * the threshold-free eval completing the model-eval family (q136
+    * calibration, q67/q87 top-k ranking; THIS answers "does the score
+    * order positives above negatives at all cutoffs"). Computed through
+    * the Mann–Whitney bridge: AUC = (R₊ − n₊(n₊+1)/2)/(n₊·n₋) with
+    * tie-AVERAGED ranks (the exact trapezoidal tie convention), so the
+    * rank machinery is [[graft.api.Graft.prefixSum]] over the pinned
+    * score support — the q211/q243 discipline, never a fact-grain
+    * global window.
+    *
+    * Determinism: preds/labels are 4 dp-pinned grids; R₊ sums exact
+    * half-integers; the n₊·n₋ product computes in double (exact below
+    * 2⁵³ — and at the 100 TB point where it is not, AUC's 5 dp pin
+    * dwarfs the ulp). Scale: one score-support agg + the range-blocked
+    * prefix scan + a one-row assembly. */
+  def q265(s: SparkSession, d: String): DataFrame = {
+    val sup = biasScored(s, d)
+      .select(col("pred"), when(col("rating") >= 4.0, 1L).otherwise(0L).as("p"))
+      .groupBy("pred").agg(sum("p").as("cp"), count(lit(1)).as("t"))
+    val ranked = graft.api.Graft.prefixSum(sup, "pred", Seq("t"))
+      .withColumn("fr", (col("t_cum") - col("t")).cast("double") +
+        (col("t") + 1).cast("double") / lit(2.0))
+    ranked.agg(sum("t").as("n"), sum("cp").as("n_pos"),
+        sum(col("cp") * col("fr")).as("rpos"))
+      // nullif: a single-class corpus has no pairs to order — null, not
+      // x/0 (the q243 degenerate-input guard class)
+      .select(col("n"), col("n_pos"), (col("n") - col("n_pos")).as("n_neg"),
+        ((col("rpos") - col("n_pos").cast("double") * (col("n_pos") + 1) / lit(2.0)) /
+          nullif(col("n_pos").cast("double") * (col("n") - col("n_pos")).cast("double"),
+            lit(0.0))).as("a"))
+      .select(col("n"), col("n_pos"), col("n_neg"), r5(col("a")).as("auc"),
+        r5(lit(2.0) * col("a") - lit(1.0)).as("gini_coef"))
+  }
+
+  /** Decile gains / lift table of the q62 bias scorer — the campaign-
+    * targeting readout beside q265's AUC and q136's calibration: rows
+    * deciled by score RANK from the top (bin 1 = highest scores, whole
+    * tie groups together — the q136 integer-bin discipline on the
+    * DESCENDING cumulative), per bin the response rate, lift over the
+    * base rate, and the cumulative capture (gains) and precision curves.
+    * "Bin 1 captures 25% of positives at 2.1× lift" is the sentence this
+    * table exists to produce.
+    *
+    * Determinism: bins are exact integer arithmetic on support-grain
+    * cumulative counts; rates divide exact longs; cumulatives run over
+    * the ≤10-row bin grain. Scale: score-support agg + range-blocked
+    * prefix scan + a 10-row window. */
+  def q266(s: SparkSession, d: String): DataFrame = {
+    val sup = biasScored(s, d)
+      .select(col("pred"), when(col("rating") >= 4.0, 1L).otherwise(0L).as("p"))
+      .groupBy("pred").agg(sum("p").as("cp"), count(lit(1)).as("t"))
+    val cum = graft.api.Graft.prefixSum(sup, "pred", Seq("t"))
+    val tot = sup.agg(sum("t").as("nn"), sum("cp").as("npos"))
+    val binned = cum.crossJoin(broadcast(tot))
+      // rank-from-the-top cumulative: highest preds land in bin 1
+      .withColumn("cum_desc", col("nn") - col("t_cum") + col("t"))
+      .withColumn("bin", expr("(cum_desc * 10 + nn - 1) div nn"))
+      .groupBy("bin")
+      .agg(sum("t").as("n"), sum("cp").as("n_pos"),
+        max("nn").as("nn"), max("npos").as("npos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    binned
+      .withColumn("cum_n", sum("n").over(w))
+      .withColumn("cum_pos", sum("n_pos").over(w))
+      .select(col("bin"), col("n"), col("n_pos"),
+        r4(col("n_pos").cast("double") / col("n").cast("double")).as("rate"),
+        r4((col("n_pos").cast("double") / col("n").cast("double")) /
+          (col("npos").cast("double") / col("nn").cast("double"))).as("lift"),
+        r4(col("cum_pos").cast("double") / col("npos").cast("double")).as("gain"),
+        r4(col("cum_pos").cast("double") / col("cum_n").cast("double")).as("cum_precision"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q265_score_auc" -> q265,
+    "q266_gains_lift" -> q266,
     "q249_rec_novelty" -> q249,
     "q235_rec_diversity" -> q235,
     "q197_slope_one" -> q197,
@@ -803,6 +879,62 @@ object Recommender {
     "q68_tfidf_terms" -> q68)
 
   val oracle: Map[String, String] = Map(
+    "q265_score_auc" ->
+      s"""WITH r AS ($ratingsSql),
+         |mu AS (SELECT avg(rating) AS mu FROM r),
+         |bu AS (SELECT user_id, avg(rating) - (SELECT mu FROM mu) AS bu
+         |  FROM r GROUP BY 1),
+         |bi AS (SELECT item, avg(rating - (SELECT mu FROM mu) - bu.bu) AS bi
+         |  FROM r JOIN bu USING (user_id) GROUP BY 1),
+         |scored AS (SELECT ${sr4("mu.mu + bu.bu + bi.bi")} AS pred,
+         |    CASE WHEN ${sr4("r.rating")} >= 4e0 THEN 1 ELSE 0 END AS p
+         |  FROM r JOIN bu USING (user_id) JOIN bi USING (item) CROSS JOIN mu),
+         |sup AS (SELECT pred, CAST(sum(p) AS BIGINT) AS cp,
+         |    CAST(count(*) AS BIGINT) AS t FROM scored GROUP BY 1),
+         |rk AS (SELECT cp, t,
+         |    CAST(sum(t) OVER (ORDER BY pred ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tc
+         |  FROM sup),
+         |agg AS (SELECT CAST(sum(t) AS BIGINT) AS n, CAST(sum(cp) AS BIGINT) AS n_pos,
+         |    sum(cp * (CAST(tc - t AS DOUBLE) + CAST(t + 1 AS DOUBLE) / 2e0)) AS rpos
+         |  FROM rk),
+         |f AS (SELECT n, n_pos, n - n_pos AS n_neg,
+         |    (rpos - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2e0) /
+         |      nullif(CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE), 0e0) AS a
+         |  FROM agg)
+         |SELECT n, n_pos, n_neg, ${sr5("a")} AS auc,
+         |  ${sr5("2e0 * a - 1e0")} AS gini_coef
+         |FROM f""".stripMargin,
+    "q266_gains_lift" ->
+      s"""WITH r AS ($ratingsSql),
+         |mu AS (SELECT avg(rating) AS mu FROM r),
+         |bu AS (SELECT user_id, avg(rating) - (SELECT mu FROM mu) AS bu
+         |  FROM r GROUP BY 1),
+         |bi AS (SELECT item, avg(rating - (SELECT mu FROM mu) - bu.bu) AS bi
+         |  FROM r JOIN bu USING (user_id) GROUP BY 1),
+         |scored AS (SELECT ${sr4("mu.mu + bu.bu + bi.bi")} AS pred,
+         |    CASE WHEN ${sr4("r.rating")} >= 4e0 THEN 1 ELSE 0 END AS p
+         |  FROM r JOIN bu USING (user_id) JOIN bi USING (item) CROSS JOIN mu),
+         |sup AS (SELECT pred, CAST(sum(p) AS BIGINT) AS cp,
+         |    CAST(count(*) AS BIGINT) AS t FROM scored GROUP BY 1),
+         |tot AS (SELECT CAST(sum(t) AS BIGINT) AS nn,
+         |    CAST(sum(cp) AS BIGINT) AS npos FROM sup),
+         |cum AS (SELECT cp, t,
+         |    CAST(sum(t) OVER (ORDER BY pred ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tc
+         |  FROM sup),
+         |binned AS (SELECT CAST(((nn - tc + t) * 10 + nn - 1) // nn AS BIGINT) AS bin,
+         |    CAST(sum(t) AS BIGINT) AS n, CAST(sum(cp) AS BIGINT) AS n_pos,
+         |    max(nn) AS nn, max(npos) AS npos
+         |  FROM cum CROSS JOIN tot GROUP BY 1),
+         |c2 AS (SELECT bin, n, n_pos, nn, npos,
+         |    CAST(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+         |    CAST(sum(n_pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+         |  FROM binned)
+         |SELECT bin, n, n_pos,
+         |  ${sr4("CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)")} AS rate,
+         |  ${sr4("(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(npos AS DOUBLE) / CAST(nn AS DOUBLE))")} AS lift,
+         |  ${sr4("CAST(cum_pos AS DOUBLE) / CAST(npos AS DOUBLE)")} AS gain,
+         |  ${sr4("CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)")} AS cum_precision
+         |FROM c2 ORDER BY bin""".stripMargin,
     "q249_rec_novelty" ->
       s"""WITH r AS ($ratingsSql),
          |t AS (SELECT user_id, item FROM (

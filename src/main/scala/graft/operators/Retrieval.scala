@@ -505,9 +505,81 @@ object Retrieval {
       .orderBy("dim")
   }
 
+  /** One IRLS (Newton) step of logistic regression — training a quality/
+    * language classifier head distributed, the supervised companion to
+    * q252's PCA: features x = [1, words/100, avg word length] per doc,
+    * label y = (lang = en). From β₀ = 0 the step is closed-form:
+    * β₁ = 4·(XᵀX)⁻¹ Xᵀ(y − ½) (at β = 0 every weight is p(1−p) = ¼).
+    * The sufficient statistics are computed declaratively — the exploded
+    * (doc, i, xᵢ) relation self-joined on doc (co-partitioned, ONE
+    * exchange) and map-side-combined to the d(d+1)/2 = 6 Gram cells
+    * plus the d-vector score — and the d×d solve is a DIMENSION-bounded
+    * driver step (the q252 / RowMatrix argument: ~100 bytes at any
+    * corpus size; 3×3 Gaussian elimination done "distributed" would be
+    * d tiny shuffle jobs for nothing).
+    *
+    * Determinism: fixed feature order, deterministic partial-pivot
+    * elimination, 5 dp output pin (cell summation drift ~1e-13 relative
+    * is far under it). No-oracle by design (a matrix solve is not
+    * SQL-reproducible); RetrievalSpec binds it: the normal equations
+    * XᵀX·β = 4·Xᵀ(y−½) hold against a brute-force recomputation, and
+    * the step separates the classes (mean logit en > non-en). */
+  def q264(s: SparkSession, d: String): DataFrame = {
+    val feats = TextPipeline.docWords(s, d)
+      .select(col("doc_id"), (col("lang") === "en").cast("double").as("y"),
+        size(col("words")).cast("double").as("nw"),
+        expr("aggregate(words, 0L, (a, w) -> a + length(w))")
+          .cast("double").as("nc"))
+      .filter(col("nw") > 0)
+      .select(col("doc_id"), col("y"),
+        array(lit(1.0), col("nw") / lit(100.0), col("nc") / col("nw")).as("xs"))
+    val dims = feats.select(col("doc_id"), col("y"),
+      posexplode(col("xs")).as(Seq("i", "xi")))
+    val gram = dims.as("a")
+      .join(dims.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.i") <= col("b.i"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(col("a.xi") * col("b.xi")).as("sxx"))
+    val score = dims.groupBy("i")
+      .agg(sum(col("xi") * (col("y") - lit(0.5))).as("g"))
+    val dd = 3
+    val a = Array.ofDim[Double](dd, dd)
+    gram.collect().foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      a(i)(j) = v; a(j)(i) = v
+    }
+    val g = new Array[Double](dd)
+    score.collect().foreach(r => g(r.getInt(0)) = r.getDouble(1))
+    // solve A beta = 4 g by Gaussian elimination with deterministic
+    // partial pivoting (largest |pivot|, lowest row index on ties)
+    val m = Array.tabulate(dd)(i => a(i) :+ (4.0 * g(i)))
+    for (c <- 0 until dd) {
+      val p = (c until dd).maxBy(r => (math.abs(m(r)(c)), -r))
+      val t = m(c); m(c) = m(p); m(p) = t
+      for (r <- c + 1 until dd) {
+        val f = m(r)(c) / m(c)(c)
+        for (k <- c to dd) m(r)(k) -= f * m(c)(k)
+      }
+    }
+    val beta = new Array[Double](dd)
+    for (r <- dd - 1 to 0 by -1) {
+      var acc = m(r)(dd)
+      for (k <- r + 1 until dd) acc -= m(r)(k) * beta(k)
+      beta(r) = acc / m(r)(r)
+    }
+    val names = Seq("intercept", "words_per_100", "avg_word_len")
+    import s.implicits._
+    names.zipWithIndex.map { case (n, i) => (n, beta(i), g(i)) }
+      .toDF("feature", "beta", "score0")
+      .select(col("feature"), r5(col("beta")).as("beta"),
+        r5(col("score0")).as("score0"))
+      .orderBy("feature")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q251_embed_dim_stats" -> q251,
     "q252_pca_power" -> q252,
+    "q264_logreg_step" -> q264,
     "q218_query_likelihood" -> q218,
     "q209_quantile_norm" -> q209,
     "q204_kmeans_step" -> q204,

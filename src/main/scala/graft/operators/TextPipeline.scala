@@ -887,7 +887,35 @@ object TextPipeline {
       .limit(20)
   }
 
+  /** Hashing-trick featurizer diagnostics — the fixed-width sparse text
+    * featurizer (Weinberger et al. 2009) every tabular/text baseline
+    * ships when a vocabulary is unbounded: token → sha bucket mod 256
+    * with a ±1 sign from an INDEPENDENT hash digit, per-bucket token
+    * mass, distinct-word load, signed net sum, and the interference rate
+    * (n − |net|)/n — the share of mass cancelled by sign collisions,
+    * the quantity that decides whether 256 buckets is wide enough
+    * BEFORE training on the features.
+    *
+    * Determinism: bucket and sign are sha2 arithmetic (hex chars 1–8 vs
+    * char 9 — independent digits of one digest, zero RNG); counts exact;
+    * one pinned ratio. Scale: ONE token-stream hash agg to 256 cells —
+    * map-side combinable, row-linear, no joins. */
+  def q263(s: SparkSession, d: String): DataFrame =
+    words1(s, d).select(col("w"))
+      .withColumn("bucket", graft.api.Graft.hashBucket(col("w"), 256))
+      .withColumn("sign", when(expr(
+        "CAST(conv(substring(sha2(CAST(w AS STRING), 256), 9, 1), 16, 10) AS BIGINT) % 2")
+        === 0, 1L).otherwise(-1L))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct("w").as("n_words"),
+        sum("sign").as("net_sum"))
+      .select(col("bucket"), col("n_tokens"), col("n_words"), col("net_sum"),
+        r4((col("n_tokens") - abs(col("net_sum"))).cast("double") /
+          col("n_tokens").cast("double")).as("interference"))
+      .orderBy("bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q263_feature_hashing" -> q263,
     "q253_tfidf_doc_sim" -> q253,
     "q237_source_entropy" -> q237,
     "q239_source_overlap" -> q239,
@@ -921,6 +949,19 @@ object TextPipeline {
   private val wordsCte = s"w AS ($wordsSql)"
 
   val oracle: Map[String, String] = Map(
+    "q263_feature_hashing" ->
+      s"""WITH w AS ($wordsSql),
+         |tok AS (SELECT unnest(words) AS w FROM w),
+         |hashed AS (SELECT
+         |    ('0x' || substr(sha256(w), 1, 8))::BIGINT % 256 AS bucket,
+         |    CASE WHEN ('0x' || substr(sha256(w), 9, 1))::BIGINT % 2 = 0
+         |         THEN 1 ELSE -1 END AS sign, w
+         |  FROM tok)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT w) AS BIGINT) AS n_words,
+         |  CAST(sum(sign) AS BIGINT) AS net_sum,
+         |  ${sr4("CAST(count(*) - abs(sum(sign)) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS interference
+         |FROM hashed GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q253_tfidf_doc_sim" ->
       s"""WITH w AS ($wordsSql),
          |tk AS (SELECT doc_id, unnest(words) AS w FROM w),

@@ -128,13 +128,13 @@ class OperatorGoldenSpec extends AnyFunSuite {
     assert(back.except(sup).count() == 0 && sup.except(back).count() == 0)
   }
 
-  test("driver contract: oracle keys match query keys; only the 6 sketch/model/eigensolve keys lack oracles") {
+  test("driver contract: oracle keys match query keys; only the 7 sketch/model/solver keys lack oracles") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracle SQL for unknown keys: ${o -- q}")
     assert((q -- o) == Set("q22_agg_approx_distinct", "q59_agg_approx_quantiles",
       "q65_als_recommend", "q66_als_rmse", "q70_dedup_near_minhash",
-      "q252_pca_power"),
+      "q252_pca_power", "q264_logreg_step"),
       s"no-oracle set drifted: ${q -- o}")
     // Bench shortens keys to their qNN prefix for the driver's tail capture —
     // a duplicate prefix would silently merge two queries' timings
@@ -1987,6 +1987,150 @@ class OperatorGoldenSpec extends AnyFunSuite {
     // Y: (30 + 20*15)/21 = 15.714285 -> 15.71, lift 1.0476
     assert(got("X") == ((3L, 10.0, 14.35, 0.9565)))
     assert(got("Y") == ((1L, 30.0, 15.71, 1.0476)))
+  }
+
+  // ---- r9 batch 6: constructed-fixture goldens ----
+
+  /** The Spark-side sha bucket, recomputed independently on the JVM:
+    * first 8 hex chars of sha256(s) as a long, mod `m`. */
+  private def shaBucket(sIn: String, m: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(sIn.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % m
+  }
+
+  test("q262 golden: CMS estimates equal a brute-force sha-bucket recomputation and never underestimate") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g262").toString
+    // skewed stream: item 1 x10, item 2 x5, items 3..8 x1
+    val stream = Seq.fill(10)(1L) ++ Seq.fill(5)(2L) ++ (3L to 8L)
+    stream.zipWithIndex.map { case (k, i) =>
+      (i.toLong, dayNs(i.toLong), 1L, "view", 1.0, s"""{"k": $k}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // independent CMS: same salted buckets, plain Scala counting
+    val cells = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for (k <- stream; r <- 0L until 4L) {
+      val b = shaBucket(s"$k#$r", 64)
+      cells((r, b)) = cells.getOrElse((r, b), 0L) + 1L
+    }
+    val exact = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = operators.Curation.q262(s, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.size == exact.size.min(10))
+    got.foreach { case (item, (ex, est, over)) =>
+      assert(ex == exact(item))
+      val want = (0L until 4L).map(r => cells((r, shaBucket(s"$item#$r", 64)))).min
+      assert(est == want && over == est - ex && over >= 0L)
+    }
+  }
+
+  test("q263 golden: bucket and sign match an independent sha recomputation; counts conserve") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g263").toString
+    val text = "alpha beta alpha gamma"
+    Seq((1L, text, "en", "src", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def sign(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.substring(8, 9), 16) % 2 == 0) 1L else -1L
+    }
+    val toks = Seq("alpha", "beta", "alpha", "gamma")
+    val want = toks.groupBy(w => shaBucket(w, 256)).map { case (b, ws) =>
+      b -> ((ws.size.toLong, ws.distinct.size.toLong, ws.map(sign).sum))
+    }
+    val got = operators.TextPipeline.q263(s, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == want)
+  }
+
+  test("q265 golden: a separable scorer reads AUC 1; an all-tied scorer reads exactly 0.5; one class reads null") {
+    import TestSpark.spark.implicits._
+    // single user -> bias pred == rating: label (>= 4) orders perfectly
+    val dir = java.nio.file.Files.createTempDirectory("graft_g265").toString
+    Seq(1.0, 2.0, 3.0, 5.0).zipWithIndex.map { case (v, k) =>
+      (k.toLong, dayNs(k.toLong), 1L, "view", v, s"""{"k": $k}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val a = operators.Recommender.q265(s, dir).head()
+    assert(a.getLong(0) == 4L && a.getLong(1) == 1L && a.getLong(2) == 3L)
+    assert(a.getDouble(3) == 1.0 && a.getDouble(4) == 1.0)
+    // two symmetric users -> every pred collapses to mu: all-tie, AUC 1/2
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_g265b").toString
+    Seq((1L, 0L, 5.0), (1L, 1L, 1.0), (2L, 0L, 1.0), (2L, 1L, 5.0))
+      .zipWithIndex.map { case ((u, k, v), i) =>
+        (i.toLong, dayNs(i.toLong), u, "view", v, s"""{"k": $k}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val b = operators.Recommender.q265(s, dir2).head()
+    assert(b.getDouble(3) == 0.5 && b.getDouble(4) == 0.0)
+    // single-class corpus: AUC undefined -> null, not a division blowup
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_g265c").toString
+    Seq(4.5, 5.0).zipWithIndex.map { case (v, k) =>
+      (k.toLong, dayNs(k.toLong), 1L, "view", v, s"""{"k": $k}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir3/events.parquet")
+    val c = operators.Recommender.q265(s, dir3).head()
+    assert(c.getLong(2) == 0L && c.isNullAt(3) && c.isNullAt(4))
+  }
+
+  test("q266 golden: a 10-value single-user ramp gives the hand-computed gains table") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g266").toString
+    // single user, ratings 1..10 -> pred == rating, one value per decile;
+    // positives are ratings 4..10 (7 of 10)
+    (1 to 10).map { k =>
+      (k.toLong, dayNs(k.toLong), 1L, "view", k.toDouble, s"""{"k": $k}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Recommender.q266(s, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 10)
+    // bin 1 = pred 10: rate 1, lift 1/0.7, gain 1/7
+    assert(got(1L).getLong(1) == 1L && got(1L).getDouble(3) == 1.0 &&
+      got(1L).getDouble(4) == pin(1.0 / 0.7, 1e4) &&
+      got(1L).getDouble(5) == pin(1.0 / 7.0, 1e4) &&
+      got(1L).getDouble(6) == 1.0)
+    // bin 8 = pred 3 (first negative): rate 0, gain complete at 1.0
+    assert(got(8L).getDouble(3) == 0.0 && got(8L).getDouble(5) == 1.0)
+    // bin 10 = pred 1: cumulative precision settles at the base rate
+    assert(got(10L).getDouble(5) == 1.0 &&
+      got(10L).getDouble(6) == 0.7)
+  }
+
+  test("r9 batch-6 invariants at sf0.001 AND sf0.01: sketch bounds, hashing conservation, normal equations") {
+    for (sf <- Seq(d, TestSpark.sf001)) {
+      val cms = operators.Curation.q262(s, sf).collect()
+      assert(cms.length == 10)
+      cms.foreach { r =>
+        assert(r.getLong(2) >= r.getLong(1) &&
+          r.getLong(3) == r.getLong(2) - r.getLong(1))
+      }
+      val fh = operators.TextPipeline.q263(s, sf).collect()
+      assert(fh.nonEmpty && fh.length <= 256)
+      fh.foreach { r =>
+        assert(r.getLong(0) >= 0L && r.getLong(0) < 256L)
+        assert(math.abs(r.getLong(3)) <= r.getLong(1))
+        assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0 + 1e-9)
+      }
+      // token-mass conservation against the q83 token counter
+      val total = operators.TextPipeline.q83(s, sf)
+        .agg(sum("ws_tokens")).head().getLong(0)
+      assert(fh.map(_.getLong(1)).sum == total)
+      val auc = operators.Recommender.q265(s, sf).head()
+      assert(auc.getLong(1) + auc.getLong(2) == auc.getLong(0))
+      assert(auc.getDouble(3) >= 0.0 && auc.getDouble(3) <= 1.0)
+      val gl = operators.Recommender.q266(s, sf).collect().sortBy(_.getLong(0))
+      assert(gl.map(_.getLong(1)).sum == auc.getLong(0) &&
+        gl.map(_.getLong(2)).sum == auc.getLong(1))
+      gl.sliding(2).foreach(p =>
+        assert(p(1).getDouble(5) >= p(0).getDouble(5) - 1e-9))
+      assert(gl.last.getDouble(5) == 1.0)
+    }
   }
 
   test("r9 batch-5 invariants at sf0.001 AND sf0.01: forecast assembly, power positivity, shrinkage direction") {

@@ -508,7 +508,8 @@ class PlanRegressionSpec extends AnyFunSuite {
     // quantitative coverage.
     val skip = Set("q18_join_cross", "q65_als_recommend", "q66_als_rmse",
       "q70_dedup_near_minhash", "q93_dedup_components", "q101_dedup_cluster_keep",
-      "q105_curation_pipeline", "q113_item_pagerank", "q252_pca_power")
+      "q105_curation_pipeline", "q113_item_pagerank", "q252_pca_power",
+      "q264_logreg_step")
     val offenders = SparkEntry.queries.filterNot(kv => skip(kv._1)).flatMap {
       case (name, fn) =>
         val plan = fn(s, d).queryExecution.executedPlan.toString
@@ -531,7 +532,8 @@ class PlanRegressionSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val skip = Set("q65_als_recommend", "q66_als_rmse",
       "q70_dedup_near_minhash", "q93_dedup_components", "q101_dedup_cluster_keep",
-      "q105_curation_pipeline", "q113_item_pagerank", "q252_pca_power")
+      "q105_curation_pipeline", "q113_item_pagerank", "q252_pca_power",
+      "q264_logreg_step")
     // Documented exemptions — global windows whose input is bounded by a
     // DOMAIN, not by the fact count, but which exceeds the threshold at
     // this SF: q34's moving average runs over the daily o_orderdate grain,
@@ -575,7 +577,8 @@ class PlanRegressionSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.expressions.Alias
     val skip = Set("q65_als_recommend", "q66_als_rmse",
       "q70_dedup_near_minhash", "q93_dedup_components", "q101_dedup_cluster_keep",
-      "q105_curation_pipeline", "q113_item_pagerank", "q252_pca_power")
+      "q105_curation_pipeline", "q113_item_pagerank", "q252_pca_power",
+      "q264_logreg_step")
     // Documented exemptions — few-valued partitionings whose INPUT is
     // bounded by a domain (calendar × a category), not by the fact count,
     // so the per-task series cannot grow with SF:
@@ -631,7 +634,8 @@ class PlanRegressionSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
     val skip = Set("q65_als_recommend", "q66_als_rmse",
       "q70_dedup_near_minhash", "q93_dedup_components", "q101_dedup_cluster_keep",
-      "q105_curation_pipeline", "q113_item_pagerank", "q252_pca_power")
+      "q105_curation_pipeline", "q113_item_pagerank", "q252_pca_power",
+      "q264_logreg_step")
     // Documented exemptions — broadcast sides that exceed the threshold but
     // are NOT fact-proportional (or are the marked baseline):
     // - q117 gapFill broadcasts the calendar spine (~720 hour rows): sized

@@ -160,4 +160,41 @@ class RetrievalSpec extends AnyFunSuite {
     val trace = (0 until dim).map(i => cov(i)(i)).sum
     assert(math.abs(share - lambda / trace) < 1e-3)
   }
+
+  test("q264 logreg step: normal equations hold vs brute force; the step separates the classes") {
+    // independent features from the raw corpus
+    val docs = Tables.documents(s, d)
+      .select(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map { r =>
+        val words = r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty)
+        val y = if (r.getString(0) == "en") 1.0 else 0.0
+        (y, Array(1.0, words.length / 100.0,
+          words.map(_.length).sum.toDouble / words.length))
+      }
+    val dd = 3
+    val xtx = Array.tabulate(dd, dd) { (i, j) =>
+      docs.map { case (_, x) => x(i) * x(j) }.sum
+    }
+    val g = Array.tabulate(dd)(i => docs.map { case (y, x) => x(i) * (y - 0.5) }.sum)
+    val out = operators.Retrieval.q264(s, d).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val beta = Array(out("intercept")._1, out("words_per_100")._1,
+      out("avg_word_len")._1)
+    // score at beta=0 matches brute force under the 5 dp pin
+    assert(math.abs(out("intercept")._2 - g(0)) < 1e-4 + 1e-9)
+    // normal equations: XtX . beta = 4 g (pinned betas -> proportional slack)
+    for (i <- 0 until dd) {
+      val lhs = (0 until dd).map(j => xtx(i)(j) * beta(j)).sum
+      val slack = 1e-5 * (0 until dd).map(j => math.abs(xtx(i)(j))).sum + 1e-6
+      assert(math.abs(lhs - 4.0 * g(i)) <= slack,
+        s"normal eq $i: $lhs vs ${4.0 * g(i)} (slack $slack)")
+    }
+    // the Newton step moves toward separating the classes
+    val (en, non) = docs.partition(_._1 == 1.0)
+    def logit(x: Array[Double]) = (0 until dd).map(j => beta(j) * x(j)).sum
+    val mEn = en.map(dc => logit(dc._2)).sum / en.length
+    val mNon = non.map(dc => logit(dc._2)).sum / non.length
+    assert(mEn > mNon, s"step failed to separate: en $mEn vs non-en $mNon")
+  }
 }
