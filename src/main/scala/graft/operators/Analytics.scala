@@ -1799,7 +1799,93 @@ object Analytics {
       .orderBy("c_mktsegment")
   }
 
+  /** Friedman rank test of monthly revenue across the three return flags
+    * — the BLOCKED nonparametric k-group test completing the rank family
+    * (q211 Mann–Whitney: 2 groups; q243 Kruskal–Wallis: k independent
+    * groups; THIS: k treatments measured on the same n blocks, here
+    * flag-revenue per ship month, so month-to-month level shifts cancel
+    * instead of inflating the variance). Within-block fractional ranks
+    * come from a block-grain 3×3 comparison join (k is tiny and fixed —
+    * no window at all); the statistic uses the TIE-PROOF general form
+    * χ²_F = n²(k−1)·Σ_j(R̄_j − r̄)² / Σ_ij(r_ij − r̄)², which reduces to
+    * the textbook 12n/(k(k+1)) form when no ranks tie.
+    *
+    * Determinism: block revenues pin at 2 dp; ranks are exact
+    * half-integers from counting comparisons; the two quadratic sums
+    * divide as identical IEEE expressions. Scale: one fact pass to the
+    * (month × flag) grain, a within-block bounded self-join (k² rows per
+    * block), two tiny aggs. */
+  def q267(s: SparkSession, d: String): DataFrame = {
+    val cell = lineitem(s, d)
+      .groupBy(expr("year(l_shipdate) * 12 + month(l_shipdate)").as("blk"),
+        col("l_returnflag").as("g"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("v"))
+    val full = cell.groupBy("blk").agg(count(lit(1)).as("kk"))
+      .filter(col("kk") === 3).select("blk")
+    val c2 = cell.join(full, "blk")
+    val ranked = c2.as("a").join(c2.as("b"), "blk")
+      .groupBy(col("blk"), col("a.g").as("g"))
+      .agg((sum(when(col("b.v") < col("a.v"), 1L).otherwise(0L)).cast("double") +
+        (sum(when(col("b.v") === col("a.v"), 1L).otherwise(0L)) + 1).cast("double") /
+          lit(2.0)).as("r"))
+    val n = full.agg(count(lit(1)).as("n"))
+    val per = ranked.groupBy("g").agg(sum("r").as("sr"))
+      .crossJoin(broadcast(n))
+      .withColumn("dv", col("sr") / col("n").cast("double") - lit(2.0))
+    val ss = ranked.agg(
+      sum((col("r") - lit(2.0)) * (col("r") - lit(2.0))).as("sst"))
+    per.agg(max("n").as("n_blocks"),
+        sum(col("dv") * col("dv")).as("ssj"),
+        max(lit(3L)).as("k"))
+      .crossJoin(broadcast(ss))
+      .select(col("n_blocks"), col("k"),
+        r4(col("n_blocks").cast("double") * col("n_blocks") * (col("k") - 1) *
+          col("ssj") / nullif(col("sst"), lit(0.0))).as("chi2_f"))
+  }
+
+  /** Two-sample Poisson rate comparison of purchase events between the
+    * q140 experiment arms — the COUNT-data member of the test family
+    * (q140 compares proportions, q207/q232 means, q211/q243 ranks; THIS
+    * compares event RATES over exposure): conditional on the total, the
+    * arm-A count is Binomial(n, e_A/(e_A+e_B)) with exposure = distinct
+    * active user-days, so z = (n_A − n·p)/√(n·p(1−p)) — the standard
+    * exact-conditional normal approximation, plus the rate ratio itself.
+    *
+    * Determinism: counts and exposures are exact longs; p divides exact
+    * longs; one IEEE z expression pinned 4 dp (the q140 discipline, with
+    * its nullif zero-variance guard). Scale: two fact-scale dedup/count
+    * aggs to the arm grain, then one-row arithmetic. */
+  def q269(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_type"),
+      expr("((ts div 1000) - 1704067200000000) div 86400000000").as("day"))
+      .withColumn("arm",
+        when(graft.api.Graft.hashBucket(col("user_id"), 2) === 0, "A")
+          .otherwise("B"))
+    val counts = ev.filter(col("event_type") === "purchase")
+      .groupBy("arm").agg(count(lit(1)).as("n"))
+    val expo = ev.select("arm", "user_id", "day").distinct()
+      .groupBy("arm").agg(count(lit(1)).as("e"))
+    val j = counts.join(expo, "arm")
+    val a = j.filter(col("arm") === "A")
+      .select(col("n").as("n_a"), col("e").as("e_a"))
+    val b = j.filter(col("arm") === "B")
+      .select(col("n").as("n_b"), col("e").as("e_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("p", col("e_a").cast("double") /
+        (col("e_a") + col("e_b")).cast("double"))
+      .withColumn("nn", (col("n_a") + col("n_b")).cast("double"))
+      .select(col("n_a"), col("e_a"), col("n_b"), col("e_b"),
+        r4((col("n_a").cast("double") / col("e_a").cast("double")) /
+          (col("n_b").cast("double") / col("e_b").cast("double"))).as("rate_ratio"),
+        r4((col("n_a").cast("double") - col("nn") * col("p")) /
+          nullif(sqrt(col("nn") * col("p") * (lit(1.0) - col("p"))), lit(0.0)))
+          .as("z"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_friedman_test" -> q267,
+    "q269_rate_ratio" -> q269,
     "q259_holt_winters" -> q259,
     "q260_ab_power" -> q260,
     "q261_target_encoding" -> q261,
@@ -1872,6 +1958,46 @@ object Analytics {
     s"floor((0.4e0 * (x[1] - ($hwNl)) + (1e0 - 0.4e0) * acc[3]) * 1e10 + 0.5e0) / 1e10"
 
   val oracle: Map[String, String] = Map(
+    "q267_friedman_test" ->
+      s"""WITH cell AS (SELECT year(l_shipdate) * 12 + month(l_shipdate) AS blk,
+         |    l_returnflag AS g,
+         |    ${sr2("sum(l_extendedprice * (1.0e0 - l_discount))")} AS v
+         |  FROM lineitem GROUP BY 1, 2),
+         |full_b AS (SELECT blk FROM cell GROUP BY 1 HAVING count(*) = 3),
+         |c2 AS (SELECT cell.* FROM cell JOIN full_b USING (blk)),
+         |ranked AS (SELECT a.blk, a.g,
+         |    CAST(sum(CASE WHEN b.v < a.v THEN 1 ELSE 0 END) AS DOUBLE) +
+         |    CAST(sum(CASE WHEN b.v = a.v THEN 1 ELSE 0 END) + 1 AS DOUBLE) / 2e0 AS r
+         |  FROM c2 a JOIN c2 b ON a.blk = b.blk GROUP BY 1, 2),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM full_b),
+         |per AS (SELECT g, sum(r) / CAST((SELECT n FROM n) AS DOUBLE) - 2e0 AS dv
+         |  FROM ranked GROUP BY 1),
+         |ss AS (SELECT sum((r - 2e0) * (r - 2e0)) AS sst FROM ranked),
+         |agg AS (SELECT (SELECT n FROM n) AS n_blocks, CAST(3 AS BIGINT) AS k,
+         |    sum(dv * dv) AS ssj FROM per)
+         |SELECT n_blocks, k,
+         |  ${sr4("CAST(n_blocks AS DOUBLE) * n_blocks * (k - 1) * ssj / nullif((SELECT sst FROM ss), 0e0)")} AS chi2_f
+         |FROM agg""".stripMargin,
+    "q269_rate_ratio" ->
+      s"""WITH ev AS (SELECT user_id, event_type,
+         |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS day,
+         |    CASE WHEN ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+         |         THEN 'A' ELSE 'B' END AS arm
+         |  FROM events),
+         |counts AS (SELECT arm, CAST(count(*) AS BIGINT) AS n FROM ev
+         |  WHERE event_type = 'purchase' GROUP BY 1),
+         |expo AS (SELECT arm, CAST(count(*) AS BIGINT) AS e FROM (
+         |    SELECT DISTINCT arm, user_id, day FROM ev) GROUP BY 1),
+         |j AS (SELECT counts.arm, n, e FROM counts JOIN expo USING (arm)),
+         |f AS (SELECT a.n AS n_a, a.e AS e_a, b.n AS n_b, b.e AS e_b,
+         |    CAST(a.e AS DOUBLE) / CAST(a.e + b.e AS DOUBLE) AS p,
+         |    CAST(a.n + b.n AS DOUBLE) AS nn
+         |  FROM (SELECT * FROM j WHERE arm = 'A') a,
+         |       (SELECT * FROM j WHERE arm = 'B') b)
+         |SELECT n_a, e_a, n_b, e_b,
+         |  ${sr4("(CAST(n_a AS DOUBLE) / CAST(e_a AS DOUBLE)) / (CAST(n_b AS DOUBLE) / CAST(e_b AS DOUBLE))")} AS rate_ratio,
+         |  ${sr4("(CAST(n_a AS DOUBLE) - nn * p) / nullif(sqrt(nn * p * (1e0 - p)), 0e0)")} AS z
+         |FROM f""".stripMargin,
     "q259_holt_winters" ->
       s"""WITH daily AS (SELECT l_returnflag, l_shipdate AS day,
          |    ${sr2("sum(l_extendedprice * (1e0 - l_discount))")} AS rev

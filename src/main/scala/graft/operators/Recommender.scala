@@ -847,9 +847,47 @@ object Recommender {
       .orderBy("bin")
   }
 
+  /** Thresholded confusion matrix of the q62 bias scorer at pred ≥ 4 —
+    * the operating-point companion to q265's threshold-free AUC: tp/fp/
+    * fn/tn plus precision, recall, F1, accuracy and Matthews correlation
+    * (the single balanced number that survives class skew; products in
+    * DOUBLE — the four marginals each overflow LONG multiplication near
+    * ~3·10⁹ rows — with the q265 nullif guard for any empty marginal).
+    *
+    * Determinism: counts are exact longs off the 4 dp-pinned score/label
+    * grids; every derived metric divides the same exact values. Scale:
+    * ONE map-side-combined fact agg to four counters. */
+  def q268(s: SparkSession, d: String): DataFrame = {
+    val c = biasScored(s, d)
+      .select(when(col("pred") >= 4.0, 1L).otherwise(0L).as("ph"),
+        when(col("rating") >= 4.0, 1L).otherwise(0L).as("y"))
+      .agg(sum(when(col("ph") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("ph") === 1 && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("ph") === 0 && col("y") === 1, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("ph") === 0 && col("y") === 0, 1L).otherwise(0L)).as("tn"))
+    c.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      r4(col("tp").cast("double") /
+        nullif((col("tp") + col("fp")).cast("double"), lit(0.0))).as("precision"),
+      r4(col("tp").cast("double") /
+        nullif((col("tp") + col("fn")).cast("double"), lit(0.0))).as("recall"),
+      r4(lit(2.0) * col("tp").cast("double") /
+        nullif((lit(2.0) * col("tp") + col("fp") + col("fn")).cast("double"),
+          lit(0.0))).as("f1"),
+      r4((col("tp") + col("tn")).cast("double") /
+        (col("tp") + col("fp") + col("fn") + col("tn")).cast("double"))
+        .as("accuracy"),
+      r4((col("tp").cast("double") * col("tn").cast("double") -
+          col("fp").cast("double") * col("fn").cast("double")) /
+        nullif(sqrt((col("tp") + col("fp")).cast("double") *
+          (col("tp") + col("fn")).cast("double") *
+          (col("tn") + col("fp")).cast("double") *
+          (col("tn") + col("fn")).cast("double")), lit(0.0))).as("mcc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q265_score_auc" -> q265,
     "q266_gains_lift" -> q266,
+    "q268_threshold_confusion" -> q268,
     "q249_rec_novelty" -> q249,
     "q235_rec_diversity" -> q235,
     "q197_slope_one" -> q197,
@@ -879,6 +917,30 @@ object Recommender {
     "q68_tfidf_terms" -> q68)
 
   val oracle: Map[String, String] = Map(
+    "q268_threshold_confusion" ->
+      s"""WITH r AS ($ratingsSql),
+         |mu AS (SELECT avg(rating) AS mu FROM r),
+         |bu AS (SELECT user_id, avg(rating) - (SELECT mu FROM mu) AS bu
+         |  FROM r GROUP BY 1),
+         |bi AS (SELECT item, avg(rating - (SELECT mu FROM mu) - bu.bu) AS bi
+         |  FROM r JOIN bu USING (user_id) GROUP BY 1),
+         |scored AS (SELECT
+         |    CASE WHEN ${sr4("mu.mu + bu.bu + bi.bi")} >= 4e0 THEN 1 ELSE 0 END AS ph,
+         |    CASE WHEN ${sr4("r.rating")} >= 4e0 THEN 1 ELSE 0 END AS y
+         |  FROM r JOIN bu USING (user_id) JOIN bi USING (item) CROSS JOIN mu),
+         |c AS (SELECT
+         |    CAST(sum(CASE WHEN ph = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN ph = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN ph = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN ph = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM scored)
+         |SELECT tp, fp, fn, tn,
+         |  ${sr4("CAST(tp AS DOUBLE) / nullif(CAST(tp + fp AS DOUBLE), 0e0)")} AS precision,
+         |  ${sr4("CAST(tp AS DOUBLE) / nullif(CAST(tp + fn AS DOUBLE), 0e0)")} AS recall,
+         |  ${sr4("2e0 * CAST(tp AS DOUBLE) / nullif(CAST(2e0 * tp + fp + fn AS DOUBLE), 0e0)")} AS f1,
+         |  ${sr4("CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)")} AS accuracy,
+         |  ${sr4("(CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE) - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE)) / nullif(sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE) * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)), 0e0)")} AS mcc
+         |FROM c""".stripMargin,
     "q265_score_auc" ->
       s"""WITH r AS ($ratingsSql),
          |mu AS (SELECT avg(rating) AS mu FROM r),

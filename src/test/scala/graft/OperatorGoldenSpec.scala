@@ -2133,6 +2133,99 @@ class OperatorGoldenSpec extends AnyFunSuite {
     }
   }
 
+  // ---- r9 batch 7: constructed-fixture goldens ----
+
+  test("q267 golden: a perfectly consistent flag ordering gives the maximal chi2; all-tied blocks give null") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g267").toString
+    // 3 months, R > N > A in every month: mean ranks (1,2,3), chi2 = 6
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2000-0$m-15 00:00:00")
+    val rows = for (m <- 1 to 3; (g, v) <- Seq("A" -> 10.0, "N" -> 20.0, "R" -> 30.0))
+      yield (g, ts(m), v + m, 0.0)
+    rows.toDF("l_returnflag", "l_shipdate", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = operators.Analytics.q267(s, dir).head()
+    assert(got.getLong(0) == 3L && got.getLong(1) == 3L && got.getDouble(2) == 6.0)
+    // every block fully tied -> zero rank variance -> null, not 0/0
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_g267b").toString
+    (for (m <- 1 to 3; g <- Seq("A", "N", "R")) yield (g, ts(m), 7.0, 0.0))
+      .toDF("l_returnflag", "l_shipdate", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir2/lineitem.parquet")
+    assert(operators.Analytics.q267(s, dir2).head().isNullAt(2))
+  }
+
+  test("q268 golden: a perfect scorer reads all-ones; a collapsed scorer nulls the undefined marginals") {
+    import TestSpark.spark.implicits._
+    // single user -> pred == rating: thresholded prediction is perfect
+    val dir = java.nio.file.Files.createTempDirectory("graft_g268").toString
+    Seq(1.0, 2.0, 4.5, 5.0).zipWithIndex.map { case (v, k) =>
+      (k.toLong, dayNs(k.toLong), 1L, "view", v, s"""{"k": $k}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val a = operators.Recommender.q268(s, dir).head()
+    assert(a.getLong(0) == 2L && a.getLong(1) == 0L &&
+      a.getLong(2) == 0L && a.getLong(3) == 2L)
+    assert(a.getDouble(4) == 1.0 && a.getDouble(5) == 1.0 &&
+      a.getDouble(6) == 1.0 && a.getDouble(7) == 1.0 && a.getDouble(8) == 1.0)
+    // symmetric users -> every pred collapses below the threshold:
+    // no positive predictions -> precision and MCC undefined (null)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_g268b").toString
+    Seq((1L, 0L, 5.0), (1L, 1L, 1.0), (2L, 0L, 1.0), (2L, 1L, 5.0))
+      .zipWithIndex.map { case ((u, k, v), i) =>
+        (i.toLong, dayNs(i.toLong), u, "view", v, s"""{"k": $k}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val b = operators.Recommender.q268(s, dir2).head()
+    assert(b.getLong(0) == 0L && b.getLong(2) == 2L && b.getLong(3) == 2L)
+    assert(b.isNullAt(4) && b.getDouble(5) == 0.0 && b.getDouble(6) == 0.0 &&
+      b.getDouble(7) == 0.5 && b.isNullAt(8))
+  }
+
+  test("q269 golden: hand-recomputed conditional rate z matches on designed per-arm activity") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g269").toString
+    // users 1..8, one active day each, user u makes u purchases that day
+    val rows = for (u <- 1L to 8L; i <- 1L to u)
+      yield (u * 100 + i, dayNs(u) + i * 1000L, u, "purchase", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val arms = TestSpark.spark.range(1, 9).toDF("user_id")
+      .select(col("user_id"), api.Graft.hashBucket(col("user_id"), 2).as("b"))
+      .collect().map(r => r.getLong(0) -> (if (r.getLong(1) == 0L) "A" else "B")).toMap
+    val byArm = (1L to 8L).groupBy(arms)
+    val (na, ea) = (byArm("A").sum, byArm("A").size.toLong)
+    val (nb, eb) = (byArm("B").sum, byArm("B").size.toLong)
+    val p = ea.toDouble / (ea + eb)
+    val nn = (na + nb).toDouble
+    val z = (na - nn * p) / math.sqrt(nn * p * (1.0 - p))
+    val got = operators.Analytics.q269(s, dir).head()
+    assert(got.getLong(0) == na && got.getLong(1) == ea &&
+      got.getLong(2) == nb && got.getLong(3) == eb)
+    assert(got.getDouble(4) == pin((na.toDouble / ea) / (nb.toDouble / eb), 1e4))
+    assert(got.getDouble(5) == pin(z, 1e4))
+  }
+
+  test("r9 batch-7 invariants at sf0.001 AND sf0.01: chi2 positivity, confusion conservation, rate bounds") {
+    for (sf <- Seq(d, TestSpark.sf001)) {
+      val fr = operators.Analytics.q267(s, sf).head()
+      assert(fr.getLong(0) > 0L && fr.getLong(1) == 3L && fr.getDouble(2) >= 0.0)
+      val cm = operators.Recommender.q268(s, sf).head()
+      val total = Tables.biasScored(s, sf).count()
+      assert(cm.getLong(0) + cm.getLong(1) + cm.getLong(2) + cm.getLong(3) == total)
+      assert(cm.getDouble(7) >= 0.0 && cm.getDouble(7) <= 1.0)
+      assert(cm.isNullAt(8) || (cm.getDouble(8) >= -1.0 && cm.getDouble(8) <= 1.0))
+      val rr = operators.Analytics.q269(s, sf).head()
+      assert(rr.getLong(0) > 0L && rr.getLong(1) > 0L &&
+        rr.getLong(2) > 0L && rr.getLong(3) > 0L)
+      assert(rr.getDouble(4) > 0.0)
+      val userDays = Tables.events(s, sf)
+        .select(col("user_id"),
+          expr("((ts div 1000) - 1704067200000000) div 86400000000").as("day"))
+        .distinct().count()
+      assert(rr.getLong(1) + rr.getLong(3) == userDays)
+    }
+  }
+
   test("r9 batch-5 invariants at sf0.001 AND sf0.01: forecast assembly, power positivity, shrinkage direction") {
     for (sf <- Seq(d, TestSpark.sf001)) {
       val hw = operators.Analytics.q259(s, sf).collect()
