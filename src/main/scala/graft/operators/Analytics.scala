@@ -1883,7 +1883,40 @@ object Analytics {
           .as("z"))
   }
 
+  /** Join-key skew diagnostics — the "should this join be salted"
+    * pre-flight beside q112's column profile and q245's FD audit: for
+    * each declared join key, the key cardinality, per-key row quantiles,
+    * the hottest key's count and the skew factor max/mean (the ratio
+    * that predicts the straggler task AQE's skew-join split or
+    * [[graft.api.Graft.saltedSum]]-style salting must absorb — a factor
+    * of 1 is perfectly uniform, the q205/Gini-style concentration read
+    * specialized to shuffle planning).
+    *
+    * Determinism: counts exact; percentiles interpolate identical exact
+    * longs widened to double (q29 parity); one pinned ratio. Scale:
+    * each branch is ONE map-side-combined fact agg to the key grain
+    * then a one-row percentile agg — the profile costs one pass per
+    * declared key. */
+  def q271(s: SparkSession, d: String): DataFrame = {
+    def prof(df: DataFrame, keyCol: String, label: String) =
+      df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+        .agg(lit(label).as("join_key"), count(lit(1)).as("n_keys"),
+          sum("c").as("n_rows"), max("c").as("max_rows"),
+          percentile(col("c").cast("double"), lit(0.5)).as("med"),
+          percentile(col("c").cast("double"), lit(0.99)).as("p99"))
+    prof(lineitem(s, d), "l_orderkey", "lineitem.l_orderkey")
+      .unionByName(prof(lineitem(s, d), "l_partkey", "lineitem.l_partkey"))
+      .unionByName(prof(orders(s, d), "o_custkey", "orders.o_custkey"))
+      .unionByName(prof(events(s, d), "user_id", "events.user_id"))
+      .select(col("join_key"), col("n_keys"), col("n_rows"), col("max_rows"),
+        r2(col("med")).as("p50_rows"), r2(col("p99")).as("p99_rows"),
+        r4(col("max_rows").cast("double") * col("n_keys").cast("double") /
+          col("n_rows").cast("double")).as("skew_factor"))
+      .orderBy("join_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q271_skew_diag" -> q271,
     "q267_friedman_test" -> q267,
     "q269_rate_ratio" -> q269,
     "q259_holt_winters" -> q259,
@@ -1958,6 +1991,36 @@ object Analytics {
     s"floor((0.4e0 * (x[1] - ($hwNl)) + (1e0 - 0.4e0) * acc[3]) * 1e10 + 0.5e0) / 1e10"
 
   val oracle: Map[String, String] = Map(
+    "q271_skew_diag" ->
+      s"""WITH u AS (
+         |  SELECT 'lineitem.l_orderkey' AS join_key,
+         |      CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+         |      CAST(max(c) AS BIGINT) AS max_rows,
+         |      quantile_cont(CAST(c AS DOUBLE), 0.5) AS med,
+         |      quantile_cont(CAST(c AS DOUBLE), 0.99) AS p99
+         |    FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey)
+         |  UNION ALL
+         |  SELECT 'lineitem.l_partkey', CAST(count(*) AS BIGINT),
+         |      CAST(sum(c) AS BIGINT), CAST(max(c) AS BIGINT),
+         |      quantile_cont(CAST(c AS DOUBLE), 0.5),
+         |      quantile_cont(CAST(c AS DOUBLE), 0.99)
+         |    FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey)
+         |  UNION ALL
+         |  SELECT 'orders.o_custkey', CAST(count(*) AS BIGINT),
+         |      CAST(sum(c) AS BIGINT), CAST(max(c) AS BIGINT),
+         |      quantile_cont(CAST(c AS DOUBLE), 0.5),
+         |      quantile_cont(CAST(c AS DOUBLE), 0.99)
+         |    FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey)
+         |  UNION ALL
+         |  SELECT 'events.user_id', CAST(count(*) AS BIGINT),
+         |      CAST(sum(c) AS BIGINT), CAST(max(c) AS BIGINT),
+         |      quantile_cont(CAST(c AS DOUBLE), 0.5),
+         |      quantile_cont(CAST(c AS DOUBLE), 0.99)
+         |    FROM (SELECT count(*) AS c FROM events GROUP BY user_id))
+         |SELECT join_key, n_keys, n_rows, max_rows,
+         |  ${sr2("med")} AS p50_rows, ${sr2("p99")} AS p99_rows,
+         |  ${sr4("CAST(max_rows AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)")} AS skew_factor
+         |FROM u ORDER BY join_key""".stripMargin,
     "q267_friedman_test" ->
       s"""WITH cell AS (SELECT year(l_shipdate) * 12 + month(l_shipdate) AS blk,
          |    l_returnflag AS g,

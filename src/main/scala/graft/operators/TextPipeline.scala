@@ -914,7 +914,56 @@ object TextPipeline {
           col("n_tokens").cast("double")).as("interference"))
       .orderBy("bucket")
 
+  /** Dedup-screen evaluation — recall/precision of the cheap SimHash
+    * banded candidate generator (q138's 4×12-bit bands over the 48-bit
+    * signature) against the exact near-dup ground truth (q76's 5-shingle
+    * Jaccard ≥ 0.4): the META-operator a pipeline owner runs before
+    * trusting an LSH screen at scale, answering "how much of the real
+    * duplication does the screen capture, at what candidate volume".
+    * Reports docs, the all-pairs count the screen avoided, candidates
+    * and their rate, truth pairs, hits, recall and screen precision.
+    *
+    * Determinism: both relations are deterministic sha/integer
+    * machinery; counts exact; pinned ratios with empty-side nullif
+    * guards. Scale: reuses the memoized signature/shingle-pair
+    * relations — both sides banded/pruned, never all-pairs; the final
+    * assembly is three one-row counts. */
+  def q270(s: SparkSession, d: String): DataFrame = {
+    val sig = simhash48(s, d)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("bv", expr("(simhash >> (12 * b)) & 4095"))
+    val cand = banded.select(col("doc_id").as("doc_a"), col("b"), col("bv"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("b"), col("bv")),
+        Seq("b", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sizes = shingles5(s, d).groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val truth = shinglePairCounts(s, d)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(r5(col("shared") / (col("na") + col("nb") - col("shared"))) >= 0.4)
+      .select("doc_a", "doc_b")
+    val nd = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val hit = truth.join(cand, Seq("doc_a", "doc_b"))
+    nd.crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .select(col("n_docs"),
+        expr("(n_docs * (n_docs - 1)) div 2").as("all_pairs"),
+        col("n_candidates"),
+        r5(col("n_candidates").cast("double") /
+          (col("n_docs").cast("double") * (col("n_docs") - 1) / lit(2.0)))
+          .as("candidate_rate"),
+        col("n_truth"), col("n_hit"),
+        r4(col("n_hit").cast("double") /
+          nullif(col("n_truth").cast("double"), lit(0.0))).as("recall"),
+        r4(col("n_hit").cast("double") /
+          nullif(col("n_candidates").cast("double"), lit(0.0))).as("screen_precision"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_dedup_eval" -> q270,
     "q263_feature_hashing" -> q263,
     "q253_tfidf_doc_sim" -> q253,
     "q237_source_entropy" -> q237,
@@ -949,6 +998,49 @@ object TextPipeline {
   private val wordsCte = s"w AS ($wordsSql)"
 
   val oracle: Map[String, String] = Map(
+    "q270_dedup_eval" ->
+      s"""WITH $wordsCte,
+         |wh AS (SELECT DISTINCT doc_id, wd FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(words) - 2),
+         |      i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS wd
+         |    FROM w WHERE len(words) >= 3)),
+         |hs AS (SELECT doc_id, ('0x' || substr(sha256(wd), 1, 12))::BIGINT AS h FROM wh),
+         |votes AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM hs, generate_series(0, 47) AS t(j) GROUP BY 1, 2),
+         |sig AS (SELECT doc_id,
+         |    sum(CASE WHEN vote > 0 THEN CAST(pow(2e0, j) AS BIGINT) ELSE 0 END) AS simhash
+         |  FROM votes GROUP BY 1),
+         |banded AS (SELECT doc_id, b, (simhash >> (12 * b)) & 4095 AS bv
+         |  FROM sig, generate_series(0, 3) AS t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |  ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |sh AS ($shinglesSql),
+         |rare AS (SELECT sh FROM sh GROUP BY 1 HAVING count(*) <= 50),
+         |pr AS (SELECT s2.doc_id, s2.sh FROM sh s2 JOIN rare USING (sh)),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS shared
+         |  FROM pr a JOIN pr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         |truth AS (SELECT p.doc_a, p.doc_b FROM pairs p
+         |  JOIN sizes na ON na.doc_id = p.doc_a
+         |  JOIN sizes nb ON nb.doc_id = p.doc_b
+         |  WHERE ${sr5("p.shared / CAST(na.n + nb.n - p.shared AS DOUBLE)")} >= 0.4),
+         |hit AS (SELECT t.doc_a FROM truth t
+         |  JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |cnt AS (SELECT (SELECT n_docs FROM nd) AS n_docs,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit)
+         |SELECT n_docs, (n_docs * (n_docs - 1)) // 2 AS all_pairs,
+         |  n_candidates,
+         |  ${sr5("CAST(n_candidates AS DOUBLE) / (CAST(n_docs AS DOUBLE) * (n_docs - 1) / 2e0)")} AS candidate_rate,
+         |  n_truth, n_hit,
+         |  ${sr4("CAST(n_hit AS DOUBLE) / nullif(CAST(n_truth AS DOUBLE), 0e0)")} AS recall,
+         |  ${sr4("CAST(n_hit AS DOUBLE) / nullif(CAST(n_candidates AS DOUBLE), 0e0)")} AS screen_precision
+         |FROM cnt""".stripMargin,
     "q263_feature_hashing" ->
       s"""WITH w AS ($wordsSql),
          |tok AS (SELECT unnest(words) AS w FROM w),

@@ -2205,6 +2205,74 @@ class OperatorGoldenSpec extends AnyFunSuite {
     assert(got.getDouble(5) == pin(z, 1e4))
   }
 
+  // ---- r9 batch 8: constructed-fixture goldens ----
+
+  test("q270 golden: an exact duplicate is always screened (recall 1); a dup-free corpus nulls recall") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g270").toString
+    val dup = "one two three four five six seven"
+    Seq((1L, dup), (2L, dup), (3L, "red green blue cyan magenta yellow black"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.TextPipeline.q270(s, dir).head()
+    assert(got.getLong(0) == 3L && got.getLong(1) == 3L)
+    assert(got.getLong(4) == 1L && got.getLong(5) == 1L &&
+      got.getDouble(6) == 1.0)
+    assert(got.getDouble(7) > 0.0 && got.getDouble(7) <= 1.0)
+    // three all-distinct docs: zero truth pairs -> recall null, not 0/0
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_g270b").toString
+    Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "red green blue cyan magenta yellow"),
+      (3L, "one two three four five six"))
+      .map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val none = operators.TextPipeline.q270(s, dir2).head()
+    assert(none.getLong(4) == 0L && none.isNullAt(6))
+  }
+
+  test("q271 golden: designed key distributions give the hand-computed skew factors") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g271").toString
+    Seq((1L, 1L), (1L, 1L), (1L, 2L), (1L, 2L), (2L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 7L), (2L, 7L), (3L, 8L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq(1L, 2L, 3L).map(i => (i, dayNs(i), 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Analytics.q271(s, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // l_orderkey {1:4, 2:1}: p50 2.5, p99 = 1 + 0.99*3 = 3.97, skew 4*2/5
+    assert(got("lineitem.l_orderkey") == ((2L, 5L, 4L, 2.5, 3.97, 1.6)))
+    assert(got("lineitem.l_partkey") == ((3L, 5L, 2L, 2.0, 2.0, 1.2)))
+    assert(got("orders.o_custkey") == ((2L, 3L, 2L, 1.5, 1.99, 1.3333)))
+    assert(got("events.user_id") == ((1L, 3L, 3L, 3.0, 3.0, 1.0)))
+  }
+
+  test("r9 batch-8 invariants at sf0.001 AND sf0.01: screen bounds, skew floors") {
+    for (sf <- Seq(d, TestSpark.sf001)) {
+      val de = operators.TextPipeline.q270(s, sf).head()
+      assert(de.getLong(2) <= de.getLong(1))
+      assert(de.getLong(5) <= de.getLong(2) && de.getLong(5) <= de.getLong(4))
+      assert(de.isNullAt(6) ||
+        (de.getDouble(6) >= 0.0 && de.getDouble(6) <= 1.0))
+      val sk = operators.Analytics.q271(s, sf).collect()
+      assert(sk.length == 4)
+      sk.foreach { r =>
+        assert(r.getDouble(6) >= 1.0 - 1e-9)
+        assert(r.getDouble(4) <= r.getDouble(5) + 1e-9 &&
+          r.getDouble(5) <= r.getLong(3) + 1e-9)
+      }
+      val li = Tables.lineitem(s, sf).count()
+      assert(sk.find(_.getString(0) == "lineitem.l_orderkey").get.getLong(2) == li)
+      assert(sk.find(_.getString(0) == "lineitem.l_partkey").get.getLong(2) == li)
+    }
+  }
+
   test("r9 batch-7 invariants at sf0.001 AND sf0.01: chi2 positivity, confusion conservation, rate bounds") {
     for (sf <- Seq(d, TestSpark.sf001)) {
       val fr = operators.Analytics.q267(s, sf).head()
