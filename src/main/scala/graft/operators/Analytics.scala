@@ -1915,7 +1915,110 @@ object Analytics {
       .orderBy("join_key")
   }
 
+  /** Group-sequential experiment monitor — the peeking-safe readout the
+    * experimentation family still lacked (q140 tests ONCE at the end;
+    * real experiments are read daily): the month splits into K = 5
+    * six-day looks, each look computes the q269-style exact-conditional
+    * purchase-rate z on data CUMULATIVE through that look, and compares
+    * |z| against the O'Brien–Fleming spending boundary
+    * c_K·√(K/k) (c₅ = 2.04, the canonical K=5, two-sided α=0.05
+    * constant) — early looks demand overwhelming evidence, the final
+    * look nearly the fixed-sample bound, and the overall type-I error
+    * stays 5% despite five reads.
+    *
+    * Determinism: look cumulatives are exact-long prefix sums over the
+    * 5-row look grain; z is the q269 expression with its nullif guard;
+    * the boundary is literal arithmetic. Scale: one fact pass to the
+    * (look × arm) grain, a 10-row prefix window, one-row-per-look
+    * assembly. */
+  def q272(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_type"),
+        expr("((ts div 1000) - 1704067200000000) div 86400000000").as("day"))
+      .filter(col("day") < 30)
+      .withColumn("look", least(expr("day div 6") + 1, lit(5L)))
+      .withColumn("arm",
+        when(graft.api.Graft.hashBucket(col("user_id"), 2) === 0, "A")
+          .otherwise("B"))
+    val per = ev.groupBy("look", "arm")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n"),
+        countDistinct("user_id", "day").as("e"))
+    val w = Window.partitionBy("arm").orderBy("look")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = per.select(col("look"), col("arm"),
+      sum("n").over(w).as("cn"), sum("e").over(w).as("ce"))
+    val a = cum.filter(col("arm") === "A")
+      .select(col("look"), col("cn").as("n_a"), col("ce").as("e_a"))
+    val b = cum.filter(col("arm") === "B")
+      .select(col("look"), col("cn").as("n_b"), col("ce").as("e_b"))
+    a.join(b, "look")
+      .withColumn("p", col("e_a").cast("double") /
+        (col("e_a") + col("e_b")).cast("double"))
+      .withColumn("nn", (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("z", r4((col("n_a").cast("double") - col("nn") * col("p")) /
+        nullif(sqrt(col("nn") * col("p") * (lit(1.0) - col("p"))), lit(0.0))))
+      .withColumn("bound", r4(lit(2.04) * sqrt(lit(5.0) / col("look").cast("double"))))
+      .select(col("look"), col("n_a"), col("e_a"), col("n_b"), col("e_b"),
+        col("z"), col("bound"), (abs(col("z")) > col("bound")).as("crossed"))
+      .orderBy("look")
+  }
+
+  /** Uplift decile curve of the q140 experiment — incremental conversion
+    * by targeting depth: users rank by PRE-period activity (first-half
+    * event count, the targeting score), cut into rank deciles via the
+    * q136 integer-bin discipline, and each decile reports treated vs
+    * control conversion (≥14 purchases, the q140 interior metric), their
+    * difference, and the cumulative incremental conversions per treated
+    * user — the Qini-style curve read before rolling a targeted
+    * campaign out by depth.
+    *
+    * Determinism: the score support is exact longs; bins are integer
+    * arithmetic on prefix-scan cumulative counts; rates divide exact
+    * longs; cumulatives run over the ≤10-row bin grain. Scale: two
+    * fact-scale user aggs, the range-blocked prefix scan, a 10-row
+    * window. */
+  def q273(s: SparkSession, d: String): DataFrame = {
+    val base = events(s, d).select(col("user_id"), col("event_type"),
+      expr("((ts div 1000) - 1704067200000000) div 86400000000").as("day"))
+    val score = base.filter(col("day") < 15)
+      .groupBy("user_id").agg(count(lit(1)).as("sc"))
+    val conv = base.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("np"))
+      .filter(col("np") >= 14).select("user_id").withColumn("cv", lit(1L))
+    val scored = score.join(conv, Seq("user_id"), "left")
+      .withColumn("arm",
+        when(graft.api.Graft.hashBucket(col("user_id"), 2) === 0, "A")
+          .otherwise("B"))
+      .select(col("sc"), col("arm"), coalesce(col("cv"), lit(0L)).as("cv"))
+    val sup = scored.groupBy("sc").agg(count(lit(1)).as("t"),
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("ta"),
+      sum(when(col("arm") === "A", col("cv")).otherwise(0L)).as("ca"),
+      sum(when(col("arm") === "B", col("cv")).otherwise(0L)).as("cb"))
+    val tot = sup.agg(sum("t").as("ntot"))
+    val binned = graft.api.Graft.prefixSum(sup, "sc", Seq("t"))
+      .crossJoin(broadcast(tot))
+      // rank-from-the-top: highest activity lands in decile 1
+      .withColumn("cum_desc", col("ntot") - col("t_cum") + col("t"))
+      .withColumn("bin", expr("(cum_desc * 10 + ntot - 1) div ntot"))
+      .groupBy("bin")
+      .agg(sum("ta").as("n_a"), sum(col("t") - col("ta")).as("n_b"),
+        sum("ca").as("conv_a"), sum("cb").as("conv_b"))
+    val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    binned
+      .withColumn("inc", col("conv_a").cast("double") -
+        col("conv_b").cast("double") * col("n_a").cast("double") /
+          nullif(col("n_b").cast("double"), lit(0.0)))
+      .withColumn("cum_inc", sum("inc").over(w))
+      .select(col("bin"), col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        r4(col("conv_a").cast("double") / nullif(col("n_a").cast("double"), lit(0.0)) -
+          col("conv_b").cast("double") / nullif(col("n_b").cast("double"), lit(0.0)))
+          .as("uplift"),
+        r4(col("cum_inc")).as("cum_incremental"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q272_sequential_probe" -> q272,
+    "q273_uplift_deciles" -> q273,
     "q271_skew_diag" -> q271,
     "q267_friedman_test" -> q267,
     "q269_rate_ratio" -> q269,
@@ -1991,6 +2094,69 @@ object Analytics {
     s"floor((0.4e0 * (x[1] - ($hwNl)) + (1e0 - 0.4e0) * acc[3]) * 1e10 + 0.5e0) / 1e10"
 
   val oracle: Map[String, String] = Map(
+    "q272_sequential_probe" ->
+      s"""WITH ev AS (SELECT user_id, event_type,
+         |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS day,
+         |    CASE WHEN ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+         |         THEN 'A' ELSE 'B' END AS arm
+         |  FROM events),
+         |lk AS (SELECT *, least(day // 6 + 1, 5) AS look FROM ev WHERE day < 30),
+         |per AS (SELECT look, arm,
+         |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT (user_id, day)) AS BIGINT) AS e
+         |  FROM lk GROUP BY 1, 2),
+         |cum AS (SELECT look, arm,
+         |    CAST(sum(n) OVER (PARTITION BY arm ORDER BY look
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+         |    CAST(sum(e) OVER (PARTITION BY arm ORDER BY look
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ce
+         |  FROM per),
+         |j AS (SELECT a.look, a.cn AS n_a, a.ce AS e_a, b.cn AS n_b, b.ce AS e_b,
+         |    CAST(a.ce AS DOUBLE) / CAST(a.ce + b.ce AS DOUBLE) AS p,
+         |    CAST(a.cn + b.cn AS DOUBLE) AS nn
+         |  FROM (SELECT * FROM cum WHERE arm = 'A') a
+         |  JOIN (SELECT * FROM cum WHERE arm = 'B') b ON a.look = b.look),
+         |z AS (SELECT look, n_a, e_a, n_b, e_b,
+         |    ${sr4("(CAST(n_a AS DOUBLE) - nn * p) / nullif(sqrt(nn * p * (1e0 - p)), 0e0)")} AS z,
+         |    ${sr4("2.04e0 * sqrt(5e0 / CAST(look AS DOUBLE))")} AS bound
+         |  FROM j)
+         |SELECT look, n_a, e_a, n_b, e_b, z, bound, abs(z) > bound AS crossed
+         |FROM z ORDER BY look""".stripMargin,
+    "q273_uplift_deciles" ->
+      s"""WITH base AS (SELECT user_id, event_type,
+         |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS day
+         |  FROM events),
+         |score AS (SELECT user_id, CAST(count(*) AS BIGINT) AS sc
+         |  FROM base WHERE day < 15 GROUP BY 1),
+         |conv AS (SELECT user_id, 1 AS cv FROM base
+         |  WHERE event_type = 'purchase' GROUP BY 1 HAVING count(*) >= 14),
+         |scored AS (SELECT sc,
+         |    CASE WHEN ('0x' || substr(sha256(CAST(s.user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+         |         THEN 'A' ELSE 'B' END AS arm,
+         |    coalesce(cv, 0) AS cv
+         |  FROM score s LEFT JOIN conv USING (user_id)),
+         |sup AS (SELECT sc, CAST(count(*) AS BIGINT) AS t,
+         |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+         |    CAST(sum(CASE WHEN arm = 'A' THEN cv ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN arm = 'B' THEN cv ELSE 0 END) AS BIGINT) AS cb
+         |  FROM scored GROUP BY 1),
+         |tot AS (SELECT CAST(sum(t) AS BIGINT) AS ntot FROM sup),
+         |cum AS (SELECT sc, t, ta, ca, cb,
+         |    CAST(sum(t) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tc
+         |  FROM sup),
+         |binned AS (SELECT CAST(((ntot - tc + t) * 10 + ntot - 1) // ntot AS BIGINT) AS bin,
+         |    CAST(sum(ta) AS BIGINT) AS n_a, CAST(sum(t - ta) AS BIGINT) AS n_b,
+         |    CAST(sum(ca) AS BIGINT) AS conv_a, CAST(sum(cb) AS BIGINT) AS conv_b
+         |  FROM cum CROSS JOIN tot GROUP BY 1),
+         |c2 AS (SELECT bin, n_a, n_b, conv_a, conv_b,
+         |    sum(CAST(conv_a AS DOUBLE) - CAST(conv_b AS DOUBLE) *
+         |        CAST(n_a AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0e0))
+         |      OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_inc
+         |  FROM binned)
+         |SELECT bin, n_a, n_b, conv_a, conv_b,
+         |  ${sr4("CAST(conv_a AS DOUBLE) / nullif(CAST(n_a AS DOUBLE), 0e0) - CAST(conv_b AS DOUBLE) / nullif(CAST(n_b AS DOUBLE), 0e0)")} AS uplift,
+         |  ${sr4("cum_inc")} AS cum_incremental
+         |FROM c2 ORDER BY bin""".stripMargin,
     "q271_skew_diag" ->
       s"""WITH u AS (
          |  SELECT 'lineitem.l_orderkey' AS join_key,

@@ -2253,6 +2253,105 @@ class OperatorGoldenSpec extends AnyFunSuite {
     assert(got("events.user_id") == ((1L, 3L, 3L, 3.0, 3.0, 1.0)))
   }
 
+  // ---- r9 batch 9: constructed-fixture goldens ----
+
+  test("q272 golden: per-look z and O'Brien-Fleming bounds match an independent sequential recomputation") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g272").toString
+    // user u: u purchases on day 0 (look 1), one view on days 6/12/18/24
+    val rows = (for (u <- 1L to 6L) yield {
+      val buys = (1L to u).map(i => (u * 1000 + i, dayNs(0) + u * 100000L + i, u, "purchase"))
+      val views = (1 to 4).map(k => (u * 1000 + 100 + k, dayNs(6L * k) + u * 1000L, u, "view"))
+      buys ++ views
+    }).flatten
+    rows.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // independent replication of the whole sequential computation
+    val arm = (1L to 6L).map(u => u -> (if (shaBucket(u.toString, 2) == 0L) "A" else "B")).toMap
+    val armUsers = (1L to 6L).groupBy(arm)
+    def cumAt(k: Int, a: String): (Long, Long) = {
+      val us = armUsers(a)
+      // purchases all land in look 1; each user has exactly 1 active day/look
+      (us.map(u => u).sum, us.size.toLong * k)
+    }
+    val got = operators.Analytics.q272(s, dir).collect().sortBy(_.getLong(0))
+    assert(got.length == 5)
+    got.foreach { r =>
+      val k = r.getLong(0).toInt
+      val (na, ea) = cumAt(k, "A"); val (nb, eb) = cumAt(k, "B")
+      assert(r.getLong(1) == na && r.getLong(2) == ea &&
+        r.getLong(3) == nb && r.getLong(4) == eb)
+      val p = ea.toDouble / (ea + eb); val nn = (na + nb).toDouble
+      val z = (na - nn * p) / math.sqrt(nn * p * (1.0 - p))
+      assert(r.getDouble(5) == pin(z, 1e4))
+      assert(r.getDouble(6) == pin(2.04 * math.sqrt(5.0 / k), 1e4))
+      assert(r.getBoolean(7) == (math.abs(r.getDouble(5)) > r.getDouble(6)))
+    }
+  }
+
+  test("q273 golden: decile uplift matches an independent recomputation on designed activity scores") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g273").toString
+    // user u: u first-half views (score u); users 2,4,6,8,10 convert
+    // (14 purchases in the second half)
+    val rows = (for (u <- 1L to 10L) yield {
+      val views = (1L to u).map(i => (u * 1000 + i, dayNs(2) + u * 10000L + i, u, "view"))
+      val buys = if (u % 2 == 0)
+        (1L to 14L).map(i => (u * 1000 + 500 + i, dayNs(20) + u * 10000L + i, u, "purchase"))
+      else Seq.empty
+      views ++ buys
+    }).flatten
+    rows.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val arm = (1L to 10L).map(u => u -> (if (shaBucket(u.toString, 2) == 0L) "A" else "B")).toMap
+    // scores are all distinct (1..10), so user u (score u) sits alone in
+    // bin 11 - u under the rank-from-the-top integer cut
+    case class BinAgg(var na: Long = 0, var nb: Long = 0, var ca: Long = 0, var cb: Long = 0)
+    val bins = scala.collection.mutable.Map.empty[Long, BinAgg]
+    for (u <- 1L to 10L) {
+      val b = bins.getOrElseUpdate(11L - u, BinAgg())
+      val conv = if (u % 2 == 0) 1L else 0L
+      if (arm(u) == "A") { b.na += 1; b.ca += conv } else { b.nb += 1; b.cb += conv }
+    }
+    val got = operators.Analytics.q273(s, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 10)
+    var cumInc = 0.0
+    for (bin <- 1L to 10L) {
+      val w = bins(bin); val r = got(bin)
+      assert(r.getLong(1) == w.na && r.getLong(2) == w.nb &&
+        r.getLong(3) == w.ca && r.getLong(4) == w.cb)
+      if (w.na > 0 && w.nb > 0) {
+        val uplift = w.ca.toDouble / w.na - w.cb.toDouble / w.nb
+        assert(r.getDouble(5) == pin(uplift, 1e4))
+      }
+      if (w.nb > 0) cumInc += w.ca.toDouble - w.cb.toDouble * w.na / w.nb
+      assert(r.isNullAt(6) || r.getDouble(6) == pin(cumInc, 1e4))
+    }
+  }
+
+  test("r9 batch-9 invariants at sf0.001 AND sf0.01: boundary monotone, exposure growth, decile conservation") {
+    for (sf <- Seq(d, TestSpark.sf001)) {
+      val sq = operators.Analytics.q272(s, sf).collect().sortBy(_.getLong(0))
+      assert(sq.length == 5)
+      sq.sliding(2).foreach { p =>
+        assert(p(1).getDouble(6) < p(0).getDouble(6)) // OBF bound shrinks
+        assert(p(1).getLong(2) >= p(0).getLong(2) && // cumulative exposure
+          p(1).getLong(4) >= p(0).getLong(4))
+      }
+      val up = operators.Analytics.q273(s, sf).collect()
+      assert(up.nonEmpty && up.length <= 10)
+      val users = Tables.events(s, sf)
+        .filter(expr("((ts div 1000) - 1704067200000000) div 86400000000 < 15"))
+        .select("user_id").distinct().count()
+      assert(up.map(r => r.getLong(1) + r.getLong(2)).sum == users)
+      up.foreach(r => assert(r.getLong(3) <= r.getLong(1) &&
+        r.getLong(4) <= r.getLong(2)))
+    }
+  }
+
   test("r9 batch-8 invariants at sf0.001 AND sf0.01: screen bounds, skew floors") {
     for (sf <- Seq(d, TestSpark.sf001)) {
       val de = operators.TextPipeline.q270(s, sf).head()
