@@ -2016,7 +2016,128 @@ object Analytics {
       .orderBy("bin")
   }
 
+  /** Covariate balance table of the q140 experiment — the pre-analysis
+    * hygiene check beside q230's SRM (which audits COUNTS; this audits
+    * COMPOSITION): for each pre-period covariate (event count, purchase
+    * spend, distinct event types), the standardized mean difference
+    * SMD = (x̄_A − x̄_B)/√((s²_A + s²_B)/2) with the |SMD| < 0.1
+    * balanced verdict — the table every causal readout prints before
+    * trusting that randomization actually balanced the arms.
+    *
+    * Determinism: covariates are exact counts / 2 dp-pinned sums at
+    * user grain; var_samp is the q26 surface; one pinned ratio per row.
+    * Scale: one fact pass to the (user × covariate) grain via an
+    * unpivot, a (covariate × arm) agg, a 3-row assembly. */
+  def q274(s: SparkSession, d: String): DataFrame = {
+    val base = events(s, d).select(col("user_id"), col("event_type"),
+      col("value"), expr("((ts div 1000) - 1704067200000000) div 86400000000")
+        .as("day"))
+      .filter(col("day") < 15)
+    val cov = base.groupBy("user_id")
+      .agg(count(lit(1)).cast("double").as("n_events"),
+        r2(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(0.0))).as("spend"),
+        countDistinct("event_type").cast("double").as("n_types"))
+      .withColumn("arm",
+        when(graft.api.Graft.hashBucket(col("user_id"), 2) === 0, "A")
+          .otherwise("B"))
+    val long = cov.selectExpr("arm",
+      "stack(3, 'n_events', n_events, 'purchase_spend', spend, 'n_types', n_types) AS (covariate, x)")
+    val per = long.groupBy("covariate", "arm")
+      .agg(count(lit(1)).as("n"), avg("x").as("m"), var_samp(col("x")).as("v"))
+    val a = per.filter(col("arm") === "A")
+      .select(col("covariate"), col("n").as("n_a"), col("m").as("m_a"),
+        col("v").as("v_a"))
+    val b = per.filter(col("arm") === "B")
+      .select(col("covariate"), col("n").as("n_b"), col("m").as("m_b"),
+        col("v").as("v_b"))
+    a.join(b, "covariate")
+      // the verdict compares the PINNED smd, so a pin-boundary value
+      // cannot flip it differently across engines; the pooled variance is
+      // branch-guarded at <= 0 (a constant covariate has var 0, and one
+      // engine's var_samp can return a tiny NEGATIVE zero whose sqrt is
+      // NaN, not null)
+      .withColumn("pv", (col("v_a") + col("v_b")) / lit(2.0))
+      .withColumn("smd", r4((col("m_a") - col("m_b")) /
+        when(col("pv") <= 0.0, lit(null)).otherwise(sqrt(col("pv")))))
+      // `balanced` is TOTAL: a zero-variance covariate has no defined SMD
+      // (null), but its arms are balanced exactly when the pinned means
+      // agree — so the verdict never carries a null boolean (which the
+      // two engines' null representations would render differently)
+      .select(col("covariate"), col("n_a"), col("n_b"),
+        r4(col("m_a")).as("mean_a"), r4(col("m_b")).as("mean_b"),
+        col("smd"),
+        when(col("smd").isNull, r4(col("m_a")) === r4(col("m_b")))
+          .otherwise(abs(col("smd")) < 0.1).as("balanced"))
+      .orderBy("covariate")
+  }
+
+  /** Retention half-life — the summary number behind q37's cohort
+    * matrix: pooled retention rate by week-since-cohort (weeks 1..4),
+    * then the log-linear decay fit ln(rate) = a + b·week whose slope
+    * gives half-life = −ln 2 / b — "how many weeks until half the
+    * remaining users churn", the single retention number a growth
+    * readout quotes.
+    *
+    * Determinism: rates divide exact distinct counts and pin at 6 dp
+    * BEFORE the ln (both engines take ln of identical doubles); the
+    * regression is q58's closed-form sufficient statistics over 4
+    * points. Scale: the q37 cohort aggs + a 4-row fit. */
+  def q275(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), date_trunc("week", col("tsc")).as("wk"))
+    val cohort = ev.groupBy("user_id").agg(min("wk").as("cw"))
+    val act = ev.join(cohort, "user_id")
+      .select(col("user_id"), col("cw"),
+        (datediff(col("wk"), col("cw")) / 7).cast("long").as("k"))
+      .distinct()
+    val totUsers = cohort.agg(count(lit(1)).as("n_users"))
+    // pooled naive rate: n_active(k)/all users — late cohorts that cannot
+    // reach offset k understate the tail (documented; slice cohorts with
+    // enough runway for an unbiased curve)
+    val rates = act.filter(col("k").between(1, 4))
+      .groupBy("k").agg(count(lit(1)).as("n_active"))
+      .crossJoin(broadcast(totUsers))
+      .select(col("k"), col("n_active"), col("n_users"),
+        rnd(col("n_active").cast("double") / col("n_users").cast("double"), 6)
+          .as("rate"))
+    val fit = rates.agg(count(lit(1)).as("n_points"),
+      avg(col("k").cast("double")).as("mx"), avg(log(col("rate"))).as("my"),
+      (sum(col("k").cast("double") * log(col("rate"))) -
+        count(lit(1)) * avg(col("k").cast("double")) * avg(log(col("rate"))))
+        .as("sxy"),
+      (sum(col("k").cast("double") * col("k")) -
+        count(lit(1)) * avg(col("k").cast("double")) * avg(col("k").cast("double")))
+        .as("sxx"))
+    fit.select(col("n_points"),
+        (col("sxy") / col("sxx")).as("b"))
+      .select(col("n_points"), r4(col("b")).as("decay_slope"),
+        r2(-log(lit(2.0)) / nullif(col("b"), lit(0.0))).as("half_life_weeks"))
+  }
+
+  /** Overdispersion check of per-user event counts — the count-data
+    * modeling gate beside q269's rate test: the index of dispersion
+    * D = s²/x̄ (Poisson ⇒ 1; user activity is invariably overdispersed)
+    * and the χ² = D·(n−1) dispersion statistic, the number that decides
+    * Poisson vs negative-binomial before any rate model ships.
+    *
+    * Determinism: counts exact; mean/variance from exact longs widened
+    * once; pinned ratios. Scale: two map-side-combined aggs. */
+  def q276(s: SparkSession, d: String): DataFrame =
+    events(s, d).groupBy("user_id").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_users"),
+        avg(col("c").cast("double")).as("m"),
+        var_samp(col("c").cast("double")).as("v"))
+      .select(col("n_users"), r2(col("m")).as("mean_events"),
+        r2(col("v")).as("var_events"),
+        r4(col("v") / nullif(col("m"), lit(0.0))).as("dispersion_index"),
+        r2(col("v") / nullif(col("m"), lit(0.0)) *
+          (col("n_users") - 1).cast("double")).as("chi2"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q274_covariate_balance" -> q274,
+    "q275_retention_halflife" -> q275,
+    "q276_overdispersion" -> q276,
     "q272_sequential_probe" -> q272,
     "q273_uplift_deciles" -> q273,
     "q271_skew_diag" -> q271,
@@ -2094,6 +2215,62 @@ object Analytics {
     s"floor((0.4e0 * (x[1] - ($hwNl)) + (1e0 - 0.4e0) * acc[3]) * 1e10 + 0.5e0) / 1e10"
 
   val oracle: Map[String, String] = Map(
+    "q274_covariate_balance" ->
+      s"""WITH base AS (SELECT user_id, event_type, value,
+         |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS day
+         |  FROM events),
+         |cov AS (SELECT user_id,
+         |    CAST(count(*) AS DOUBLE) AS n_events,
+         |    ${sr2("sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0e0 END)")} AS spend,
+         |    CAST(count(DISTINCT event_type) AS DOUBLE) AS n_types,
+         |    CASE WHEN ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+         |         THEN 'A' ELSE 'B' END AS arm
+         |  FROM base WHERE day < 15 GROUP BY user_id),
+         |lng AS (SELECT arm, 'n_events' AS covariate, n_events AS x FROM cov
+         |  UNION ALL SELECT arm, 'purchase_spend', spend FROM cov
+         |  UNION ALL SELECT arm, 'n_types', n_types FROM cov),
+         |per AS (SELECT covariate, arm, CAST(count(*) AS BIGINT) AS n,
+         |    avg(x) AS m, var_samp(x) AS v FROM lng GROUP BY 1, 2),
+         |j AS (SELECT a.covariate, a.n AS n_a, b.n AS n_b, a.m AS m_a,
+         |    b.m AS m_b,
+         |    (a.m - b.m) / (CASE WHEN (a.v + b.v) / 2e0 <= 0e0 THEN NULL
+         |      ELSE sqrt((a.v + b.v) / 2e0) END) AS smd
+         |  FROM (SELECT * FROM per WHERE arm = 'A') a
+         |  JOIN (SELECT * FROM per WHERE arm = 'B') b ON a.covariate = b.covariate)
+         |SELECT covariate, n_a, n_b, ${sr4("m_a")} AS mean_a,
+         |  ${sr4("m_b")} AS mean_b, ${sr4("smd")} AS smd,
+         |  CASE WHEN smd IS NULL THEN ${sr4("m_a")} = ${sr4("m_b")}
+         |       ELSE abs(${sr4("smd")}) < 0.1 END AS balanced
+         |FROM j ORDER BY covariate""".stripMargin,
+    "q275_retention_halflife" ->
+      s"""WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+         |cohort AS (SELECT user_id, min(wk) AS cw FROM ev GROUP BY 1),
+         |act AS (SELECT DISTINCT e.user_id, c.cw,
+         |    date_diff('day', c.cw, e.wk) // 7 AS k
+         |  FROM ev e JOIN cohort c ON e.user_id = c.user_id),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM cohort),
+         |rates AS (SELECT k, CAST(count(*) AS BIGINT) AS n_active,
+         |    ${sqlRnd("CAST(count(*) AS DOUBLE) / CAST((SELECT n_users FROM tot) AS DOUBLE)", 6)} AS rate
+         |  FROM act WHERE k BETWEEN 1 AND 4 GROUP BY 1),
+         |fit AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
+         |    (sum(CAST(k AS DOUBLE) * ln(rate)) -
+         |      count(*) * avg(CAST(k AS DOUBLE)) * avg(ln(rate))) /
+         |    (sum(CAST(k AS DOUBLE) * k) -
+         |      count(*) * avg(CAST(k AS DOUBLE)) * avg(CAST(k AS DOUBLE))) AS b
+         |  FROM rates)
+         |SELECT n_points, ${sr4("b")} AS decay_slope,
+         |  ${sr2("-ln(2e0) / nullif(b, 0e0)")} AS half_life_weeks
+         |FROM fit""".stripMargin,
+    "q276_overdispersion" ->
+      s"""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+         |    avg(CAST(c AS DOUBLE)) AS m, var_samp(CAST(c AS DOUBLE)) AS v
+         |  FROM c)
+         |SELECT n_users, ${sr2("m")} AS mean_events, ${sr2("v")} AS var_events,
+         |  ${sr4("v / nullif(m, 0e0)")} AS dispersion_index,
+         |  ${sr2("v / nullif(m, 0e0) * CAST(n_users - 1 AS DOUBLE)")} AS chi2
+         |FROM agg""".stripMargin,
     "q272_sequential_probe" ->
       s"""WITH ev AS (SELECT user_id, event_type,
          |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS day,

@@ -2332,6 +2332,94 @@ class OperatorGoldenSpec extends AnyFunSuite {
     }
   }
 
+  // ---- r9 batch 10: constructed-fixture goldens ----
+
+  test("q274 golden: SMD table matches an independent recomputation; a constant covariate is vacuously balanced") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g274").toString
+    // user u: u views (day 2) + one purchase of 10u (day 3); every user
+    // has exactly the 2 event types -> n_types is constant (the
+    // zero-variance branch: smd null, balanced true)
+    val rows = (for (u <- 1L to 8L) yield {
+      val views = (1L to u).map(i => (u * 1000 + i, dayNs(2) + u * 10000 + i, u, "view", 1.0))
+      views :+ ((u * 1000 + 999, dayNs(3) + u, u, "purchase", 10.0 * u))
+    }).flatten
+    rows.map { case (id, t, u, ty, v) => (id, t, u, ty, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val arm = (1L to 8L).map(u => u -> (if (shaBucket(u.toString, 2) == 0L) "A" else "B")).toMap
+    def stats(xs: Seq[Double]): (Double, Double) = {
+      val m = xs.sum / xs.size
+      (m, xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1))
+    }
+    def smdOf(f: Long => Double): Double = {
+      val (ma, va) = stats((1L to 8L).filter(u => arm(u) == "A").map(f))
+      val (mb, vb) = stats((1L to 8L).filter(u => arm(u) == "B").map(f))
+      (ma - mb) / math.sqrt((va + vb) / 2.0)
+    }
+    val got = operators.Analytics.q274(s, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.size == 3)
+    val ne = got("n_events")
+    assert(ne.getDouble(5) == pin(smdOf(u => u + 1.0), 1e4))
+    val sp = got("purchase_spend")
+    assert(sp.getDouble(5) == pin(smdOf(u => 10.0 * u), 1e4))
+    val nt = got("n_types")
+    assert(nt.isNullAt(5) && nt.getBoolean(6))
+  }
+
+  test("q275 golden: a designed halving retention curve fits slope -ln 2 and half-life 1 week") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g275").toString
+    // 16 users all cohorted in week 0 (day 1); active sets halve each
+    // week: 8, 4, 2, 1 -> rates .5 .25 .125 .0625, ln-linear with
+    // slope exactly -ln 2 -> half-life exactly 1 week
+    val active = Map(1 -> 8, 2 -> 4, 3 -> 2, 4 -> 1)
+    val base = (1L to 16L).map(u => (u * 100, dayNs(1) + u, u, "view", 1.0, "{}"))
+    val weekly = for ((k, n) <- active.toSeq; u <- 1L to n.toLong)
+      yield (k * 10000L + u, dayNs(7L * k + 1) + u, u, "view", 1.0, "{}")
+    (base ++ weekly)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Analytics.q275(s, dir).head()
+    assert(got.getLong(0) == 4L)
+    assert(got.getDouble(1) == pin(-math.log(2.0), 1e4))
+    assert(got.getDouble(2) == 1.0)
+  }
+
+  test("q276 golden: counts {1,2,3} give dispersion 0.5 and chi2 1") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g276").toString
+    // user 1: 1 event, user 2: 2, user 3: 3 -> mean 2, var 1, D = .5
+    val rows = for (u <- 1L to 3L; i <- 1L to u)
+      yield (u * 10 + i, dayNs(u) + i, u, "view", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Analytics.q276(s, dir).head()
+    assert(got.getLong(0) == 3L && got.getDouble(1) == 2.0 &&
+      got.getDouble(2) == 1.0 && got.getDouble(3) == 0.5 &&
+      got.getDouble(4) == 1.0)
+  }
+
+  test("r9 batch-10 invariants at sf0.001 AND sf0.01: balance totality, curve shape, dispersion positivity") {
+    for (sf <- Seq(d, TestSpark.sf001)) {
+      val cb = operators.Analytics.q274(s, sf).collect()
+      assert(cb.length == 3)
+      cb.foreach(r => assert(!r.isNullAt(6))) // verdict is total
+      val users = Tables.events(s, sf)
+        .filter(expr("((ts div 1000) - 1704067200000000) div 86400000000 < 15"))
+        .select("user_id").distinct().count()
+      cb.foreach(r => assert(r.getLong(1) + r.getLong(2) == users))
+      val rh = operators.Analytics.q275(s, sf).head()
+      assert(rh.getLong(0) == 4L)
+      assert(rh.getDouble(1) <= 1e-9) // pooled retention cannot grow
+      assert(rh.isNullAt(2) || rh.getDouble(2) > 0.0)
+      val od = operators.Analytics.q276(s, sf).head()
+      assert(od.getLong(0) > 0L && od.getDouble(2) > 0.0 &&
+        od.getDouble(3) > 0.0 && od.getDouble(4) > 0.0)
+    }
+  }
+
   test("r9 batch-9 invariants at sf0.001 AND sf0.01: boundary monotone, exposure growth, decile conservation") {
     for (sf <- Seq(d, TestSpark.sf001)) {
       val sq = operators.Analytics.q272(s, sf).collect().sortBy(_.getLong(0))
