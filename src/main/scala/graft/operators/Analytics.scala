@@ -2134,7 +2134,28 @@ object Analytics {
         r2(col("v") / nullif(col("m"), lit(0.0)) *
           (col("n_users") - 1).cast("double")).as("chi2"))
 
+  /** Weekday × hour activity heatmap — the ops/BI load profile beside
+    * q220's per-user histogram and q238's revenue weekday index: event
+    * counts and share of total per (dow, hour) cell, dow by the pure
+    * integer epoch-day arithmetic (q238's gotcha-6 sidestep) and hour by
+    * exact µs division — the grid capacity planning and anomaly
+    * baselining both read.
+    *
+    * Determinism: all-integer cell keys, exact counts, one pinned share.
+    * Scale: ONE map-side-combined fact agg to a ≤168-cell grid. */
+  def q278(s: SparkSession, d: String): DataFrame = {
+    val cells = events(s, d).select(
+        pmod(expr("((ts div 1000) div 86400000000) + 4"), lit(7)).as("dow"),
+        expr("((ts div 1000) % 86400000000) div 3600000000").as("hour"))
+      .groupBy("dow", "hour").agg(count(lit(1)).as("n_events"))
+    cells.crossJoin(broadcast(cells.agg(sum("n_events").as("tot"))))
+      .select(col("dow"), col("hour"), col("n_events"),
+        r5(col("n_events").cast("double") / col("tot").cast("double")).as("share"))
+      .orderBy("dow", "hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q278_hourly_heatmap" -> q278,
     "q274_covariate_balance" -> q274,
     "q275_retention_halflife" -> q275,
     "q276_overdispersion" -> q276,
@@ -2215,6 +2236,16 @@ object Analytics {
     s"floor((0.4e0 * (x[1] - ($hwNl)) + (1e0 - 0.4e0) * acc[3]) * 1e10 + 0.5e0) / 1e10"
 
   val oracle: Map[String, String] = Map(
+    "q278_hourly_heatmap" ->
+      s"""WITH cells AS (SELECT
+         |    ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+         |    (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+         |    CAST(count(*) AS BIGINT) AS n_events
+         |  FROM events GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS tot FROM cells)
+         |SELECT dow, hour, n_events,
+         |  ${sr5("CAST(n_events AS DOUBLE) / CAST(tot AS DOUBLE)")} AS share
+         |FROM cells, tot ORDER BY dow, hour""".stripMargin,
     "q274_covariate_balance" ->
       s"""WITH base AS (SELECT user_id, event_type, value,
          |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS day

@@ -973,7 +973,42 @@ object Workloads {
       .orderBy("o_orderpriority")
   }
 
+  /** Matched-basket price indices 1998 → 1999 — the BI/econ composite the
+    * relational family lacked: per part and year the average unit price
+    * (revenue/quantity) and total quantity, then over parts traded in
+    * BOTH years Laspeyres (base-period basket Σp₁q₀/Σp₀q₀), Paasche
+    * (current basket Σp₁q₁/Σp₀q₁) and their geometric-mean Fisher ideal
+    * index — "how much did like-for-like prices move, holding the basket
+    * fixed", immune to mix shift in a way a raw avg-price ratio is not.
+    *
+    * Determinism: unit prices pin at 4 dp before the basket sums;
+    * quantities are grid sums; the three ratios divide identically
+    * ordered identical products under the 4 dp output pin. Scale: one
+    * fact pass to the (part × year) grain, a self-join on part
+    * (catalog-sized), a one-row assembly. */
+  def q277(s: SparkSession, d: String): DataFrame = {
+    val py = lineitem(s, d)
+      .filter(year(col("l_shipdate")).isin(1998, 1999))
+      .groupBy(col("l_partkey"), year(col("l_shipdate")).as("yr"))
+      .agg(r4(sum(col("l_extendedprice")) / sum(col("l_quantity"))).as("p"),
+        sum(col("l_quantity")).as("q"))
+    val base = py.filter(col("yr") === 1998)
+      .select(col("l_partkey"), col("p").as("p0"), col("q").as("q0"))
+    val cur = py.filter(col("yr") === 1999)
+      .select(col("l_partkey"), col("p").as("p1"), col("q").as("q1"))
+    base.join(cur, "l_partkey")
+      .agg(count(lit(1)).as("n_matched_parts"),
+        sum(col("p1") * col("q0")).as("l_num"), sum(col("p0") * col("q0")).as("l_den"),
+        sum(col("p1") * col("q1")).as("p_num"), sum(col("p0") * col("q1")).as("p_den"))
+      .select(col("n_matched_parts"),
+        r4(col("l_num") / col("l_den")).as("laspeyres"),
+        r4(col("p_num") / col("p_den")).as("paasche"),
+        r4(sqrt((col("l_num") / col("l_den")) * (col("p_num") / col("p_den"))))
+          .as("fisher"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q277_price_index" -> q277,
     "q258_ship_lag_sla" -> q258,
     "q233_open_orders" -> q233,
     "q192_tpch_q11_important_stock" -> q192,
@@ -1010,6 +1045,22 @@ object Workloads {
     "q37_retention_cohorts" -> q37)
 
   val oracle: Map[String, String] = Map(
+    "q277_price_index" ->
+      s"""WITH py AS (SELECT l_partkey, year(l_shipdate) AS yr,
+         |    ${sr4("sum(l_extendedprice) / sum(l_quantity)")} AS p,
+         |    sum(l_quantity) AS q
+         |  FROM lineitem WHERE year(l_shipdate) IN (1998, 1999)
+         |  GROUP BY 1, 2),
+         |base AS (SELECT l_partkey, p AS p0, q AS q0 FROM py WHERE yr = 1998),
+         |cur AS (SELECT l_partkey, p AS p1, q AS q1 FROM py WHERE yr = 1999),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_matched_parts,
+         |    sum(p1 * q0) AS l_num, sum(p0 * q0) AS l_den,
+         |    sum(p1 * q1) AS p_num, sum(p0 * q1) AS p_den
+         |  FROM base JOIN cur USING (l_partkey))
+         |SELECT n_matched_parts, ${sr4("l_num / l_den")} AS laspeyres,
+         |  ${sr4("p_num / p_den")} AS paasche,
+         |  ${sr4("sqrt((l_num / l_den) * (p_num / p_den))")} AS fisher
+         |FROM agg""".stripMargin,
     "q258_ship_lag_sla" ->
       s"""WITH j AS (SELECT o_orderpriority,
          |    CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE) AS lag_d

@@ -2401,6 +2401,59 @@ class OperatorGoldenSpec extends AnyFunSuite {
       got.getDouble(4) == 1.0)
   }
 
+  // ---- r9 batch 11: constructed-fixture goldens ----
+
+  test("q277 golden: a two-part matched basket gives the hand-computed Laspeyres/Paasche/Fisher") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g277").toString
+    def ts(y: Int) = java.sql.Timestamp.valueOf(s"$y-06-15 00:00:00")
+    // part 1: 10->20 (q 2->1); part 2: 5->5 (q 4->8); part 3 unmatched
+    // L = (20*2+5*4)/(10*2+5*4) = 1.5; P = (20*1+5*8)/(10*1+5*8) = 1.2
+    Seq((1L, ts(1998), 20.0, 2.0), (1L, ts(1999), 20.0, 1.0),
+      (2L, ts(1998), 20.0, 4.0), (2L, ts(1999), 40.0, 8.0),
+      (3L, ts(1998), 7.0, 1.0))
+      .toDF("l_partkey", "l_shipdate", "l_extendedprice", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = operators.Workloads.q277(s, dir).head()
+    assert(got.getLong(0) == 2L)
+    assert(got.getDouble(1) == 1.5 && got.getDouble(2) == 1.2)
+    assert(got.getDouble(3) == pin(math.sqrt(1.5 * 1.2), 1e4))
+  }
+
+  test("q278 golden: designed Monday events land in the hand-computed heatmap cells") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g278").toString
+    // dayNs(0) = 2024-01-01 (Monday -> dow 1): 3 events at 00h, 1 at 05h
+    val rows = Seq(
+      (1L, dayNs(0) + 1000L), (2L, dayNs(0) + 2000L), (3L, dayNs(0) + 3000L),
+      (4L, dayNs(0) + 5L * 3600L * 1000000000L))
+    rows.map { case (id, t) => (id, t, 1L, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = operators.Analytics.q278(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map((1L, 0L) -> ((3L, 0.75)), (1L, 5L) -> ((1L, 0.25))))
+  }
+
+  test("r9 batch-11 invariants at sf0.001 AND sf0.01: Fisher bracketing, heatmap conservation") {
+    for (sf <- Seq(d, TestSpark.sf001)) {
+      val pi = operators.Workloads.q277(s, sf).head()
+      assert(pi.getLong(0) > 0L)
+      val (l, p, f) = (pi.getDouble(1), pi.getDouble(2), pi.getDouble(3))
+      assert(l > 0.0 && p > 0.0)
+      assert(f >= math.min(l, p) - 1e-4 && f <= math.max(l, p) + 1e-4)
+      val hm = operators.Analytics.q278(s, sf).collect()
+      assert(hm.nonEmpty && hm.length <= 168)
+      hm.foreach { r =>
+        assert(r.getLong(0) >= 0L && r.getLong(0) <= 6L &&
+          r.getLong(1) >= 0L && r.getLong(1) <= 23L)
+      }
+      assert(hm.map(_.getLong(2)).sum == Tables.events(s, sf).count())
+      val shareSum = hm.map(_.getDouble(3)).sum
+      assert(shareSum > 0.99 && shareSum < 1.01)
+    }
+  }
+
   test("r9 batch-10 invariants at sf0.001 AND sf0.01: balance totality, curve shape, dispersion positivity") {
     for (sf <- Seq(d, TestSpark.sf001)) {
       val cb = operators.Analytics.q274(s, sf).collect()
