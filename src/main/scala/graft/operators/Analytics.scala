@@ -2080,9 +2080,12 @@ object Analytics {
     * readout quotes.
     *
     * Determinism: rates divide exact distinct counts and pin at 6 dp
-    * BEFORE the ln (both engines take ln of identical doubles); the
-    * regression is q58's closed-form sufficient statistics over 4
-    * points. Scale: the q37 cohort aggs + a 4-row fit. */
+    * BEFORE the ln (both engines take ln of identical doubles); a week
+    * whose rate pins to exactly 0 drops out of the fit (ln 0 = −inf
+    * would poison both slopes), and the slope's sxx denominator is
+    * nullif-guarded for the ≤1-point remainder; the regression is q58's
+    * closed-form sufficient statistics over ≤4 points. Scale: the q37
+    * cohort aggs + a 4-row fit. */
   def q275(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
       .select(col("user_id"), date_trunc("week", col("tsc")).as("wk"))
@@ -2101,6 +2104,11 @@ object Analytics {
       .select(col("k"), col("n_active"), col("n_users"),
         rnd(col("n_active").cast("double") / col("n_users").cast("double"), 6)
           .as("rate"))
+      // a true rate below 5e-7 pins to exactly 0.0 and ln(0) = -inf
+      // would silently poison the fit; drop such a week from the
+      // 4-point regression instead (both engines filter the same
+      // pinned values, so the surviving point set is identical)
+      .filter(col("rate") > 0.0)
     val fit = rates.agg(count(lit(1)).as("n_points"),
       avg(col("k").cast("double")).as("mx"), avg(log(col("rate"))).as("my"),
       (sum(col("k").cast("double") * log(col("rate"))) -
@@ -2110,7 +2118,7 @@ object Analytics {
         count(lit(1)) * avg(col("k").cast("double")) * avg(col("k").cast("double")))
         .as("sxx"))
     fit.select(col("n_points"),
-        (col("sxy") / col("sxx")).as("b"))
+        (col("sxy") / nullif(col("sxx"), lit(0.0))).as("b"))
       .select(col("n_points"), r4(col("b")).as("decay_slope"),
         r2(-log(lit(2.0)) / nullif(col("b"), lit(0.0))).as("half_life_weeks"))
   }
@@ -2283,12 +2291,13 @@ object Analytics {
          |rates AS (SELECT k, CAST(count(*) AS BIGINT) AS n_active,
          |    ${sqlRnd("CAST(count(*) AS DOUBLE) / CAST((SELECT n_users FROM tot) AS DOUBLE)", 6)} AS rate
          |  FROM act WHERE k BETWEEN 1 AND 4 GROUP BY 1),
+         |pos AS (SELECT * FROM rates WHERE rate > 0e0),
          |fit AS (SELECT CAST(count(*) AS BIGINT) AS n_points,
          |    (sum(CAST(k AS DOUBLE) * ln(rate)) -
          |      count(*) * avg(CAST(k AS DOUBLE)) * avg(ln(rate))) /
-         |    (sum(CAST(k AS DOUBLE) * k) -
-         |      count(*) * avg(CAST(k AS DOUBLE)) * avg(CAST(k AS DOUBLE))) AS b
-         |  FROM rates)
+         |    nullif(sum(CAST(k AS DOUBLE) * k) -
+         |      count(*) * avg(CAST(k AS DOUBLE)) * avg(CAST(k AS DOUBLE)), 0e0) AS b
+         |  FROM pos)
          |SELECT n_points, ${sr4("b")} AS decay_slope,
          |  ${sr2("-ln(2e0) / nullif(b, 0e0)")} AS half_life_weeks
          |FROM fit""".stripMargin,

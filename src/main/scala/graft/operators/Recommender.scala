@@ -838,11 +838,15 @@ object Recommender {
     binned
       .withColumn("cum_n", sum("n").over(w))
       .withColumn("cum_pos", sum("n_pos").over(w))
+      // nullif on npos: a zero-positive corpus makes the base rate 0 —
+      // null, not x/0 (Spark nulls, DuckDB infs; the q265/q268 guard)
       .select(col("bin"), col("n"), col("n_pos"),
         r4(col("n_pos").cast("double") / col("n").cast("double")).as("rate"),
         r4((col("n_pos").cast("double") / col("n").cast("double")) /
-          (col("npos").cast("double") / col("nn").cast("double"))).as("lift"),
-        r4(col("cum_pos").cast("double") / col("npos").cast("double")).as("gain"),
+          nullif(col("npos").cast("double") / col("nn").cast("double"),
+            lit(0.0))).as("lift"),
+        r4(col("cum_pos").cast("double") /
+          nullif(col("npos").cast("double"), lit(0.0))).as("gain"),
         r4(col("cum_pos").cast("double") / col("cum_n").cast("double")).as("cum_precision"))
       .orderBy("bin")
   }
@@ -993,8 +997,8 @@ object Recommender {
          |  FROM binned)
          |SELECT bin, n, n_pos,
          |  ${sr4("CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)")} AS rate,
-         |  ${sr4("(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(npos AS DOUBLE) / CAST(nn AS DOUBLE))")} AS lift,
-         |  ${sr4("CAST(cum_pos AS DOUBLE) / CAST(npos AS DOUBLE)")} AS gain,
+         |  ${sr4("(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) / nullif(CAST(npos AS DOUBLE) / CAST(nn AS DOUBLE), 0e0)")} AS lift,
+         |  ${sr4("CAST(cum_pos AS DOUBLE) / nullif(CAST(npos AS DOUBLE), 0e0)")} AS gain,
          |  ${sr4("CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)")} AS cum_precision
          |FROM c2 ORDER BY bin""".stripMargin,
     "q249_rec_novelty" ->

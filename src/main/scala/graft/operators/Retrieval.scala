@@ -479,24 +479,35 @@ object Retrieval {
     val nRows = head.getLong(0)
     val d64 = head.getInt(1) + 1
     val cov = Array.ofDim[Double](d64, d64)
+    // nRows < 2 leaves no covariance denominator; dividing by
+    // max(.., 1) keeps the collect finite, the trace guard below nulls
+    // the output for that (and the all-constant zero-trace) corpus
+    // instead of power-iterating on 0/0 into NaN
     cells.collect().foreach { r =>
-      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2) / (nRows - 1))
+      val (i, j, v) =
+        (r.getInt(0), r.getInt(1), r.getDouble(2) / math.max(nRows - 1, 1L))
       cov(i)(j) = v; cov(j)(i) = v
     }
-    def matVec(v: Array[Double]): Array[Double] =
-      Array.tabulate(d64)(i => (0 until d64).map(j => cov(i)(j) * v(j)).sum)
-    val seed = (0 until d64).maxBy(i => (cov(i)(i), -i))
-    var v = Array.tabulate(d64)(i => if (i == seed) 1.0 else 0.0)
-    for (_ <- 0 until 200) {
-      val w = matVec(v)
-      val nrm = math.sqrt(w.map(x => x * x).sum)
-      v = w.map(_ / nrm)
-    }
-    val lambda = v.zip(matVec(v)).map { case (a, b) => a * b }.sum
-    val kMax = (0 until d64).maxBy(i => (math.abs(v(i)), -i))
-    if (v(kMax) < 0) v = v.map(-_)
     val trace = (0 until d64).map(i => cov(i)(i)).sum
-    val rows = (0 until d64).map(i => (i.toLong + 1, v(i), lambda, lambda / trace))
+    val degenerate = nRows < 2 || trace <= 0.0
+    val rows: Seq[(Long, Option[Double], Option[Double], Option[Double])] =
+      if (degenerate) (0 until d64).map(i => (i.toLong + 1, None, None, None))
+      else {
+        def matVec(v: Array[Double]): Array[Double] =
+          Array.tabulate(d64)(i => (0 until d64).map(j => cov(i)(j) * v(j)).sum)
+        val seed = (0 until d64).maxBy(i => (cov(i)(i), -i))
+        var v = Array.tabulate(d64)(i => if (i == seed) 1.0 else 0.0)
+        for (_ <- 0 until 200) {
+          val w = matVec(v)
+          val nrm = math.sqrt(w.map(x => x * x).sum)
+          v = w.map(_ / nrm)
+        }
+        val lambda = v.zip(matVec(v)).map { case (a, b) => a * b }.sum
+        val kMax = (0 until d64).maxBy(i => (math.abs(v(i)), -i))
+        if (v(kMax) < 0) v = v.map(-_)
+        (0 until d64).map(i =>
+          (i.toLong + 1, Some(v(i)), Some(lambda), Some(lambda / trace)))
+      }
     import s.implicits._
     rows.toDF("dim", "loading", "lambda", "explained_share")
       .select(col("dim"), r5(col("loading")).as("loading"),
@@ -551,22 +562,35 @@ object Retrieval {
     val g = new Array[Double](dd)
     score.collect().foreach(r => g(r.getInt(0)) = r.getDouble(1))
     // solve A beta = 4 g by Gaussian elimination with deterministic
-    // partial pivoting (largest |pivot|, lowest row index on ties)
+    // partial pivoting (largest |pivot|, lowest row index on ties);
+    // a collinear feature matrix (e.g. every doc the same length makes
+    // words_per_100 proportional to the intercept) drives a pivot to 0 —
+    // null the betas instead of emitting silent NaN
     val m = Array.tabulate(dd)(i => a(i) :+ (4.0 * g(i)))
+    val pivotEps = 1e-9 * (0 until dd).map(i => math.abs(a(i)(i))).max
+    var singular = false
     for (c <- 0 until dd) {
       val p = (c until dd).maxBy(r => (math.abs(m(r)(c)), -r))
-      val t = m(c); m(c) = m(p); m(p) = t
-      for (r <- c + 1 until dd) {
-        val f = m(r)(c) / m(c)(c)
-        for (k <- c to dd) m(r)(k) -= f * m(c)(k)
+      if (math.abs(m(p)(c)) <= pivotEps) singular = true
+      else {
+        val t = m(c); m(c) = m(p); m(p) = t
+        for (r <- c + 1 until dd) {
+          val f = m(r)(c) / m(c)(c)
+          for (k <- c to dd) m(r)(k) -= f * m(c)(k)
+        }
       }
     }
-    val beta = new Array[Double](dd)
-    for (r <- dd - 1 to 0 by -1) {
-      var acc = m(r)(dd)
-      for (k <- r + 1 until dd) acc -= m(r)(k) * beta(k)
-      beta(r) = acc / m(r)(r)
-    }
+    val beta: Array[Option[Double]] =
+      if (singular) Array.fill(dd)(None)
+      else {
+        val b = new Array[Double](dd)
+        for (r <- dd - 1 to 0 by -1) {
+          var acc = m(r)(dd)
+          for (k <- r + 1 until dd) acc -= m(r)(k) * b(k)
+          b(r) = acc / m(r)(r)
+        }
+        b.map(Some(_))
+      }
     val names = Seq("intercept", "words_per_100", "avg_word_len")
     import s.implicits._
     names.zipWithIndex.map { case (n, i) => (n, beta(i), g(i)) }
