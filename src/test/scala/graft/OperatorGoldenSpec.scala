@@ -2102,6 +2102,26 @@ class OperatorGoldenSpec extends AnyFunSuite {
       got(10L).getDouble(6) == 0.7)
   }
 
+  test("q266 degenerate: a zero-positive corpus nulls lift and gain, not inf") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d266").toString
+    // every rating < 4 -> npos = 0: the base rate and gains denominator
+    // are both 0; the nullif guard must null them (Spark) exactly where
+    // DuckDB's IEEE division would print inf
+    (1 to 6).map { k =>
+      (k.toLong, dayNs(k.toLong), 1L, "view", 1.0 + (k % 3), s"""{"k": $k}""") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = operators.Recommender.q266(s, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0L, s"n_pos must be 0, got $r")
+      assert(r.getDouble(3) == 0.0, "rate is an exact 0/n division")
+      assert(r.isNullAt(4) && r.isNullAt(5), s"lift/gain must be null, got $r")
+      assert(r.getDouble(6) == 0.0, "cum precision divides a live cum_n")
+    }
+  }
+
   test("r9 batch-6 invariants at sf0.001 AND sf0.01: sketch bounds, hashing conservation, normal equations") {
     for (sf <- Seq(d, TestSpark.sf001)) {
       val cms = operators.Curation.q262(s, sf).collect()

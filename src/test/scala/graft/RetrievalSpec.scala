@@ -197,4 +197,84 @@ class RetrievalSpec extends AnyFunSuite {
     val mNon = non.map(dc => logit(dc._2)).sum / non.length
     assert(mEn > mNon, s"step failed to separate: en $mEn vs non-en $mNon")
   }
+
+  // ---- r10: constructed-fixture goldens for the two no-oracle solvers ----
+  // The corpus invariants above bind q252/q264 on real data via residuals;
+  // these fixtures pin exact VALUES against a by-hand eigensolve / normal-
+  // equation solve, so a silent solver regression (wrong normalization,
+  // swapped index, dropped factor of 4) cannot pass both.
+
+  test("q252 golden: hand-solved 3-dim eigenpair comes out exactly") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g252").toString
+    // 4 vectors, mean 0: Cov = [[10/3, 2, 0], [2, 10/3, 0], [0, 0, 0]].
+    // Eigenvectors (1,1,0)/sqrt2 with lambda = 10/3 + 2 = 16/3 and
+    // (1,-1,0)/sqrt2 with 10/3 - 2 = 4/3; trace 20/3, share = 16/20 = 0.8.
+    Seq((1L, Seq(2.0f, 2.0f, 0.0f)), (2L, Seq(-2.0f, -2.0f, 0.0f)),
+        (3L, Seq(1.0f, -1.0f, 0.0f)), (4L, Seq(-1.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = operators.Retrieval.q252(s, dir).collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // 1/sqrt2 pins to 0.70711 at 5 dp; 16/3 pins to 5.3333 at 4 dp
+    assert(got.toSeq == Seq((1L, 0.70711, 5.3333, 0.8),
+      (2L, 0.70711, 5.3333, 0.8), (3L, 0.0, 5.3333, 0.8)))
+  }
+
+  test("q252 degenerate: single-vector and constant corpora yield nulls, not NaN") {
+    import TestSpark.spark.implicits._
+    for ((tag, vecs) <- Seq(
+        "single" -> Seq((1L, Seq(1.0f, 2.0f, 3.0f))),
+        "constant" -> Seq((1L, Seq(1.0f, 2.0f, 3.0f)),
+          (2L, Seq(1.0f, 2.0f, 3.0f)), (3L, Seq(1.0f, 2.0f, 3.0f))))) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_d252$tag").toString
+      vecs.toDF("vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val got = operators.Retrieval.q252(s, dir).collect()
+      assert(got.length == 3, s"$tag: expected one row per dim")
+      got.foreach { r =>
+        assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3),
+          s"$tag corpus must null the eigenpair, got $r")
+      }
+    }
+  }
+
+  test("q264 golden: hand-solved 6-doc normal equations give beta = (2, -4/3, 0)") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_g264").toString
+    // features x = [1, nw/100, nc/nw]; docs built so X^T X = [[6,9,24],
+    // [9,15,36],[24,36,100]] and X^T(y-1/2) = (0,-1/2,0); solving
+    // A beta = 4g by hand: beta = (2, -4/3, 0).
+    def doc(nw: Int, len: Int): String = Seq.fill(nw)("abcdefghi".take(len)).mkString(" ")
+    Seq((1L, doc(100, 3), "en"), (2L, doc(200, 4), "en"), (3L, doc(100, 5), "en"),
+        (4L, doc(100, 4), "fr"), (5L, doc(200, 3), "fr"), (6L, doc(200, 5), "fr"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.Retrieval.q264(s, dir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    // all sums are exact small binary fractions, so the pinned output is
+    // exact: -4/3 pins to -1.33333 at 5 dp
+    assert(got("intercept") == ((2.0, 0.0)))
+    assert(got("words_per_100") == ((-1.33333, -0.5)))
+    assert(got("avg_word_len") == ((0.0, 0.0)))
+  }
+
+  test("q264 degenerate: collinear features null the betas but keep the scores") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d264").toString
+    // every doc has nw = 100, so words_per_100 == 1 == the intercept
+    // column -> X^T X is singular; betas must be null, score0 still exact
+    def doc(len: Int): String = Seq.fill(100)("abcdefghi".take(len)).mkString(" ")
+    Seq((1L, doc(3), "en"), (2L, doc(4), "en"),
+        (3L, doc(5), "fr"), (4L, doc(4), "fr"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.Retrieval.q264(s, dir).collect()
+    assert(rows.length == 3)
+    rows.foreach(r => assert(r.isNullAt(1), s"beta must be null, got $r"))
+    val g = rows.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // g = X^T(y-1/2): g0 = 0, g1 = 0 (same column), g2 = (3+4-5-4)/2 = -1
+    assert(g("intercept") == 0.0 && g("words_per_100") == 0.0 &&
+      g("avg_word_len") == -1.0)
+  }
 }
