@@ -32,6 +32,15 @@ object Verify {
       times.sortBy(-_._2)
         .map { case (k, v) => s""""$k": ${math.round(v * 100) / 100.0}""" }
         .mkString("{", ", ", "}"))
+    // Also print the slowest keys as ONE stdout line: the driver archives
+    // Verify's tail per round (the way Bench's steady_slowest80 line is),
+    // so oracle-run Spark-side regressions become trackable from round
+    // artifacts alone instead of only inside the transient outDir.
+    println(times.sortBy(-_._2).take(40)
+      .map { case (k, v) => s""""$k":${math.round(v * 1000) / 1000.0}""" }
+      .mkString(
+        s"""{"metric":"verify_slowest40","unit":"sec","n_queries":${times.length},"total":${math.round(times.map(_._2).sum * 10) / 10.0},"queries":{""",
+        ",", "}}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -112,12 +112,63 @@ object Streaming {
       .agg(count(lit(1)).as("n_windows"), max("burst").as("max_burst"))
       .orderBy(col("max_burst").desc, col("user_id")).limit(20)
 
+  /** The hourly aggregation a 1-hour-watermark stream maintains — q279's
+    * streaming side. StreamingSpec feeds it a late-injection arrival
+    * sequence one micro-batch per event and asserts the surviving counts
+    * equal the batch audit's n_kept exactly. */
+  def keptHourly(ev: DataFrame): DataFrame =
+    ev.withWatermark("tsc", "1 hour")
+      .groupBy(window(col("tsc"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_kept"), sum("value").as("sv"))
+      .select(col("w.start").as("ws"), col("n_kept"), col("sv"))
+
+  /** Watermark late-data audit — the accounting a pipeline owner asks of
+    * any watermarked job: with arrival order = event_id and a 1-hour
+    * watermark over 1-hour tumbling event-time windows, how many rows
+    * does each window KEEP and how many arrive too late and get DROPPED?
+    * The batch twin replays Spark's own rule row-by-row: the watermark
+    * before an arrival is max(event time over strictly earlier arrivals,
+    * floored to ms exactly as EventTimeStatsAccum tracks it) minus the
+    * delay, and a row is late iff its window END has passed that
+    * watermark (windows ending exactly on it count as closed, matching
+    * WatermarkSupport's <= eviction predicate). [[keptHourly]] is the
+    * live form; StreamingSpec proves kept-side equivalence under
+    * per-event watermark advance.
+    *
+    * Determinism: pure integer ns/ms arithmetic off the exact arrival
+    * order; counts exact, one 2 dp sum pin. Scale: the strictly-preceding
+    * running max is Graft.prefixMax's range-blocked two-pass scan (never
+    * one global single-partition window) + ONE map-side-combined agg to
+    * the hour grain. */
+  def q279(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("event_id"), col("ts"), col("tsc"), col("value"))
+    graft.api.Graft.prefixMax(ev, "event_id", "ts", "wm_ns")
+      .withColumn("win_start_us",
+        expr("(ts div 1000) div 3600000000 * 3600000000"))
+      // Spark tracks max event time in whole ms: floor ns -> ms, subtract
+      // the 1 h delay, compare against the window-end ms (hour-aligned,
+      // so the division is exact)
+      .withColumn("late", col("wm_ns").isNotNull &&
+        expr("wm_ns div 1000000") - lit(3600000L) >=
+          expr("(win_start_us + 3600000000) div 1000"))
+      // window key off the NTZ column: type-stable vs DuckDB's naive
+      // TIMESTAMP with no session-TZ dependence
+      .groupBy(date_trunc("hour", col("tsc")).as("ws"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(!col("late"), 1L).otherwise(0L)).as("n_kept"),
+        r2(sum(when(!col("late"), col("value")))).as("kept_sum_value"))
+      .orderBy("ws")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_tumbling_window" -> q80,
     "q81_sliding_window" -> q81,
     "q82_session_window" -> q82,
     "q225_burst_windows" -> q225,
-    "q254_daily_dedup" -> q254)
+    "q254_daily_dedup" -> q254,
+    "q279_watermark_audit" -> q279)
 
   val oracle: Map[String, String] = Map(
     "q80_tumbling_window" ->
@@ -157,6 +208,27 @@ object Streaming {
         |  count(DISTINCT user_id) AS n_users,
         |  CAST(sum(n_occ) AS BIGINT) AS n_events
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Arrival order = event_id; watermark before a row = ms-floored max
+    // event time over STRICTLY earlier arrivals minus 1 h; late iff the
+    // row's hour-window end <= that watermark (mirrors q279 exactly).
+    "q279_watermark_audit" ->
+      s"""WITH e AS (SELECT event_id, epoch_us(ts) AS us, value FROM events),
+         |wm AS (SELECT us, value,
+         |    max(us) OVER (ORDER BY event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wmus
+         |  FROM e),
+         |f AS (SELECT us // 3600000000 * 3600000000 AS ws_us, value,
+         |    CASE WHEN wmus IS NOT NULL
+         |           AND wmus // 1000 - 3600000 >=
+         |               (us // 3600000000 * 3600000000 + 3600000000) // 1000
+         |         THEN 1 ELSE 0 END AS late
+         |  FROM wm)
+         |SELECT make_timestamp(ws_us) AS ws,
+         |  CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(sum(late) AS BIGINT) AS n_dropped,
+         |  CAST(sum(1 - late) AS BIGINT) AS n_kept,
+         |  ${sr2("sum(CASE WHEN late = 0 THEN value END)")} AS kept_sum_value
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     // Each event belongs to exactly 4 sliding windows (60s length / 15s
     // slide): 15s slots floor15(ts) - k for k in 0..3.
     "q225_burst_windows" ->

@@ -124,6 +124,65 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("q279 watermark audit: per-event late injection drops exactly the rows the batch audit flags") {
+    val sp = s
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val base = LocalDateTime.of(2024, 1, 1, 10, 0, 0)
+    // arrival sequence with three late injections (e4, e7, e10), each
+    // arriving after a later event has pushed the watermark past its
+    // window's end; no event sits exactly ON a watermark boundary so the
+    // <=/< eviction convention cannot flip the expectation
+    val arrivals = Seq(
+      1L -> base.plusMinutes(5),    // w10 kept (first row, no watermark yet)
+      2L -> base.plusMinutes(40),   // w10 kept
+      3L -> base.plusMinutes(150),  // w12 kept; wm -> 11:30 closes w10
+      4L -> base.plusMinutes(55),   // w10 LATE
+      5L -> base.plusMinutes(105),  // w11 kept (end 12:00 > wm 11:30)
+      6L -> base.plusMinutes(190),  // w13 kept; wm -> 12:10 closes w11
+      7L -> base.plusMinutes(110),  // w11 LATE
+      8L -> base.plusMinutes(160),  // w12 kept (end 13:00 > wm 12:10)
+      9L -> base.plusMinutes(260),  // w14 kept; wm -> 13:20 closes w12
+      10L -> base.plusMinutes(179)) // w12 LATE
+    // batch twin: same rows as an events fixture (ts = long ns)
+    val dir = java.nio.file.Files.createTempDirectory("graft_g279").toString
+    arrivals.map { case (id, t) =>
+      (id, t.toInstant(ZoneOffset.UTC).toEpochMilli * 1000000L, 1L, "click",
+        id.toDouble, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val audit = streaming.Streaming.q279(s, dir).collect()
+      .map(r => (r.getTimestamp(0).toLocalDateTime.getHour,
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(audit == Map(10 -> ((3L, 1L, 2L, 3.0)), 11 -> ((2L, 1L, 1L, 5.0)),
+      12 -> ((3L, 1L, 2L, 11.0)), 13 -> ((1L, 0L, 1L, 6.0)),
+      14 -> ((1L, 0L, 1L, 9.0))), s"batch audit mismatch: $audit")
+    // streaming side: one micro-batch PER event so the watermark advances
+    // exactly as the audit's strictly-preceding running max models it
+    val ms = MemoryStream[Ev]
+    val q = streaming.Streaming.keptHourly(ms.toDF)
+      .writeStream.format("memory").queryName("wm_audit_out")
+      .outputMode("update").start()
+    arrivals.foreach { case (id, t) =>
+      ms.addData(Ev(id, 1L, "click", id.toDouble, utcTs(t)))
+      q.processAllAvailable()
+    }
+    // update-mode sink accumulates every revision; counts only grow, so
+    // the final state per window is the max
+    val streamed = s.table("wm_audit_out")
+      .groupBy(col("ws")).agg(max("n_kept").as("n"), max("sv").as("sv"))
+      .collect()
+      .map(r => (r.getTimestamp(0).toLocalDateTime.getHour,
+        (r.getLong(1), r.getDouble(2)))).toMap
+    q.stop()
+    assert(streamed.keySet == audit.keySet)
+    audit.foreach { case (h, (_, _, kept, keptSum)) =>
+      assert(streamed(h) == ((kept, keptSum)),
+        s"window $h: stream ${streamed(h)} vs audit kept ($kept, $keptSum)")
+    }
+  }
+
   test("custom state: flatMapGroupsWithState accumulates per-user counts across batches") {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val sp = s
