@@ -52,6 +52,23 @@ object Bench {
     try // component-labels family — fills comp20, used by q93/q101
       SparkEntry.queries("q93_dedup_components")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // r10: the remaining session memos, profiled as the largest
+    // run1-vs-steady deltas (local sf0.1: q70 +1.8 s, q149 +1.7 s,
+    // q138 +1.6 s, q210 +1.0 s, q233 +0.9 s, q114/q231 +0.5 s each) —
+    // built here so run 1 measures each query's plan, not whichever
+    // memo it touches first. What remains in run 1 after this is
+    // per-plan JIT/codegen warm-up, which no warm-up short of running
+    // every query can move.
+    for (key <- Seq(
+        "q149_weighted_median",    // wmedGrain
+        "q210_spearman_corr",      // spearmanSup_x / spearmanSup_y
+        "q70_dedup_near_minhash",  // q70feats (MinHashLSH features)
+        "q138_dedup_banded_verify",// simhash48 (shared with q86)
+        "q231_kendall_tau",        // kendallCells (shared with q244)
+        "q233_open_orders",        // openDeltas
+        "q114_rfm_segments"))      // rfm114
+      try SparkEntry.queries(key)(spark, sfDir).count()
+      catch { case _: Throwable => () }
     // A failed query must be VISIBLE in the output line, not silently timed:
     // it keeps its wall time (so the total stays honest) and lands in
     // "failed" so a red query can't hide in a green-looking bench line.

@@ -1,0 +1,141 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling probe for the headline plan families (SCALING.md).
+  *
+  * Every "survives 100×" claim in the operator scaladocs is a design
+  * argument (domain-bounded grains, range-blocked prefix scans, capped
+  * LSH buckets, per-key-constant join density); this main MEASURES it:
+  * blow the probe tables up ×k with deterministic hash-free
+  * perturbations, run each family at 1×/10×/100×, and report
+  * rows-vs-seconds so a superlinear plan shows up as a slope, not a
+  * slogan. ScalingSpec pins the 10× ratio in the test suite.
+  *
+  * Blow-up shape (the 100 TB-realistic one): KEY COUNT scales ×k while
+  * per-key group size stays constant — each copy gets disjoint
+  * user/customer/doc/vector ids, value supports widen via copy-dependent
+  * cent/epsilon offsets, and document words get a per-copy suffix so
+  * copies are textually independent corpora (duplicating text verbatim
+  * would instead measure the LSH hot-bucket cap on an all-duplicate
+  * corpus — a different, adversarial experiment). Copy 0 is bit-identical
+  * to the source, so 1× runs on the original table files.
+  */
+object Scale {
+
+  /** The probed families and the tables each one stresses. */
+  val families: Seq[(String, String)] = Seq(
+    "q210_spearman_corr" -> "lineitem grouped prefix-scan rank supports",
+    "q149_weighted_median" -> "lineitem grouped prefix-scan cumulative weights",
+    "q114_rfm_segments" -> "orders one-pass grouped exact ntile",
+    "q209_quantile_norm" -> "embeddings per-dim rank supports",
+    "q76_dedup_ngram_jaccard" -> "documents shingle LSH with capped buckets",
+    "q257_multimodal_phash" -> "documents banded-LSH hamming pairs",
+    "q113_item_pagerank" -> "events edge build + fixed-size fixpoint",
+    "q121_rolling_active_users" -> "events 7-day contribution explode",
+    "q39_join_interval_bucketed" -> "events bucketed interval self-join")
+
+  private val OFF = 1000000000L // id offset per copy: disjoint key spaces
+
+  /** Deterministic ×k blow-up of the five probe tables from `src` into
+    * `out`. Idempotent per (out, k): skips tables already written. */
+  def blowUp(spark: SparkSession, src: String, out: String, k: Int): Unit = {
+    def done(t: String) =
+      new java.io.File(s"$out/$t.parquet/_SUCCESS").exists()
+    def copies(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(
+        spark.range(k.toLong).select(col("id").as("copy"))))
+
+    if (!done("events"))
+      copies(spark.read.parquet(s"$src/events.parquet"))
+        .select((col("event_id") + col("copy") * OFF).as("event_id"),
+          expr("timestampadd(MICROSECOND, copy, ts)").as("ts"),
+          (col("user_id") + col("copy") * OFF).as("user_id"),
+          col("event_type"),
+          (col("value") + col("copy").cast("double") * 1e-4).as("value"),
+          col("props"))
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    if (!done("lineitem"))
+      copies(spark.read.parquet(s"$src/lineitem.parquet"))
+        .withColumn("l_orderkey", col("l_orderkey") + col("copy") * OFF)
+        // widen the price support ×min(k,100): the prefix-scan stressor
+        .withColumn("l_extendedprice",
+          col("l_extendedprice") + (col("copy") % 100).cast("double") * 0.01)
+        .drop("copy")
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    if (!done("orders"))
+      copies(spark.read.parquet(s"$src/orders.parquet"))
+        .withColumn("o_orderkey", col("o_orderkey") + col("copy") * OFF)
+        .withColumn("o_custkey", col("o_custkey") + col("copy") * OFF)
+        .withColumn("o_totalprice",
+          col("o_totalprice") + (col("copy") % 100).cast("double") * 0.01)
+        .drop("copy")
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    if (!done("documents"))
+      copies(spark.read.parquet(s"$src/documents.parquet"))
+        .withColumn("doc_id", col("doc_id") + col("copy") * OFF)
+        .withColumn("text", when(col("copy") === 0, col("text")).otherwise(
+          expr("array_join(transform(filter(split(text, ' '), w -> w != ''), " +
+            "w -> concat(w, '_c', CAST(copy AS STRING))), ' ')")))
+        .drop("copy")
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    if (!done("embeddings"))
+      copies(spark.read.parquet(s"$src/embeddings.parquet"))
+        .withColumn("vec_id", col("vec_id") + col("copy") * OFF)
+        .withColumn("embedding",
+          expr("transform(embedding, x -> CAST(x + copy * 1e-4 AS FLOAT))"))
+        .drop("copy")
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  /** Runs each family `runs` times against `dir`, returns (key, min sec). */
+  def probe(spark: SparkSession, dir: String, runs: Int = 2): Seq[(String, Double)] = {
+    // fill the shared memos once so family timings measure the plan, not
+    // whichever family touches a cold memo first (the Bench discipline)
+    try Tables.events(spark, dir).count() catch { case _: Throwable => () }
+    families.map { case (key, _) =>
+      val fn = SparkEntry.queries(key)
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      key -> times.min
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outBase = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scaling")
+    val factors = args.headOption.getOrElse("1,10,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    factors.foreach { k =>
+      val dir =
+        if (k == 1) src
+        else { blowUp(spark, src, s"$outBase/x$k", k); s"$outBase/x$k" }
+      val evRows = spark.read.parquet(s"$dir/events.parquet").count()
+      val liRows = spark.read.parquet(s"$dir/lineitem.parquet").count()
+      val times = probe(spark, dir)
+      val qs = times.map { case (q, t) => s""""$q":${f3(t)}""" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"scaling","factor":$k,"events_rows":$evRows,"lineitem_rows":$liRows,"queries":$qs,"src":"$src"}""")
+    }
+    spark.stop()
+  }
+}
