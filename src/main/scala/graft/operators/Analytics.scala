@@ -86,7 +86,9 @@ object Analytics {
       .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sigma"))
     events(s, d).join(st, "event_type")
       .select(col("event_id"), col("event_type"), r2(col("value")).as("value"),
-        r4((col("value") - col("mu")) / col("sigma")).as("z"))
+        // nullif like q142: a constant-value type has zero spread — null
+        // z, not ±inf (Spark nulls double /0, DuckDB follows IEEE)
+        r4((col("value") - col("mu")) / nullif(col("sigma"), lit(0.0))).as("z"))
       .orderBy(abs(col("z")).desc, col("event_id"))
       .limit(20)
   }
@@ -871,10 +873,13 @@ object Analytics {
       .select(col("n_a"), col("n_b"),
         r2(col("m_a")).as("mean_a"), r2(col("m_b")).as("mean_b"),
         r2(sqrt(col("v_a"))).as("sd_a"), r2(sqrt(col("v_b"))).as("sd_b"),
-        r4((col("m_a") - col("m_b")) / sqrt(se2a + se2b)).as("t"),
+        // nullif: two constant arms have zero pooled SE — null, not 0/0
+        // (Spark nulls double division by zero, DuckDB emits NaN/inf)
+        r4((col("m_a") - col("m_b")) /
+          nullif(sqrt(se2a + se2b), lit(0.0))).as("t"),
         r2((se2a + se2b) * (se2a + se2b) /
-          (se2a * se2a / (col("n_a") - 1).cast("double") +
-           se2b * se2b / (col("n_b") - 1).cast("double"))).as("df"))
+          nullif(se2a * se2a / (col("n_a") - 1).cast("double") +
+            se2b * se2b / (col("n_b") - 1).cast("double"), lit(0.0))).as("df"))
   }
 
   /** Forecast backtest with MASE: daily revenue, last-year test split,
@@ -904,8 +909,10 @@ object Analytics {
     t.agg(count(lit(1)).as("n_test"),
       r2(avg(abs(col("rev") - col("f_naive")))).as("mae_naive"),
       r2(avg(abs(col("rev") - col("f_seasonal")))).as("mae_seasonal"),
+      // nullif: a constant test-year series has zero naive MAE — MASE is
+      // undefined (null), not inf (the q207/q210 degenerate class)
       r4(avg(abs(col("rev") - col("f_seasonal"))) /
-        avg(abs(col("rev") - col("f_naive")))).as("mase"))
+        nullif(avg(abs(col("rev") - col("f_naive"))), lit(0.0))).as("mase"))
   }
 
   /** Spearman rank correlation between quantity and discounted revenue per
@@ -958,9 +965,12 @@ object Analytics {
       sum(col("w") * col("fr_x") * col("fr_x")).as("sxx"),
       sum(col("w") * col("fr_y") * col("fr_y")).as("syy"))
       .select(col("rf"), col("n").cast("long").as("n"),
+        // nullif: a flag whose x or y support is a single value has zero
+        // rank variance — null, not 0/0 (the q207/q266 degenerate class)
         r4((col("n") * col("sxy") - col("sx") * col("sy")) /
-          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-            (col("n") * col("syy") - col("sy") * col("sy")))).as("spearman"))
+          nullif(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))),
+            lit(0.0))).as("spearman"))
       .orderBy("rf")
   }
 
@@ -998,12 +1008,16 @@ object Analytics {
       sum(col("t").cast("double") * col("t") * col("t") - col("t")).as("tie3"))
       .select(col("n_a"), col("n_b"),
         r2(col("r_a") - col("n_a") * (col("n_a") + 1) / lit(2.0)).as("u_a"),
+        // nullif twice: an empty arm or an all-one-value corpus zeroes
+        // the variance term, and a single-user corpus zeroes the tie
+        // correction's N(N-1) — null z in both engines, never 0/0
         r4(((col("r_a") - col("n_a") * (col("n_a") + 1) / lit(2.0)) -
             col("n_a") * col("n_b") / lit(2.0)) /
-          sqrt(col("n_a") * col("n_b") / lit(12.0) *
+          nullif(sqrt(col("n_a") * col("n_b") / lit(12.0) *
             (((col("n_a") + col("n_b")).cast("double") + 1) -
-              col("tie3") / ((col("n_a") + col("n_b")).cast("double") *
-                ((col("n_a") + col("n_b")).cast("double") - 1))))).as("z"))
+              col("tie3") / nullif((col("n_a") + col("n_b")).cast("double") *
+                ((col("n_a") + col("n_b")).cast("double") - 1), lit(0.0)))),
+            lit(0.0))).as("z"))
   }
 
   /** Autocorrelation function of daily revenue at lags 1–7 — the
@@ -1235,8 +1249,11 @@ object Analytics {
       .agg(count(lit(1)).as("n_gaps"),
         r2(avg("gap_s")).as("mean_gap_s"),
         r2(stddev_samp(col("gap_s"))).as("sd_gap_s"),
+        // nullif: all-zero gaps (every event of a type at one instant)
+        // zero both moments — B undefined (null), not 0/0
         r4((stddev_samp(col("gap_s")) - avg("gap_s")) /
-          (stddev_samp(col("gap_s")) + avg("gap_s"))).as("burstiness"))
+          nullif(stddev_samp(col("gap_s")) + avg("gap_s"),
+            lit(0.0))).as("burstiness"))
       .orderBy("event_type")
   }
 
@@ -2740,7 +2757,7 @@ object Analytics {
          |SELECT event_type, count(*) AS n_gaps,
          |  ${sr2("avg(gap_s)")} AS mean_gap_s,
          |  ${sr2("stddev_samp(gap_s)")} AS sd_gap_s,
-         |  ${sr4("(stddev_samp(gap_s) - avg(gap_s)) / (stddev_samp(gap_s) + avg(gap_s))")} AS burstiness
+         |  ${sr4("(stddev_samp(gap_s) - avg(gap_s)) / nullif(stddev_samp(gap_s) + avg(gap_s), 0e0)")} AS burstiness
          |FROM s2 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q228_conversion_lag" ->
       s"""WITH e AS (SELECT user_id,
@@ -2821,7 +2838,7 @@ object Analytics {
          |    sum(w * fr_x * fr_y) AS sxy, sum(w * fr_x * fr_x) AS sxx,
          |    sum(w * fr_y * fr_y) AS syy FROM j GROUP BY 1)
          |SELECT rf, CAST(n AS BIGINT) AS n,
-         |  ${sr4("(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))")} AS spearman
+         |  ${sr4("(n * sxy - sx * sy) / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0e0)")} AS spearman
          |FROM st ORDER BY rf""".stripMargin,
     "q211_mann_whitney" ->
       s"""WITH spend AS (SELECT user_id, ${sr2("sum(value)")} AS y
@@ -2843,7 +2860,7 @@ object Analytics {
          |    sum(CAST(t AS DOUBLE) * t * t - t) AS tie3 FROM r)
          |SELECT n_a, n_b,
          |  ${sr2("r_a - n_a * (n_a + 1) / 2.0e0")} AS u_a,
-         |  ${sr4("((r_a - n_a * (n_a + 1) / 2.0e0) - n_a * n_b / 2.0e0) / sqrt(n_a * n_b / 12.0e0 * ((CAST(n_a + n_b AS DOUBLE) + 1) - tie3 / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1))))")} AS z
+         |  ${sr4("((r_a - n_a * (n_a + 1) / 2.0e0) - n_a * n_b / 2.0e0) / nullif(sqrt(n_a * n_b / 12.0e0 * ((CAST(n_a + n_b AS DOUBLE) + 1) - tie3 / nullif(CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1), 0e0))), 0e0)")} AS z
          |FROM s""".stripMargin,
     "q212_acf_weekly" ->
       s"""WITH daily AS (SELECT l_shipdate AS day,
@@ -2935,8 +2952,8 @@ object Analytics {
          |b AS (SELECT n AS n_b, m AS m_b, v AS v_b FROM per WHERE arm = 'B')
          |SELECT n_a, n_b, ${sr2("m_a")} AS mean_a, ${sr2("m_b")} AS mean_b,
          |  ${sr2("sqrt(v_a)")} AS sd_a, ${sr2("sqrt(v_b)")} AS sd_b,
-         |  ${sr4("(m_a - m_b) / sqrt(v_a / n_a + v_b / n_b)")} AS t,
-         |  ${sr2("(v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b) / ((v_a / n_a) * (v_a / n_a) / CAST(n_a - 1 AS DOUBLE) + (v_b / n_b) * (v_b / n_b) / CAST(n_b - 1 AS DOUBLE))")} AS df
+         |  ${sr4("(m_a - m_b) / nullif(sqrt(v_a / n_a + v_b / n_b), 0e0)")} AS t,
+         |  ${sr2("(v_a / n_a + v_b / n_b) * (v_a / n_a + v_b / n_b) / nullif((v_a / n_a) * (v_a / n_a) / CAST(n_a - 1 AS DOUBLE) + (v_b / n_b) * (v_b / n_b) / CAST(n_b - 1 AS DOUBLE), 0e0)")} AS df
          |FROM a CROSS JOIN b""".stripMargin,
     "q208_mase_backtest" ->
       s"""WITH daily AS (SELECT l_shipdate AS day,
@@ -2951,7 +2968,7 @@ object Analytics {
          |SELECT count(*) AS n_test,
          |  ${sr2("avg(abs(rev - f_naive))")} AS mae_naive,
          |  ${sr2("avg(abs(rev - f_seasonal))")} AS mae_seasonal,
-         |  ${sr4("avg(abs(rev - f_seasonal)) / avg(abs(rev - f_naive))")} AS mase
+         |  ${sr4("avg(abs(rev - f_seasonal)) / nullif(avg(abs(rev - f_naive)), 0e0)")} AS mase
          |FROM t""".stripMargin,
     "q205_hhi_concentration" ->
       s"""WITH rev AS (SELECT l_suppkey,
@@ -3385,7 +3402,7 @@ object Analytics {
       s"""WITH st AS (SELECT event_type, avg(value) AS mu,
          |    stddev_samp(value) AS sigma FROM events GROUP BY 1)
          |SELECT e.event_id, e.event_type, ${sr2("e.value")} AS value,
-         |  ${sr4("(e.value - st.mu) / st.sigma")} AS z
+         |  ${sr4("(e.value - st.mu) / nullif(st.sigma, 0e0)")} AS z
          |FROM events e JOIN st USING (event_type)
          |ORDER BY abs(${sr4("(e.value - st.mu) / st.sigma")}) DESC, e.event_id
          |LIMIT 20""".stripMargin,

@@ -60,7 +60,10 @@ object Recommender {
       .join(broadcast(nrm.select(col("item").as("i1"), col("sq").as("sq1"))), "i1")
       .join(broadcast(nrm.select(col("item").as("i2"), col("sq").as("sq2"))), "i2")
       .select(col("i1").as("item1"), col("i2").as("item2"),
-        r5(col("dot") / (sqrt(col("sq1")) * sqrt(col("sq2")))).as("cosine"))
+        // nullif: a zero-norm item (all-zero ratings) has no defined
+        // cosine — null, not 0/0 (Spark nulls double /0, DuckDB NaN)
+        r5(col("dot") / nullif(sqrt(col("sq1")) * sqrt(col("sq2")),
+          lit(0.0))).as("cosine"))
       .orderBy(col("cosine").desc, col("item1"), col("item2"))
       .limit(20)
   }
@@ -94,7 +97,8 @@ object Recommender {
       .groupBy("u", "v").agg(sum(col("ra") * col("rb")).as("dot"))
       .join(nrm.select(col("user_id").as("u"), col("sq").as("squ")), "u")
       .join(nrm.select(col("user_id").as("v"), col("sq").as("sqv")), "v")
-      .withColumn("sim", r5(col("dot") / (sqrt(col("squ")) * sqrt(col("sqv")))))
+      .withColumn("sim", r5(col("dot") /
+        nullif(sqrt(col("squ")) * sqrt(col("sqv")), lit(0.0))))
       .filter(col("sim") > 0)
       .select("u", "v", "sim")
     val sims = half.union(half.select(col("v").as("u"), col("u").as("v"), col("sim")))
@@ -290,7 +294,8 @@ object Recommender {
     val half = graft.Tables.itemDots(s, d)
       .join(broadcast(nrm.select(col("item").as("i1"), col("sq").as("sq1"))), "i1")
       .join(broadcast(nrm.select(col("item").as("i2"), col("sq").as("sq2"))), "i2")
-      .withColumn("sim", r5(col("dot") / (sqrt(col("sq1")) * sqrt(col("sq2")))))
+      .withColumn("sim", r5(col("dot") /
+        nullif(sqrt(col("sq1")) * sqrt(col("sq2")), lit(0.0))))
       .filter(col("sim") > 0)
       .select("i1", "i2", "sim")
     val sims = half.union(half.select(col("i2").as("i1"), col("i1").as("i2"), col("sim")))
@@ -732,7 +737,8 @@ object Recommender {
       .join(broadcast(nrm.select(col("item").as("i1"), col("sq").as("sq1"))), "i1")
       .join(broadcast(nrm.select(col("item").as("i2"), col("sq").as("sq2"))), "i2")
       .withColumn("cos", coalesce(
-        col("dot") / (sqrt(col("sq1")) * sqrt(col("sq2"))), lit(0.0)))
+        col("dot") / nullif(sqrt(col("sq1")) * sqrt(col("sq2")), lit(0.0)),
+        lit(0.0)))
     val items = top10.groupBy("user_id").agg(count(lit(1)).as("n_items"))
     scored.groupBy("user_id")
       .agg(count(lit(1)).as("n_pairs"), r4(avg("cos")).as("ils"))
@@ -1030,7 +1036,7 @@ object Recommender {
          |pairs AS (SELECT a.user_id, a.item AS i1, b.item AS i2
          |  FROM t a JOIN t b ON a.user_id = b.user_id AND a.item < b.item),
          |sc AS (SELECT p.user_id,
-         |    coalesce(d.dot / (sqrt(n1.sq) * sqrt(n2.sq)), 0e0) AS cos
+         |    coalesce(d.dot / nullif(sqrt(n1.sq) * sqrt(n2.sq), 0e0), 0e0) AS cos
          |  FROM pairs p LEFT JOIN dots d ON p.i1 = d.i1 AND p.i2 = d.i2
          |  JOIN nrm n1 ON p.i1 = n1.item JOIN nrm n2 ON p.i2 = n2.item),
          |g AS (SELECT user_id, count(*) AS n_pairs,
@@ -1248,7 +1254,7 @@ object Recommender {
     "q88_item_knn_predict" ->
       s"""WITH r AS ($ratingsSql),
          |n AS (SELECT item, sum(rating*rating) AS sq FROM r GROUP BY 1),
-         |half AS (SELECT i1, i2, ${sr5("dot / (sqrt(n1.sq) * sqrt(n2.sq))")} AS sim
+         |half AS (SELECT i1, i2, ${sr5("dot / nullif(sqrt(n1.sq) * sqrt(n2.sq), 0e0)")} AS sim
          |  FROM (SELECT a.item AS i1, b.item AS i2, sum(a.rating*b.rating) AS dot
          |        FROM r a JOIN r b ON a.user_id = b.user_id AND a.item < b.item
          |        GROUP BY 1, 2) d
@@ -1305,7 +1311,7 @@ object Recommender {
          |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.item < b.item
          |  GROUP BY 1, 2)
          |SELECT item1, item2,
-         |  ${sr5("dot / (sqrt(n1.sq) * sqrt(n2.sq))")} AS cosine
+         |  ${sr5("dot / nullif(sqrt(n1.sq) * sqrt(n2.sq), 0e0)")} AS cosine
          |FROM d JOIN n n1 ON d.item1 = n1.item JOIN n n2 ON d.item2 = n2.item
          |ORDER BY cosine DESC, item1, item2 LIMIT 20""".stripMargin,
     "q64_user_knn_predict" ->
@@ -1320,7 +1326,7 @@ object Recommender {
          |  FROM capped a JOIN capped b ON a.item = b.item AND a.user_id <> b.user_id
          |  GROUP BY 1, 2),
          |sims AS (SELECT u, v,
-         |    ${sr5("dot / (sqrt(nu.sq) * sqrt(nv.sq))")} AS sim
+         |    ${sr5("dot / nullif(sqrt(nu.sq) * sqrt(nv.sq), 0e0)")} AS sim
          |  FROM dots JOIN n nu ON u = nu.user_id JOIN n nv ON v = nv.user_id),
          |top5 AS (SELECT u, v, sim FROM (
          |    SELECT u, v, sim,

@@ -667,11 +667,11 @@ object Retrieval {
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |probe AS (SELECT v AS p FROM e WHERE vec_id = 0),
          |pool AS (SELECT vec_id AS cand, v,
-         |    ${sr5("list_dot_product(p, v) / (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(v, v)))")} AS rel
+         |    ${sr5("coalesce(list_dot_product(p, v) / nullif(sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(v, v)), 0e0), 0e0)")} AS rel
          |  FROM e, probe WHERE vec_id <> 0
          |  ORDER BY rel DESC, cand LIMIT 10),
          |sims AS (SELECT a.cand AS ca, b.cand AS cb,
-         |    ${sr5("list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))")} AS sim
+         |    ${sr5("coalesce(list_dot_product(a.v, b.v) / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0e0), 0e0)")} AS sim
          |  FROM pool a, pool b WHERE a.cand <> b.cand),
          |s1 AS (SELECT cand, rel, 0.0e0 AS max_sim,
          |    ${sr5("0.7e0 * rel")} AS mmr, CAST(1 AS BIGINT) AS rank
@@ -743,7 +743,7 @@ object Retrieval {
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
          |cosr AS (SELECT e.vec_id AS doc_id,
-         |    ${sr5("list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v)))")} AS cos
+         |    ${sr5("coalesce(list_dot_product(pv, v) / nullif(sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v)), 0e0), 0e0)")} AS cos
          |  FROM e, p WHERE e.vec_id <> 0),
          |sem0 AS (SELECT doc_id, cos FROM cosr ORDER BY cos DESC, doc_id LIMIT 20),
          |sem AS (SELECT doc_id, CAST(row_number() OVER (

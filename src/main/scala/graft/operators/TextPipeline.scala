@@ -882,7 +882,10 @@ object TextPipeline {
       .join(nrm.select(col("doc_id").as("doc_a"), col("sq").as("sqa")), "doc_a")
       .join(nrm.select(col("doc_id").as("doc_b"), col("sq").as("sqb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        r4(col("dot") / (sqrt(col("sqa")) * sqrt(col("sqb")))).as("cos_tfidf"))
+        // nullif: a doc whose every term has idf 0 (appears in ALL docs)
+        // has a zero tf-idf norm — null cosine, not 0/0
+        r4(col("dot") /
+          nullif(sqrt(col("sqa")) * sqrt(col("sqb")), lit(0.0))).as("cos_tfidf"))
       .orderBy(col("cos_tfidf").desc, col("doc_a"), col("doc_b"))
       .limit(20)
   }
@@ -1071,7 +1074,7 @@ object TextPipeline {
          |  FROM wts a JOIN wts b ON a.w = b.w AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
-         |  ${sr4("dot / (sqrt(na.sq) * sqrt(nb.sq))")} AS cos_tfidf
+         |  ${sr4("dot / nullif(sqrt(na.sq) * sqrt(nb.sq), 0e0)")} AS cos_tfidf
          |FROM dots JOIN nrm na ON dots.doc_a = na.doc_id
          |JOIN nrm nb ON dots.doc_b = nb.doc_id
          |ORDER BY cos_tfidf DESC, doc_a, doc_b LIMIT 20""".stripMargin,
@@ -1378,7 +1381,7 @@ object TextPipeline {
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
          |SELECT vec_a, vec_b, cos FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |    ${sr5("list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))")} AS cos
+         |    ${sr5("coalesce(list_dot_product(a.v, b.v) / nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0e0), 0e0)")} AS cos
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |WHERE cos >= 0.5 ORDER BY vec_a, vec_b""".stripMargin,
     "q161_langid_confusion" ->
@@ -1461,11 +1464,11 @@ object TextPipeline {
          |cell AS (SELECT probe_id, p, label AS cell FROM (
          |    SELECT pr.vec_id AS probe_id, pr.v AS p, cent.label,
          |      row_number() OVER (PARTITION BY pr.vec_id ORDER BY
-         |        ${sr5("list_dot_product(pr.v, cvec) / (sqrt(list_dot_product(pr.v, pr.v)) * sqrt(list_dot_product(cvec, cvec)))")} DESC,
+         |        ${sr5("coalesce(list_dot_product(pr.v, cvec) / nullif(sqrt(list_dot_product(pr.v, pr.v)) * sqrt(list_dot_product(cvec, cvec)), 0e0), 0e0)")} DESC,
          |        cent.label) AS rn
          |    FROM e pr, cent WHERE pr.vec_id < 10) WHERE rn = 1),
          |scored AS (SELECT probe_id, cell.cell, e.vec_id AS cand_id,
-         |    ${sr5("list_dot_product(p, e.v) / (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(e.v, e.v)))")} AS cos
+         |    ${sr5("coalesce(list_dot_product(p, e.v) / nullif(sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(e.v, e.v)), 0e0), 0e0)")} AS cos
          |  FROM cell JOIN e ON e.label = cell.cell AND e.vec_id <> cell.probe_id)
          |SELECT probe_id, cell, rnk, cand_id, cos FROM (
          |  SELECT probe_id, cell, cand_id, cos, CAST(row_number() OVER (
