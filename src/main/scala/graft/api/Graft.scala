@@ -250,7 +250,12 @@ object Graft {
     require(k >= 1, s"k must be >= 1, got $k")
     val u = (conv(substring(sha2(id.cast("string"), 256), 1, 8), 16, 10)
       .cast("long").cast("double") + lit(1.0)) / lit(4294967296.0)
-    df.withColumn(keyCol, graft.Tables.rnd(log(u) / weight.cast("double"), 10))
+    // nullif: a zero-weight row has no sampling mass — a null key sorts
+    // last in BOTH engines (never sampled while k positive-weight rows
+    // exist), where a raw /0 would be null here but -inf/NaN in DuckDB
+    // (and NaN sorts FIRST on desc there)
+    df.withColumn(keyCol, graft.Tables.rnd(
+        log(u) / nullif(weight.cast("double"), lit(0.0)), 10))
       .orderBy(col(keyCol).desc, id)
       .limit(k)
   }

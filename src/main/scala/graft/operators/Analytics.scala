@@ -234,7 +234,10 @@ object Analytics {
     events(s, d).join(mad, "event_type")
       .select(col("event_id"), col("event_type"), r2(col("value")).as("value"),
         r4(col("__med2")).as("med"), r4(col("__mad")).as("mad"),
-        r4(lit(0.6745) * (col("value") - col("__med2")) / col("__mad")).as("rz"))
+        // nullif: if >50% of a type's values are identical the MAD is 0
+        // and the robust z is undefined — null, not ±inf
+        r4(lit(0.6745) * (col("value") - col("__med2")) /
+          nullif(col("__mad"), lit(0.0))).as("rz"))
       .orderBy(abs(col("rz")).desc, col("event_id"))
       .limit(20)
   }
@@ -3281,7 +3284,7 @@ object Analytics {
          |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
          |SELECT e.event_id, e.event_type, ${sr2("e.value")} AS value,
          |  ${sr4("m.med")} AS med, ${sr4("m.mad")} AS mad,
-         |  ${sr4("0.6745e0 * (e.value - m.med) / m.mad")} AS rz
+         |  ${sr4("0.6745e0 * (e.value - m.med) / nullif(m.mad, 0e0)")} AS rz
          |FROM events e JOIN mad m USING (event_type)
          |ORDER BY abs(${sr4("0.6745e0 * (e.value - m.med) / m.mad")}) DESC, e.event_id
          |LIMIT 20""".stripMargin,

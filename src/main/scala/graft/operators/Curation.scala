@@ -383,7 +383,7 @@ object Curation {
           regexp_count(col("text"), lit("[0-9]{8,}"))).cast("long").as("pii"),
         expr("CAST(size(filter(split(lower(text), ' '), " +
           "w -> w IN ('the', 'a', 'of', 'in', 'and', 'to'))) AS DOUBLE) " +
-          "/ size(filter(split(lower(text), ' '), w -> w != ''))").as("stop_ratio"))
+          "/ nullif(CAST(size(filter(split(lower(text), ' '), w -> w != '')) AS DOUBLE), 0e0)").as("stop_ratio"))
       .select(col("doc_id"),
         (col("n_words") >= 30).as("f1"),
         (col("dup_ratio") <= 0.25).as("f2"),
@@ -498,7 +498,7 @@ object Curation {
          |      + len(regexp_extract_all(text, '[0-9]{8,}')) AS pii,
          |    CAST(len(list_filter(string_split(lower(text), ' '),
          |      x -> x IN ('the', 'a', 'of', 'in', 'and', 'to'))) AS DOUBLE)
-         |      / len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS stop_ratio
+         |      / nullif(CAST(len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS DOUBLE), 0e0) AS stop_ratio
          |  FROM documents d LEFT JOIN ts ON d.doc_id = ts.doc_id),
          |fb AS (SELECT n_words >= 30 AS f1, dup_ratio <= 0.25e0 AS f2,
          |    pii = 0 AS f3, stop_ratio >= 0.02e0 AS f4 FROM fl),
@@ -618,9 +618,9 @@ object Curation {
          |      / 4294967296e0) AS u
          |  FROM documents)
          |SELECT doc_id, n_chars,
-         |  ${sqlRnd("ln(u) / CAST(n_chars AS DOUBLE)", 10)} AS es_key
+         |  ${sqlRnd("ln(u) / nullif(CAST(n_chars AS DOUBLE), 0e0)", 10)} AS es_key
          |FROM k
-         |ORDER BY ${sqlRnd("ln(u) / CAST(n_chars AS DOUBLE)", 10)} DESC, doc_id
+         |ORDER BY ${sqlRnd("ln(u) / nullif(CAST(n_chars AS DOUBLE), 0e0)", 10)} DESC, doc_id
          |LIMIT 20""".stripMargin,
     "q155_sample_per_group" ->
       """SELECT doc_id, source, rn FROM (

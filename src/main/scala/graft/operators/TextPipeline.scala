@@ -164,12 +164,12 @@ object TextPipeline {
       .select(col("doc_id"),
         size(col("words")).cast("long").as("n_words"),
         expr("CAST(length(regexp_replace(text, '[^a-z]', '')) AS DOUBLE) " +
-          "/ size(filter(split(lower(text), ' '), w -> w != ''))").as("avg_wlen_raw"),
-        expr("CAST(length(regexp_replace(text, '[a-z0-9 ]', '')) AS DOUBLE) / length(text)")
+          "/ nullif(CAST(size(filter(split(lower(text), ' '), w -> w != '')) AS DOUBLE), 0e0)").as("avg_wlen_raw"),
+        expr("CAST(length(regexp_replace(text, '[a-z0-9 ]', '')) AS DOUBLE) / nullif(CAST(length(text) AS DOUBLE), 0e0)")
           .as("punct_ratio_raw"),
         expr("CAST(size(filter(split(lower(text), ' '), " +
           "w -> w IN ('the', 'a', 'of', 'in', 'and', 'to'))) AS DOUBLE) " +
-          "/ size(filter(split(lower(text), ' '), w -> w != ''))").as("stop_ratio_raw"))
+          "/ nullif(CAST(size(filter(split(lower(text), ' '), w -> w != '')) AS DOUBLE), 0e0)").as("stop_ratio_raw"))
       .select(col("doc_id"), col("n_words"),
         r2(col("avg_wlen_raw")).as("avg_wlen"),
         r4(col("punct_ratio_raw")).as("punct_ratio"),
@@ -187,8 +187,10 @@ object TextPipeline {
         size(expr("filter(split(text, '\\\\s+'), w -> w != '')")).cast("long").as("ws_tokens"),
         regexp_count(col("text"), lit("[a-z0-9]+|[^a-z0-9\\s]")).cast("long").as("bpe_tokens"),
         col("n_chars"))
+      // nullif: an empty-text doc has 0 BPE tokens — null ratio, not 0/0
       .withColumn("chars_per_token",
-        r4(col("n_chars").cast("double") / col("bpe_tokens")))
+        r4(col("n_chars").cast("double") /
+          nullif(col("bpe_tokens").cast("double"), lit(0.0))))
       .orderBy("doc_id")
 
   /** Document fingerprinting: min/max SHA-256 over the doc's 5-word shingle
@@ -1426,12 +1428,12 @@ object TextPipeline {
       s"""WITH base AS (SELECT doc_id,
          |    len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS n_words,
          |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
-         |      / len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS avg_wlen_raw,
+         |      / nullif(CAST(len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS DOUBLE), 0e0) AS avg_wlen_raw,
          |    CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-         |      / length(text) AS punct_ratio_raw,
+         |      / nullif(CAST(length(text) AS DOUBLE), 0e0) AS punct_ratio_raw,
          |    CAST(len(list_filter(string_split(lower(text), ' '),
          |      x -> x IN ('the', 'a', 'of', 'in', 'and', 'to'))) AS DOUBLE)
-         |      / len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS stop_ratio_raw
+         |      / nullif(CAST(len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS DOUBLE), 0e0) AS stop_ratio_raw
          |  FROM documents)
          |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
          |  ${sr2("avg_wlen_raw")} AS avg_wlen,
@@ -1444,7 +1446,7 @@ object TextPipeline {
          |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) AS BIGINT) AS ws_tokens,
          |  CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
          |  n_chars,
-         |  ${sr4("CAST(n_chars AS DOUBLE) / len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]'))")} AS chars_per_token
+         |  ${sr4("CAST(n_chars AS DOUBLE) / nullif(CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]')) AS DOUBLE), 0e0)")} AS chars_per_token
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q84_doc_fingerprint" ->
       s"""WITH $wordsCte,

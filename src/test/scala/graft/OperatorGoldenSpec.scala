@@ -2102,6 +2102,42 @@ class OperatorGoldenSpec extends AnyFunSuite {
       got(10L).getDouble(6) == 0.7)
   }
 
+  test("degenerate corpora: zero-variance, zero-MAD and empty-text inputs null out, never inf/NaN") {
+    import TestSpark.spark.implicits._
+    // events: type 'flat' has constant values (zero variance, zero MAD),
+    // type 'solo' has one row (null variance in both engines)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dzv").toString
+    (Seq((1L, "flat", 5.0, 0L), (2L, "flat", 5.0, 1L), (3L, "flat", 5.0, 2L),
+         (4L, "solo", 9.0, 3L)))
+      .map { case (id, t, v, day) => (id, dayNs(day), 1L, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // q116 z-score: zero-spread and single-row types both yield null z
+    operators.Analytics.q116(s, dir).collect()
+      .foreach(r => assert(r.isNullAt(3), s"z must be null, got $r"))
+    // q122 robust z: MAD 0 ('flat') and single row ('solo') yield null rz
+    operators.Analytics.q122(s, dir).collect()
+      .foreach(r => assert(r.isNullAt(5), s"rz must be null, got $r"))
+
+    // documents: an empty-text doc nulls every text ratio; a normal doc
+    // beside it keeps real values (the guard must not over-null)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_dtxt").toString
+    Seq((1L, "", "en", "web", 0L),
+        (2L, "the cat sat of the mat", "en", "web", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val q79 = operators.TextPipeline.q79(s, dir2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(q79(1L).isNullAt(2) && q79(1L).isNullAt(3) && q79(1L).isNullAt(4) &&
+      q79(1L).isNullAt(5), s"empty doc must null all ratios: ${q79(1L)}")
+    assert(!q79(2L).isNullAt(5) && q79(2L).getDouble(5) > 0.0,
+      s"normal doc must keep a real quality: ${q79(2L)}")
+    val q83 = operators.TextPipeline.q83(s, dir2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(q83(1L).isNullAt(4), "empty doc must null chars_per_token")
+    assert(!q83(2L).isNullAt(4), "normal doc keeps chars_per_token")
+  }
+
   test("q266 degenerate: a zero-positive corpus nulls lift and gain, not inf") {
     import TestSpark.spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_d266").toString
