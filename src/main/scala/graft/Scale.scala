@@ -33,7 +33,9 @@ object Scale {
     "q257_multimodal_phash" -> "documents banded-LSH hamming pairs",
     "q113_item_pagerank" -> "events edge build + fixed-size fixpoint",
     "q121_rolling_active_users" -> "events 7-day contribution explode",
-    "q39_join_interval_bucketed" -> "events bucketed interval self-join")
+    "q39_join_interval_bucketed" -> "events bucketed interval self-join",
+    "q93_dedup_components" -> "documents shingle-bucket connected components",
+    "q64_user_knn_predict" -> "ratings capped top-50 pair self-join")
 
   private val OFF = 1000000000L // id offset per copy: disjoint key spaces
 

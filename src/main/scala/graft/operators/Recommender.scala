@@ -71,7 +71,9 @@ object Recommender {
   /** User-based CF: predict each observed (user, item) from the user's k=5
     * most cosine-similar users (positive similarity only). Similarities are
     * computed over each user's top-R=50 ratings (by rounded rating, item
-    * tiebreak), mirrored exactly in the oracle SQL. */
+    * tiebreak) restricted to each item's top-M=1024 contributors (the
+    * user-direction bound; see the inline note), mirrored exactly in the
+    * oracle SQL. */
   def q64(s: SparkSession, d: String): DataFrame = {
     val r = ratings(s, d)
     // Top-R cap per user BEFORE the pair join — the header's 100 TB
@@ -81,9 +83,31 @@ object Recommender {
     // tiebreak, so both engines cap identical sets. Cached in Tables —
     // this plan references it ~8× (pair sides, mirror union, norms).
     val capped = cappedRatings(s, d)
-    val nrm = capped.groupBy("user_id").agg(sum(col("rating") * col("rating")).as("sq"))
-    val a = capped.select(col("user_id").as("u"), col("item"), col("rating").as("ra"))
-    val b = capped.select(col("user_id").as("v"), col("item"), col("rating").as("rb"))
+    // Per-ITEM contributor cap M=1024 — the user-direction twin of the
+    // per-user top-R cap above. The r10 scaling probe measured the raw
+    // item-keyed user-pair join QUADRATIC in users for a fixed catalog
+    // (U_item grows linearly with the corpus, pairs as U_item²); capping
+    // each item's similarity contributors to its top-M raters bounds the
+    // pair volume at catalog × M² forever. The threshold is the M-th
+    // highest 4 dp rating per item, computed off the DOMAIN-bounded
+    // (item × rating-grid) support with the groupedPrefixSum facade —
+    // window-free and deterministic; WHOLE tie groups at the boundary are
+    // admitted (both engines admit identical sets; overshoot is the
+    // boundary tie-group size, small on a 4 dp continuous grid). At the
+    // driver corpora the cap never binds (max 795 users/item at sf0.1),
+    // so results are bit-identical to the uncapped form there.
+    val capM = 1024
+    val sup = capped.groupBy(col("item"), r4(col("rating")).as("rr"))
+      .agg(count(lit(1)).as("t"))
+    val thr = graft.api.Graft.groupedPrefixSum(
+        sup.withColumn("nr", -col("rr")), Seq("item"), "nr", Seq("t"))
+      .filter(col("t_cum") - col("t") < capM)
+      .groupBy("item").agg(min("rr").as("__thr"))
+    val contrib = capped.join(broadcast(thr), "item")
+      .filter(r4(col("rating")) >= col("__thr")).drop("__thr")
+    val nrm = contrib.groupBy("user_id").agg(sum(col("rating") * col("rating")).as("sq"))
+    val a = contrib.select(col("user_id").as("u"), col("item"), col("rating").as("ra"))
+    val b = contrib.select(col("user_id").as("v"), col("item"), col("rating").as("rb"))
     // Pair fan-out is the quadratic hot spot: compute each unordered pair
     // once (u < v) and mirror afterwards — halves the join output and the
     // (u,v)-keyed aggregation. Every input here (ratings, norms) is
@@ -1320,10 +1344,19 @@ object Recommender {
          |    SELECT user_id, item, rating, row_number() OVER (
          |      PARTITION BY user_id ORDER BY ${sr4("rating")} DESC, item) AS rn
          |    FROM r) WHERE rn <= 50),
-         |n AS (SELECT user_id, sum(rating*rating) AS sq FROM capped GROUP BY 1),
+         |sup AS (SELECT item, ${sr4("rating")} AS rr,
+         |    CAST(count(*) AS BIGINT) AS t FROM capped GROUP BY 1, 2),
+         |cum AS (SELECT item, rr, t, CAST(sum(t) OVER (PARTITION BY item
+         |    ORDER BY rr DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tc
+         |  FROM sup),
+         |thr AS (SELECT item, min(rr) AS thr FROM cum
+         |  WHERE tc - t < 1024 GROUP BY 1),
+         |contrib AS (SELECT c.user_id, c.item, c.rating FROM capped c
+         |  JOIN thr ON c.item = thr.item WHERE ${sr4("c.rating")} >= thr.thr),
+         |n AS (SELECT user_id, sum(rating*rating) AS sq FROM contrib GROUP BY 1),
          |dots AS (SELECT a.user_id AS u, b.user_id AS v,
          |    sum(a.rating*b.rating) AS dot
-         |  FROM capped a JOIN capped b ON a.item = b.item AND a.user_id <> b.user_id
+         |  FROM contrib a JOIN contrib b ON a.item = b.item AND a.user_id <> b.user_id
          |  GROUP BY 1, 2),
          |sims AS (SELECT u, v,
          |    ${sr5("dot / nullif(sqrt(nu.sq) * sqrt(nv.sq), 0e0)")} AS sim
