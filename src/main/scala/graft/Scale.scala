@@ -94,11 +94,22 @@ object Scale {
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
-  /** Runs each family `runs` times against `dir`, returns (key, min sec). */
+  /** Families whose ENTIRE result is session-memoized (computed once per
+    * corpus by design, then reused by other keys): min-of-N would measure
+    * a cache read, so these report their run-1 COLD BUILD time instead —
+    * the number a pipeline owner actually pays at each corpus refresh. */
+  private val buildOnce = Set("q93_dedup_components")
+
+  /** Runs each family `runs` times against `dir`, returns (key, sec):
+    * min across runs for plan families, run-1 for [[buildOnce]] ones. */
   def probe(spark: SparkSession, dir: String, runs: Int = 2): Seq[(String, Double)] = {
-    // fill the shared memos once so family timings measure the plan, not
-    // whichever family touches a cold memo first (the Bench discipline)
+    // fill the shared INPUT memos once so family timings measure the
+    // plan, not whichever family touches a cold memo first (the Bench
+    // discipline); shingles5 is q93's input grain, warmed so its run-1
+    // build time is the fixpoint, not the shingle scan
     try Tables.events(spark, dir).count() catch { case _: Throwable => () }
+    try operators.TextPipeline.shingles5(spark, dir).count()
+    catch { case _: Throwable => () }
     families.map { case (key, _) =>
       val fn = SparkEntry.queries(key)
       val times = (1 to runs).map { _ =>
@@ -106,7 +117,7 @@ object Scale {
         fn(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      key -> times.min
+      key -> (if (buildOnce(key)) times.head else times.min)
     }
   }
 

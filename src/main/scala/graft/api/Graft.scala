@@ -24,6 +24,41 @@ object Graft {
       .filter(col(rankCol) <= k)
   }
 
+  /** Per-key TOP-M contributor cap with WHOLE-TIE-GROUP admission: keep
+    * each key's rows whose `score` is at or above that key's M-th highest
+    * DISTINCT-row score, admitting the entire boundary tie group (so both
+    * a Spark plan and a SQL twin admit IDENTICAL sets with no tiebreak
+    * column; overshoot is the boundary tie-group size). Unlike
+    * [[topKPerGroup]] this never ranks the raw rows: the threshold is
+    * computed on the (keys × score-support) grain — tiny when scores are
+    * rounded to a grid — then joined back, so the fact table crosses ONE
+    * window over supports, not a row_number over every row. The regime is
+    * MANY keys (a catalog) with a bounded per-key support: the threshold
+    * side is key-proportional and carries NO broadcast hint (auto-
+    * broadcast/AQE decides; a forced broadcast would grow with the
+    * catalog). NULL keys form their own group (null-safe join), matching
+    * `Window.partitionBy`. Used by q64 to bound the user-pair fan-out at
+    * catalog × M² on any corpus. */
+  def perKeyTopContributors(df: DataFrame, keyCols: Seq[String],
+                            score: Column, m: Int): DataFrame = {
+    require(keyCols.nonEmpty, "perKeyTopContributors needs key columns")
+    require(m >= 1, s"m must be >= 1, got $m")
+    val kc = keyCols.map(col)
+    val sup = df.groupBy(kc :+ score.as("__sc"): _*)
+      .agg(count(lit(1)).as("__t"))
+    val w = Window.partitionBy(kc: _*).orderBy(col("__sc").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = sup.withColumn("__tc", sum("__t").over(w))
+      .filter(col("__tc") - col("__t") < m)
+      .groupBy(kc: _*).agg(min("__sc").as("__thr"))
+      .select(keyCols.zipWithIndex.map { case (c, i) =>
+        col(c).as(s"__tk$i") } :+ col("__thr"): _*)
+    val cond = keyCols.zipWithIndex
+      .map { case (c, i) => col(c) <=> col(s"__tk$i") }.reduce(_ && _)
+    df.join(thr, cond).filter(score >= col("__thr"))
+      .drop("__thr" +: keyCols.indices.map(i => s"__tk$i"): _*)
+  }
+
   /** As-of join: for each left row, the single latest right row with
     * `rightTs` strictly before (or at, when `strict=false`) the left row's
     * `leftTs`, matched on `keys`. `leftId` must uniquely identify left rows.

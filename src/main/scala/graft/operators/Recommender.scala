@@ -88,32 +88,18 @@ object Recommender {
     // item-keyed user-pair join QUADRATIC in users for a fixed catalog
     // (U_item grows linearly with the corpus, pairs as U_item²); capping
     // each item's similarity contributors to its top-M raters bounds the
-    // pair volume at catalog × M² forever. The threshold is the M-th
-    // highest 4 dp rating per item, computed off the DOMAIN-bounded
-    // (item × rating-grid) support with a PARTITIONED window — MANY
-    // groups (one per item) over a tiny per-group support is exactly the
-    // regime where `Window.partitionBy` already parallelizes and the
-    // groupedPrefixSum facade's broadcast block-bounds would grow with
-    // the catalog (its scaladoc's own exclusion). WHOLE tie groups at
-    // the boundary are admitted (both engines admit identical sets;
-    // overshoot is the boundary tie-group size, small on a 4 dp
-    // continuous grid). At the driver corpora the cap never binds (max
-    // 795 users/item at sf0.1), so results are bit-identical to the
-    // uncapped form there.
-    val capM = 1024
-    val sup = capped.groupBy(col("item"), r4(col("rating")).as("rr"))
-      .agg(count(lit(1)).as("t"))
-    val wThr = Window.partitionBy("item").orderBy(col("rr").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val thr = sup.withColumn("tc", sum("t").over(wThr))
-      .filter(col("tc") - col("t") < capM)
-      .groupBy("item").agg(min("rr").as("__thr"))
-    // NO broadcast hint on thr: it is item-CATALOG-proportional (one row
-    // per item), not query-bounded — the q64 no-forced-broadcast lint's
-    // exact class. Auto-broadcast/AQE picks from stats: small catalog →
-    // broadcast, huge catalog → shuffle on item alongside `capped`.
-    val contrib = capped.join(thr, "item")
-      .filter(r4(col("rating")) >= col("__thr")).drop("__thr")
+    // pair volume at catalog × M² forever. `perKeyTopContributors`
+    // computes the M-th-highest-4dp-rating threshold on the DOMAIN-
+    // bounded (item × rating-grid) support with a partitioned window
+    // (many small groups — `Window.partitionBy`'s regime, and no
+    // catalog-sized broadcast: the q64 no-forced-broadcast lint's exact
+    // class), admitting WHOLE tie groups at the boundary so both engines
+    // admit identical sets. At the driver corpora the cap never binds
+    // (max 795 users/item at sf0.1), so results are bit-identical to the
+    // uncapped form there; the binding path is pinned by GraftApiSpec's
+    // synthetic hot-item cases.
+    val contrib = graft.api.Graft.perKeyTopContributors(
+      capped, Seq("item"), r4(col("rating")), 1024)
     val nrm = contrib.groupBy("user_id").agg(sum(col("rating") * col("rating")).as("sq"))
     val a = contrib.select(col("user_id").as("u"), col("item"), col("rating").as("ra"))
     val b = contrib.select(col("user_id").as("v"), col("item"), col("rating").as("rb"))

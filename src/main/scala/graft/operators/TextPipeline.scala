@@ -51,7 +51,7 @@ object TextPipeline {
     * shared unit of the shingle-based dedup family (q76/q84/q92/q93).
     * Memoized+cached: four queries re-derive it, and the distinct is a
     * full shuffle of the exploded shingle set. */
-  private[operators] def shingles5(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingles5(s: SparkSession, d: String): DataFrame =
     graft.Tables.memoized(s, d, "shingles5") {
       docWords(s, d)
         .filter(size(col("words")) >= 5)

@@ -766,4 +766,42 @@ class GraftApiSpec extends AnyFunSuite {
     val q133 = operators.Graph.q133(s, d)
     assert(aa.collect().toSeq == q133.collect().toSeq)
   }
+
+  test("perKeyTopContributors: binding cap, whole-tie admission, null key, no-op below m") {
+    val spark = s
+    import spark.implicits._
+    // hot: 1500 rows with DISTINCT scores → exactly the top-m survive;
+    // tied: 2000 rows at ONE score → the whole boundary tie group stays;
+    // cold: 10 rows (< m) → untouched; null key: its own group (20 rows).
+    val rows =
+      (1 to 1500).map(i => (Option("hot"), i.toDouble)) ++
+      (1 to 2000).map(_ => (Option("tied"), 7.0)) ++
+      (1 to 10).map(i => (Option("cold"), i.toDouble)) ++
+      (1 to 20).map(i => (Option.empty[String], i.toDouble))
+    val df = rows.toSeq.toDF("k", "score")
+    val m = 100
+    val out = Graft.perKeyTopContributors(df, Seq("k"), col("score"), m)
+      .groupBy("k").agg(count(lit(1)).as("n"), min("score").as("lo"))
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(Some("hot")) == ((100L, 1401.0)),
+      "distinct-score key must keep exactly the top-m scores")
+    assert(out(Some("tied")) == ((2000L, 7.0)),
+      "a boundary tie group is admitted WHOLE")
+    assert(out(Some("cold")) == ((10L, 1.0)), "below-m keys are a no-op")
+    assert(out(None) == ((20L, 1.0)),
+      "NULL key is its own group, not dropped (null-safe join)")
+    // brute-force cross-check on the hot key: threshold = m-th highest
+    val brute = (1 to 1500).map(_.toDouble).sorted.reverse.take(m).min
+    assert(out(Some("hot"))._2 == brute)
+  }
+
+  test("perKeyTopContributors is a no-op on q64's corpus (the cap never binds at test SF)") {
+    val capped = Tables.cappedRatings(s, d)
+    val out = Graft.perKeyTopContributors(
+      capped, Seq("item"), Tables.r4(col("rating")), 1024)
+    assert(out.count() == capped.count(),
+      "sf0.001 has <1024 raters/item, so q64's results are bit-identical " +
+        "to the uncapped form there")
+  }
 }
