@@ -27,6 +27,7 @@ object Bench {
       Tables.events(spark, sfDir).count()
       Tables.ratings(spark, sfDir).count()
       Tables.cappedRatings(spark, sfDir).count()
+      Tables.contribRatings(spark, sfDir).count()
     } catch { case _: Throwable => () }
     // each family warm-up is independently best-effort: a failure in one
     // must not silently skip the others (that would push a cache build

@@ -175,6 +175,20 @@ object Tables {
         .filter(col("rn") <= 50).drop("rn")
     }
 
+  /** [[cappedRatings]] further restricted to each ITEM's top-1024
+    * contributors ([[graft.api.Graft.perKeyTopContributors]]) — q64's
+    * similarity input. Cached for the same reason as the top-50 cap:
+    * q64's plan references this relation three times (both pair-join
+    * sides and the norms), and without caching each reference re-runs
+    * the support aggregation, threshold window and back-join (measured
+    * 4× the whole query's steady time at sf0.1). The cap never binds at
+    * the test SFs — see Recommender.q64 for the 100 TB rationale. */
+  def contribRatings(spark: SparkSession, sfDir: String): DataFrame =
+    memoized(spark, sfDir, "contrib1024") {
+      graft.api.Graft.perKeyTopContributors(
+        cappedRatings(spark, sfDir), Seq("item"), r4(col("rating")), 1024)
+    }
+
   /** Item-pair co-occurrence support over [[cappedRatings]] — the shared
     * input of the co-occurrence family (q107 PMI, q134 triangles): one
     * user-keyed self-join, pairs canonicalized item_a < item_b, counted.

@@ -80,26 +80,26 @@ object Recommender {
     // mitigation (b): bounds every user's vector to R entries so total pair
     // volume is O(ratings · R) instead of degree-quadratic. The cap orders
     // by the 4dp-rounded rating (cross-engine stable, §2.9.2) with item
-    // tiebreak, so both engines cap identical sets. Cached in Tables —
-    // this plan references it ~8× (pair sides, mirror union, norms).
-    val capped = cappedRatings(s, d)
+    // tiebreak, so both engines cap identical sets; it feeds this plan
+    // through `contribRatings` below.
     // Per-ITEM contributor cap M=1024 — the user-direction twin of the
     // per-user top-R cap above. The r10 scaling probe measured the raw
     // item-keyed user-pair join QUADRATIC in users for a fixed catalog
     // (U_item grows linearly with the corpus, pairs as U_item²); capping
     // each item's similarity contributors to its top-M raters bounds the
-    // pair volume at catalog × M² forever. `perKeyTopContributors`
-    // computes the M-th-highest-4dp-rating threshold on the DOMAIN-
-    // bounded (item × rating-grid) support with a partitioned window
-    // (many small groups — `Window.partitionBy`'s regime, and no
-    // catalog-sized broadcast: the q64 no-forced-broadcast lint's exact
-    // class), admitting WHOLE tie groups at the boundary so both engines
-    // admit identical sets. At the driver corpora the cap never binds
-    // (max 795 users/item at sf0.1), so results are bit-identical to the
-    // uncapped form there; the binding path is pinned by GraftApiSpec's
-    // synthetic hot-item cases.
-    val contrib = graft.api.Graft.perKeyTopContributors(
-      capped, Seq("item"), r4(col("rating")), 1024)
+    // pair volume at catalog × M² forever. `Tables.contribRatings`
+    // (= `perKeyTopContributors` over the top-50-capped ratings, cached
+    // like every thrice-referenced recommender input) computes the
+    // M-th-highest-4dp-rating threshold on the DOMAIN-bounded
+    // (item × rating-grid) support with a partitioned window (many small
+    // groups — `Window.partitionBy`'s regime, and no catalog-sized
+    // broadcast: the q64 no-forced-broadcast lint's exact class),
+    // admitting WHOLE tie groups at the boundary so both engines admit
+    // identical sets. At the driver corpora the cap never binds (max 795
+    // users/item at sf0.1), so results are bit-identical to the uncapped
+    // form there; the binding path is pinned by GraftApiSpec's synthetic
+    // hot-item cases.
+    val contrib = contribRatings(s, d)
     val nrm = contrib.groupBy("user_id").agg(sum(col("rating") * col("rating")).as("sq"))
     val a = contrib.select(col("user_id").as("u"), col("item"), col("rating").as("ra"))
     val b = contrib.select(col("user_id").as("v"), col("item"), col("rating").as("rb"))
