@@ -91,8 +91,25 @@ object Bench {
     // real regression — min-of-two suppresses any transient that doesn't
     // reproduce in both passes, while run 1 is still printed in full so
     // one-time cache-build costs remain visible.
+    // Block-manager storage snapshots across the session (r9 verdict watch
+    // item: q113's driver reading drifted 1.5x with unchanged code; the r6
+    // leak class was checkpoint blocks surviving their round). One compact
+    // line per phase makes block-manager pressure visible in the archived
+    // tail, so a future out-of-band reading carries its own diagnosis:
+    // a leak shows as persistent_rdds / storage_mb GROWING run1 -> run2,
+    // host variance shows them flat.
+    def storageSnap(tag: String): String = {
+      val sc = spark.sparkContext
+      val rdds = sc.getPersistentRDDs.size
+      val usedMb = sc.getExecutorMemoryStatus.values
+        .map { case (max, rem) => (max - rem) / (1024L * 1024L) }.sum
+      s""""$tag":{"persistent_rdds":$rdds,"storage_mb":$usedMb}"""
+    }
+    val snaps = scala.collection.mutable.ArrayBuffer(storageSnap("warm"))
     val run1 = runOnce()
+    snaps += storageSnap("run1")
     val run2 = runOnce()
+    snaps += storageSnap("run2")
     val steady = run1.zip(run2).map { case ((n, t1, ok1), (_, t2, ok2)) =>
       (n, math.min(t1, t2), ok1 && ok2)
     }
@@ -128,6 +145,9 @@ object Bench {
     // (BASELINE.md "Archived-tail contract").
     println(line("run1_detail", run1))
     println(line("steady_detail", steady))
+    // ~170 chars; printed inside the archived tail window together with
+    // steady_slowest80 + total (~1.7 KB combined, under the 2000-char tail).
+    println(s"""{"metric":"storage",${snaps.mkString(",")}}""")
     println(line("steady_slowest80", steady.sortBy(-_._2).take(80)))
     val failed = steady.collect { case (k, _, false) => "\"" + k + "\"" }
       .sorted.mkString("[", ",", "]")

@@ -35,20 +35,38 @@ object Scale {
     "q121_rolling_active_users" -> "events 7-day contribution explode",
     "q39_join_interval_bucketed" -> "events bucketed interval self-join",
     "q93_dedup_components" -> "documents shingle-bucket connected components",
-    "q64_user_knn_predict" -> "ratings capped top-50 pair self-join")
+    "q64_user_knn_predict" -> "ratings contributor-capped pair self-join")
+
+  /** Which probe table each family stresses — lets a deep (e.g. ×1000)
+    * probe of one family skip blowing up the other four tables (a ×1000
+    * lineitem is ~600 M rows of parquet nobody asked for). */
+  val tableOf: Map[String, String] = Map(
+    "q210_spearman_corr" -> "lineitem",
+    "q149_weighted_median" -> "lineitem",
+    "q114_rfm_segments" -> "orders",
+    "q209_quantile_norm" -> "embeddings",
+    "q76_dedup_ngram_jaccard" -> "documents",
+    "q257_multimodal_phash" -> "documents",
+    "q113_item_pagerank" -> "events",
+    "q121_rolling_active_users" -> "events",
+    "q39_join_interval_bucketed" -> "events",
+    "q93_dedup_components" -> "documents",
+    "q64_user_knn_predict" -> "events") // ratings derive from events.props
 
   private val OFF = 1000000000L // id offset per copy: disjoint key spaces
 
-  /** Deterministic ×k blow-up of the five probe tables from `src` into
-    * `out`. Idempotent per (out, k): skips tables already written. */
-  def blowUp(spark: SparkSession, src: String, out: String, k: Int): Unit = {
+  /** Deterministic ×k blow-up of the probe tables in `tables` from `src`
+    * into `out`. Idempotent per (out, k): skips tables already written. */
+  def blowUp(spark: SparkSession, src: String, out: String, k: Int,
+             tables: Set[String] = Set("events", "lineitem", "orders",
+               "documents", "embeddings")): Unit = {
     def done(t: String) =
       new java.io.File(s"$out/$t.parquet/_SUCCESS").exists()
     def copies(df: DataFrame): DataFrame =
       df.crossJoin(broadcast(
         spark.range(k.toLong).select(col("id").as("copy"))))
 
-    if (!done("events"))
+    if (tables("events") && !done("events"))
       copies(spark.read.parquet(s"$src/events.parquet"))
         .select((col("event_id") + col("copy") * OFF).as("event_id"),
           expr("timestampadd(MICROSECOND, copy, ts)").as("ts"),
@@ -58,7 +76,7 @@ object Scale {
           col("props"))
         .write.mode("overwrite").parquet(s"$out/events.parquet")
 
-    if (!done("lineitem"))
+    if (tables("lineitem") && !done("lineitem"))
       copies(spark.read.parquet(s"$src/lineitem.parquet"))
         .withColumn("l_orderkey", col("l_orderkey") + col("copy") * OFF)
         // widen the price support ×min(k,100): the prefix-scan stressor
@@ -67,7 +85,7 @@ object Scale {
         .drop("copy")
         .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-    if (!done("orders"))
+    if (tables("orders") && !done("orders"))
       copies(spark.read.parquet(s"$src/orders.parquet"))
         .withColumn("o_orderkey", col("o_orderkey") + col("copy") * OFF)
         .withColumn("o_custkey", col("o_custkey") + col("copy") * OFF)
@@ -76,7 +94,7 @@ object Scale {
         .drop("copy")
         .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
-    if (!done("documents"))
+    if (tables("documents") && !done("documents"))
       copies(spark.read.parquet(s"$src/documents.parquet"))
         .withColumn("doc_id", col("doc_id") + col("copy") * OFF)
         .withColumn("text", when(col("copy") === 0, col("text")).otherwise(
@@ -85,7 +103,7 @@ object Scale {
         .drop("copy")
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
-    if (!done("embeddings"))
+    if (tables("embeddings") && !done("embeddings"))
       copies(spark.read.parquet(s"$src/embeddings.parquet"))
         .withColumn("vec_id", col("vec_id") + col("copy") * OFF)
         .withColumn("embedding",
@@ -100,17 +118,23 @@ object Scale {
     * the number a pipeline owner actually pays at each corpus refresh. */
   private val buildOnce = Set("q93_dedup_components")
 
-  /** Runs each family `runs` times against `dir`, returns (key, sec):
-    * min across runs for plan families, run-1 for [[buildOnce]] ones. */
-  def probe(spark: SparkSession, dir: String, runs: Int = 2): Seq[(String, Double)] = {
+  /** Runs each family in `keys` `runs` times against `dir`, returns
+    * (key, sec): min across runs for plan families, run-1 for
+    * [[buildOnce]] ones. */
+  def probe(spark: SparkSession, dir: String, runs: Int = 2,
+            keys: Seq[String] = families.map(_._1)): Seq[(String, Double)] = {
     // fill the shared INPUT memos once so family timings measure the
     // plan, not whichever family touches a cold memo first (the Bench
     // discipline); shingles5 is q93's input grain, warmed so its run-1
-    // build time is the fixpoint, not the shingle scan
-    try Tables.events(spark, dir).count() catch { case _: Throwable => () }
-    try operators.TextPipeline.shingles5(spark, dir).count()
-    catch { case _: Throwable => () }
-    families.map { case (key, _) =>
+    // build time is the fixpoint, not the shingle scan. Only memos whose
+    // source table the probe subset actually blew up are warmable.
+    val tabs = keys.flatMap(tableOf.get).toSet
+    if (tabs("events"))
+      try Tables.events(spark, dir).count() catch { case _: Throwable => () }
+    if (tabs("documents"))
+      try operators.TextPipeline.shingles5(spark, dir).count()
+      catch { case _: Throwable => () }
+    keys.map { key =>
       val fn = SparkEntry.queries(key)
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -121,11 +145,20 @@ object Scale {
     }
   }
 
+  /** args: [factors] [family-subset] — e.g. `1000 q39,q113,q121` probes
+    * only the events families at ×1000, blowing up ONLY events. A bare
+    * prefix like `q39` matches its full key. */
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outBase = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scaling")
     val factors = args.headOption.getOrElse("1,10,100")
       .split(",").map(_.trim.toInt).toSeq
+    val keys: Seq[String] =
+      if (args.length < 2) families.map(_._1)
+      else args(1).split(",").map(_.trim).toSeq.map { p =>
+        families.map(_._1).find(k => k == p || k.startsWith(p + "_"))
+          .getOrElse(sys.error(s"unknown scale family: $p"))
+      }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -138,16 +171,18 @@ object Scale {
     spark.sparkContext.setLogLevel("WARN")
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val tabs = keys.flatMap(tableOf.get).toSet
     factors.foreach { k =>
       val dir =
         if (k == 1) src
-        else { blowUp(spark, src, s"$outBase/x$k", k); s"$outBase/x$k" }
-      val evRows = spark.read.parquet(s"$dir/events.parquet").count()
-      val liRows = spark.read.parquet(s"$dir/lineitem.parquet").count()
-      val times = probe(spark, dir)
+        else { blowUp(spark, src, s"$outBase/x$k", k, tabs); s"$outBase/x$k" }
+      val rows = Seq("events", "lineitem").filter(tabs).map { t =>
+        s""""${t}_rows":${spark.read.parquet(s"$dir/$t.parquet").count()}"""
+      }
+      val times = probe(spark, dir, keys = keys)
       val qs = times.map { case (q, t) => s""""$q":${f3(t)}""" }
         .mkString("{", ",", "}")
-      println(s"""{"metric":"scaling","factor":$k,"events_rows":$evRows,"lineitem_rows":$liRows,"queries":$qs,"src":"$src"}""")
+      println(s"""{"metric":"scaling","factor":$k,${(rows :+ s""""queries":$qs""").mkString(",")},"src":"$src"}""")
     }
     spark.stop()
   }
