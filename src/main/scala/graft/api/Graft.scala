@@ -507,21 +507,28 @@ object Graft {
   /** Referential-integrity audit of one foreign-key edge: child rows,
     * orphaned child rows (no matching parent key), distinct parent keys,
     * and unreferenced parent keys — the data-quality gate run before any
-    * join-dependent pipeline. One row out. Plan: two aggregated outer
-    * joins on the key; the dimension side broadcasts when small and the
-    * counts combine map-side, so each edge costs one pass over child and
-    * parent regardless of scale. */
+    * join-dependent pipeline. One row out. Plan: aggregate the child to
+    * its key grain (one fact-scale shuffle with map-side combine), distinct
+    * the parent keys, and FULL-OUTER join the two grains — both sides
+    * arrive hash-partitioned on the key from their own aggregation, so the
+    * join itself adds no exchange, and all four counts fall out of one
+    * single-row aggregation over the joined grain. Each edge costs exactly
+    * one pass and one shuffle per side regardless of scale (the earlier
+    * two-outer-join form scanned and shuffled the child twice). Null child
+    * keys count as child rows and as orphans, null parent keys as parents
+    * and as unreferenced — a SQL join never matches null to null, which is
+    * precisely the audit semantics. */
   def refIntegrity(child: DataFrame, childKey: String,
                    parent: DataFrame, parentKey: String): DataFrame = {
-    val c = child.select(col(childKey).as("__k"))
-    val p = parent.select(col(parentKey).as("__k")).distinct()
-    val orphan = c.join(p.withColumn("__hit", lit(1)), Seq("__k"), "left")
-      .agg(count(lit(1)).as("n_child"),
-        count(when(col("__hit").isNull, 1)).as("n_orphan"))
-    val unref = p.join(c.distinct().withColumn("__used", lit(1)), Seq("__k"), "left")
-      .agg(count(lit(1)).as("n_parent"),
-        count(when(col("__used").isNull, 1)).as("n_unref_parent"))
-    orphan.crossJoin(unref)
+    val cg = child.select(col(childKey).as("__k"))
+      .groupBy("__k").agg(count(lit(1)).as("__cnt"))
+    val pg = parent.select(col(parentKey).as("__k")).distinct()
+      .withColumn("__p", lit(1))
+    cg.join(pg, Seq("__k"), "full_outer")
+      .agg(coalesce(sum(col("__cnt")), lit(0L)).as("n_child"),
+        coalesce(sum(when(col("__p").isNull, col("__cnt")).otherwise(lit(0L))), lit(0L)).as("n_orphan"),
+        count(col("__p")).as("n_parent"),
+        count(when(col("__p").isNotNull && col("__cnt").isNull, 1)).as("n_unref_parent"))
   }
 
   /** Item co-occurrence PMI over a (user, item) interaction relation:
