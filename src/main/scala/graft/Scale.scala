@@ -35,23 +35,27 @@ object Scale {
     "q121_rolling_active_users" -> "events 7-day contribution explode",
     "q39_join_interval_bucketed" -> "events bucketed interval self-join",
     "q93_dedup_components" -> "documents shingle-bucket connected components",
-    "q64_user_knn_predict" -> "ratings contributor-capped pair self-join")
+    "q64_user_knn_predict" -> "ratings contributor-capped pair self-join",
+    "q120_ref_integrity" -> "5-edge FK audit: full-outer join of key grains")
 
-  /** Which probe table each family stresses — lets a deep (e.g. ×1000)
-    * probe of one family skip blowing up the other four tables (a ×1000
-    * lineitem is ~600 M rows of parquet nobody asked for). */
-  val tableOf: Map[String, String] = Map(
-    "q210_spearman_corr" -> "lineitem",
-    "q149_weighted_median" -> "lineitem",
-    "q114_rfm_segments" -> "orders",
-    "q209_quantile_norm" -> "embeddings",
-    "q76_dedup_ngram_jaccard" -> "documents",
-    "q257_multimodal_phash" -> "documents",
-    "q113_item_pagerank" -> "events",
-    "q121_rolling_active_users" -> "events",
-    "q39_join_interval_bucketed" -> "events",
-    "q93_dedup_components" -> "documents",
-    "q64_user_knn_predict" -> "events") // ratings derive from events.props
+  /** Which probe tables each family stresses — lets a deep (e.g. ×1000)
+    * probe of one family skip blowing up the others (a ×1000 lineitem is
+    * ~600 M rows of parquet nobody asked for). The pseudo-table "dims"
+    * passes region/nation/customer/supplier/part through verbatim —
+    * q120's small FK edges read them from the blow-up dir. */
+  val tableOf: Map[String, Set[String]] = Map(
+    "q210_spearman_corr" -> Set("lineitem"),
+    "q149_weighted_median" -> Set("lineitem"),
+    "q114_rfm_segments" -> Set("orders"),
+    "q209_quantile_norm" -> Set("embeddings"),
+    "q76_dedup_ngram_jaccard" -> Set("documents"),
+    "q257_multimodal_phash" -> Set("documents"),
+    "q113_item_pagerank" -> Set("events"),
+    "q121_rolling_active_users" -> Set("events"),
+    "q39_join_interval_bucketed" -> Set("events"),
+    "q93_dedup_components" -> Set("documents"),
+    "q64_user_knn_predict" -> Set("events"), // ratings derive from events.props
+    "q120_ref_integrity" -> Set("lineitem", "orders", "dims"))
 
   private val OFF = 1000000000L // id offset per copy: disjoint key spaces
 
@@ -59,7 +63,7 @@ object Scale {
     * into `out`. Idempotent per (out, k): skips tables already written. */
   def blowUp(spark: SparkSession, src: String, out: String, k: Int,
              tables: Set[String] = Set("events", "lineitem", "orders",
-               "documents", "embeddings")): Unit = {
+               "documents", "embeddings", "dims")): Unit = {
     def done(t: String) =
       new java.io.File(s"$out/$t.parquet/_SUCCESS").exists()
     def copies(df: DataFrame): DataFrame =
@@ -103,6 +107,19 @@ object Scale {
         .drop("copy")
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+    // dimension passthrough (verbatim): dims stay dimension-sized at every
+    // factor, exactly as at 100 TB. The blown orders keep their offset
+    // o_custkey, so the orders→customer edge reads (k−1)/k orphaned at
+    // k>1 — the audit's cost is key-grain aggregation plus the join, both
+    // match-rate-independent, and the dominant lineitem→orders edge stays
+    // consistent (both sides share the copy offset).
+    if (tables("dims"))
+      Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+        if (!done(t))
+          spark.read.parquet(s"$src/$t.parquet")
+            .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+
     if (tables("embeddings") && !done("embeddings"))
       copies(spark.read.parquet(s"$src/embeddings.parquet"))
         .withColumn("vec_id", col("vec_id") + col("copy") * OFF)
@@ -128,7 +145,7 @@ object Scale {
     // discipline); shingles5 is q93's input grain, warmed so its run-1
     // build time is the fixpoint, not the shingle scan. Only memos whose
     // source table the probe subset actually blew up are warmable.
-    val tabs = keys.flatMap(tableOf.get).toSet
+    val tabs = keys.flatMap(tableOf.getOrElse(_, Set.empty[String])).toSet
     if (tabs("events"))
       try Tables.events(spark, dir).count() catch { case _: Throwable => () }
     if (tabs("documents"))
@@ -171,7 +188,7 @@ object Scale {
     spark.sparkContext.setLogLevel("WARN")
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val tabs = keys.flatMap(tableOf.get).toSet
+    val tabs = keys.flatMap(tableOf.getOrElse(_, Set.empty[String])).toSet
     factors.foreach { k =>
       val dir =
         if (k == 1) src
