@@ -359,6 +359,38 @@ class GraftApiSpec extends AnyFunSuite {
     assert(clean.getLong(1) == 0L, "corpus lineitem->orders must have no orphans")
   }
 
+  test("refIntegrity law: equals a driver-side reference on seeded random edges (nulls, dupes, empties)") {
+    // The full-outer-join rewrite must agree with first principles on every
+    // degenerate shape at once: duplicate child keys, null child keys (count
+    // as rows AND orphans — a SQL join never matches null), null parent keys
+    // (count as parents AND unreferenced), and empty sides (all-zero row).
+    val sp = s
+    import sp.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val nC = trial match { case 0 => 0; case _ => 20 + rnd.nextInt(60) }
+      val nP = trial match { case 1 => 0; case _ => 5 + rnd.nextInt(15) }
+      val childKeys: Seq[Option[Int]] = Seq.fill(nC)(
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(25)))
+      val parentKeys: Seq[Option[Int]] = {
+        val base = rnd.shuffle((0 until 25).toList).take(nP).map(Some(_): Option[Int])
+        if (trial == 2) None +: base.drop(1) else base
+      }
+      val expChild = childKeys.size.toLong
+      val defined = parentKeys.flatten.toSet
+      val expOrphan = childKeys.count(k => k.isEmpty || !defined(k.get)).toLong
+      val expParent = parentKeys.size.toLong // Some-dupes impossible by take; None counts too
+      val childDefined = childKeys.flatten.toSet
+      val expUnref = parentKeys.count(k => k.isEmpty || !childDefined(k.get)).toLong
+      val child = childKeys.toDF("fk")
+      val parent = parentKeys.toDF("pk")
+      val r = Graft.refIntegrity(child, "fk", parent, "pk").head()
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+        ((expChild, expOrphan, expParent, expUnref)),
+        s"trial $trial: child=$childKeys parent=$parentKeys")
+    }
+  }
+
   test("rollingDistinct reproduces q121's trailing-7-day WAU") {
     val ud = Tables.events(s, d)
       .select(col("user_id"),
