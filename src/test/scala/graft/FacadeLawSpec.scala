@@ -209,4 +209,328 @@ class FacadeLawSpec extends AnyFunSuite {
       assert(math.abs(gr - num / den) < 1e-9, s"group $g")
     }
   }
+
+  test("topKPerGroup equals the per-group sequential sort-take under value ties") {
+    val rng = new scala.util.Random(41)
+    // v on a 12-grid forces rank ties broken by the id column
+    val rows = (0 until 400).map(i =>
+      (s"g${rng.nextInt(7)}", rng.nextInt(12).toLong, i.toLong))
+    val df = s.createDataFrame(rows).toDF("g", "v", "id")
+    val got = G.topKPerGroup(df, Seq("g"), Seq(col("v").desc, col("id")), 5)
+      .select("g", "id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.sortBy(r => (-r._2, r._3)).take(5).zipWithIndex
+        .map { case (r, i) => (g, r._3) -> (i + 1).toLong }
+    }
+    assert(got == want)
+  }
+
+  test("dedupFirst equals the per-key sequential minimum under duplicate keys") {
+    val rng = new scala.util.Random(43)
+    val rows = (0 until 300).map(i =>
+      (rng.nextInt(40).toLong, rng.nextInt(6).toLong, i.toLong))
+    val df = s.createDataFrame(rows).toDF("k", "ver", "id")
+    val got = G.dedupFirst(df, Seq("k"), Seq(col("ver"), col("id")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = rows.groupBy(_._1)
+      .map { case (k, rs) => k -> rs.map(r => (r._2, r._3)).min }
+    assert(got == want)
+  }
+
+  test("perKeyTopContributors equals the driver threshold scan (null keys, whole-tie admission)") {
+    val rng = new scala.util.Random(47)
+    // scores on a 9-grid: the m-th distinct-row boundary is almost always a
+    // tie group, so whole-tie admission (the documented overshoot) is
+    // exercised on most keys; one key is null, one key has fewer than m rows
+    val rows = (0 until 500).map { i =>
+      val k = rng.nextInt(9) match {
+        case 0 => null
+        case 7 | 8 => "hot"
+        case n => s"k$n"
+      }
+      (k, rng.nextInt(9).toDouble, i.toLong)
+    } :+ (("tiny", 3.0, 9999L))
+    val df = s.createDataFrame(rows).toDF("k", "sc", "id")
+    val m = 6
+    val got = G.perKeyTopContributors(df, Seq("k"), col("sc"), m)
+      .select("k", "id").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    val want = rows.groupBy(r => Option(r._1)).toSeq.flatMap { case (k, rs) =>
+      // per distinct score (desc): admit while rows STRICTLY above it number < m
+      val bySc = rs.groupBy(_._2).map { case (sc, g) => (sc, g.size) }
+        .toSeq.sortBy(-_._1)
+      val cumBefore = bySc.scanLeft(0)(_ + _._2)
+      val thr = bySc.zip(cumBefore).filter(_._2 < m).map(_._1._1).min
+      rs.filter(_._2 >= thr).map(r => (k, r._3))
+    }.toSet
+    assert(got == want)
+  }
+
+  test("validityIntervals equals the driver lead scan with timestamp ties totalized") {
+    val rng = new scala.util.Random(53)
+    val rows = (0 until 250).map(i =>
+      (s"e${rng.nextInt(12)}", rng.nextInt(30).toLong * 10L, i.toLong))
+    val df = s.createDataFrame(rows).toDF("ent", "ts", "seq")
+    val got = G.validityIntervals(df, Seq("ent"), "ts", tieBreak = Seq("seq"))
+      .select("ent", "seq", "valid_to", "is_current").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((if (r.isNullAt(2)) None else Some(r.getLong(2))), r.getBoolean(3)))
+      .toMap
+    val want = rows.groupBy(_._1).flatMap { case (ent, rs) =>
+      val ord = rs.sortBy(r => (r._2, r._3))
+      ord.zipWithIndex.map { case ((_, _, seq), i) =>
+        val nxt = if (i + 1 < ord.size) Some(ord(i + 1)._2) else None
+        (ent, seq) -> ((nxt, nxt.isEmpty))
+      }
+    }.toMap
+    assert(got == want)
+  }
+
+  test("chunkOverlap equals the driver slicer; empty arrays drop, short tails survive") {
+    val rng = new scala.util.Random(59)
+    val rows = (0 until 80).map { i =>
+      (i.toLong, (0 until rng.nextInt(13)).map(_ => rng.nextInt(100).toLong))
+    }
+    val df = s.createDataFrame(rows).toDF("id", "arr")
+    val got = G.chunkOverlap(df, "arr", chunkSize = 5, stride = 3)
+      .select("id", "chunk_idx", "chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](2).toList).toMap
+    val want = rows.filter(_._2.nonEmpty).flatMap { case (id, arr) =>
+      (0L to (arr.size - 1) / 3).map { ci =>
+        (id, ci) -> arr.slice(ci.toInt * 3, ci.toInt * 3 + 5).toList
+      }
+    }.toMap
+    assert(got == want)
+  }
+
+  test("ewma and holt equal the driver 10dp-pinned folds on random per-key series") {
+    val rng = new scala.util.Random(61)
+    val rows = (0 until 360).flatMap { i =>
+      val k = s"k${i % 9}"
+      Some((k, i.toLong, (rng.nextInt(2000) - 700).toDouble / 4.0))
+    }
+    val df = s.createDataFrame(rows).toDF("k", "o", "v")
+    def pin(x: Double) = math.floor(x * 1e10 + 0.5) / 1e10
+    val (alpha, beta) = (0.3, 0.2)
+
+    val gotE = G.ewma(df, Seq("k"), "o", "v", alpha).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_points"), r.getAs[Double]("ewma"))))
+      .toMap
+    val gotH = G.holt(df, Seq("k"), "o", "v", alpha, beta).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Double]("level"),
+        r.getAs[Double]("trend"), r.getAs[Double]("forecast")))).toMap
+    rows.groupBy(_._1).foreach { case (k, rs) =>
+      val xs = rs.sortBy(_._2).map(_._3)
+      val e = xs.tail.foldLeft(xs.head)((acc, x) => pin(acc * (1.0 - alpha) + alpha * x))
+      val (l, b) = xs.tail.foldLeft((xs.head, 0.0)) { case ((l0, b0), x) =>
+        val nl = pin(alpha * x + (1.0 - alpha) * (l0 + b0))
+        (nl, pin(beta * (nl - l0) + (1.0 - beta) * b0))
+      }
+      assert(gotE(k)._1 == xs.size && math.abs(gotE(k)._2 - e) < 1e-12, s"ewma $k")
+      assert(math.abs(gotH(k)._1 - l) < 1e-12 && math.abs(gotH(k)._2 - b) < 1e-12 &&
+        math.abs(gotH(k)._3 - (l + b)) < 1e-12, s"holt $k")
+    }
+  }
+
+  test("decontaminate equals the driver distinct-intersection count") {
+    val rng = new scala.util.Random(67)
+    val corpus = (0 until 400).map(_ =>
+      (rng.nextInt(50).toLong, s"sh${rng.nextInt(80)}"))
+    val pDf = s.createDataFrame(
+      (0 until 120).map(_ => Tuple1(s"sh${rng.nextInt(60)}"))).toDF("key")
+    val probe = pDf.collect().map(_.getString(0)).toSeq
+    val got = G.decontaminate(s.createDataFrame(corpus).toDF("doc", "key"),
+        pDf, "key", "doc")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probeSet = probe.toSet
+    val want = corpus.groupBy(_._1).flatMap { case (doc, rs) =>
+      val n = rs.map(_._2).distinct.count(probeSet)
+      if (n > 0) Some(doc -> n.toLong) else None
+    }
+    assert(got == want)
+  }
+
+  test("profile equals driver-computed column statistics (nulls, strings, numerics)") {
+    val rng = new scala.util.Random(71)
+    val rows = (0 until 200).map { i =>
+      (i.toLong,
+       if (rng.nextInt(4) == 0) null else s"c${rng.nextInt(9)}",
+       if (rng.nextInt(5) == 0) null else java.lang.Double.valueOf(rng.nextInt(100) / 4.0))
+    }
+    val df = s.createDataFrame(rows).toDF("id", "cat", "num")
+    val got = G.profile(df, Seq("cat", "id", "num")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    val cats = rows.map(_._2).filter(_ != null)
+    val nums = rows.map(_._3).filter(_ != null).map(_.doubleValue)
+    assert(got("cat") == ((200L, cats.size.toLong, cats.distinct.size.toLong, None, None)))
+    assert(got("id") == ((200L, 200L, 200L, Some(0.0), Some(199.0))))
+    assert(got("num") == ((200L, nums.size.toLong, nums.distinct.size.toLong,
+      Some(nums.min), Some(nums.max))))
+  }
+
+  // --- retrieval-family laws: the driver cosine replays CosineSim's exact
+  // left-to-right accumulation, so comparisons hold at 1e-12, and duplicate
+  // corpus vectors force exact cosine ties broken by the id column.
+  private def refCos(x: Seq[Double], y: Seq[Double]): Double = {
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < x.size) {
+      dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
+    }
+    val den = math.sqrt(nx) * math.sqrt(ny)
+    val r = if (den == 0.0) 0.0 else dot / den
+    if (java.lang.Double.isNaN(r)) 0.0 else r
+  }
+
+  test("cosineTopK equals the driver brute-force scan (zero vectors, duplicates, self-exclusion)") {
+    val rng = new scala.util.Random(73)
+    def vec() = (0 until 6).map(_ => (rng.nextInt(9) - 4).toDouble / 2.0)
+    val base = (0 until 50).map(i => (i.toLong, vec()))
+    // rows 50-54 duplicate row 0's vector (exact cosine ties); 55 is all-zero
+    val corpus = base ++ (50 until 55).map(i => (i.toLong, base(0)._2)) :+
+      ((55L, Seq.fill(6)(0.0)))
+    val probes = (0 until 8).map(i => (i.toLong, corpus(i * 3)._2))
+    val cDf = s.createDataFrame(corpus).toDF("id", "vec")
+    val pDf = s.createDataFrame(probes).toDF("probe_id", "probe_vec")
+    val got = G.cosineTopK(cDf, pDf, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    val want = probes.flatMap { case (pid, pv) =>
+      corpus.filter(_._1 != pid)
+        .map { case (cid, cv) => (cid, refCos(pv, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(4).zipWithIndex
+        .map { case ((cid, c), i) => (pid, (i + 1).toLong) -> ((cid, c)) }
+    }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (cid, c)) =>
+      assert(cid == want(k)._1 && math.abs(c - want(k)._2) < 1e-12, s"$k") }
+  }
+
+  test("ivfTopK equals the driver route-then-scan on an arbitrary cell assignment") {
+    val rng = new scala.util.Random(79)
+    def vec() = (0 until 6).map(_ => (rng.nextInt(9) - 4).toDouble / 2.0)
+    val corpus = (0 until 60).map(i => (i.toLong, vec(), i.toLong % 4))
+    val cents = (0 until 4).map(c => (c.toLong, vec()))
+    val probes = (0 until 8).map(i => (i.toLong * 2, vec()))
+    val got = G.ivfTopK(
+        s.createDataFrame(corpus).toDF("id", "vec", "cell"),
+        s.createDataFrame(cents).toDF("cell", "cvec"),
+        s.createDataFrame(probes).toDF("probe_id", "probe_vec"), 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        ((r.getLong(1), r.getLong(3), r.getDouble(4)))).toMap
+    val want = probes.flatMap { case (pid, pv) =>
+      val cell = cents.map { case (c, cv) => (c, refCos(pv, cv)) }
+        .sortBy { case (c, sc) => (-sc, c) }.head._1
+      corpus.filter(r => r._3 == cell && r._1 != pid)
+        .map { case (cid, cv, _) => (cid, refCos(pv, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(3).zipWithIndex
+        .map { case ((cid, c), i) => (pid, (i + 1).toLong) -> ((cell, cid, c)) }
+    }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (cell, cid, c)) =>
+      assert(cell == want(k)._1 && cid == want(k)._2 &&
+        math.abs(c - want(k)._3) < 1e-12, s"$k") }
+  }
+
+  test("bm25Rank equals the driver BM25 formula on a random token stream") {
+    val rng = new scala.util.Random(83)
+    val lens = (0 until 40).map(d => (d.toLong, (rng.nextInt(40) + 5).toLong))
+    val tokens = lens.flatMap { case (d, len) =>
+      (0L until len).map(_ => (d, s"t${rng.nextInt(30)}")) }
+    val query = Seq("t1", "t7", "t13", "t29")
+    // topK = 100 > |docs|: every matched doc returns, so the law checks
+    // scoring; the top-k cut itself is pinned by the q100 golden
+    val got = G.bm25Rank(s.createDataFrame(tokens).toDF("doc", "term"),
+        s.createDataFrame(lens).toDF("doc", "len"),
+        "doc", "term", "len", query, topK = 100).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val nDocs = lens.size.toDouble
+    val avgdl = lens.map(_._2).sum.toDouble / nDocs
+    val dfC = query.map(t =>
+      t -> tokens.filter(_._2 == t).map(_._1).distinct.size.toDouble).toMap
+    val (k1, b) = (1.2, 0.75)
+    val want = lens.flatMap { case (d, len) =>
+      val tf = query.map(t => t -> tokens.count(r => r._1 == d && r._2 == t)).toMap
+      if (tf.values.forall(_ == 0)) None else {
+        val score = query.foldLeft(0.0) { (acc, t) =>
+          if (tf(t) == 0) acc else {
+            val idf = math.log(1.0 + (nDocs - dfC(t) + 0.5) / (dfC(t) + 0.5))
+            acc + idf * (tf(t) * (k1 + 1.0)) /
+              (tf(t) + k1 * ((1.0 - b) + b * (len.toDouble / avgdl)))
+          }
+        }
+        Some(d -> ((tf.values.count(_ > 0).toLong, score)))
+      }
+    }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (d, (nt, sc)) =>
+      assert(nt == want(d)._1 && math.abs(sc - want(d)._2) < 1e-9, s"doc $d") }
+  }
+
+  test("quantizeInt equals the driver quantizer (zero vectors, negatives, half-way codes)") {
+    val rng = new scala.util.Random(89)
+    val rows = (0 until 60).map(i => (i.toLong,
+      if (i == 0) Seq.fill(5)(0.0)
+      else (0 until 5).map(_ => (rng.nextInt(511) - 255).toDouble / 8.0)))
+    val got = G.quantizeInt(s.createDataFrame(rows).toDF("id", "vec"), "vec", levels = 7)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getSeq[Long](3).toList, r.getDouble(4)))).toMap
+    rows.foreach { case (id, xs) =>
+      val amax = xs.foldLeft(0.0)((a, x) => math.max(a, math.abs(x)))
+      val scale = amax / 7.0
+      val codes = xs.map(x => if (scale == 0.0) 0L
+        else math.max(-7L, math.min(7L, math.floor(x / scale + 0.5).toLong)))
+      val rmse = math.sqrt(xs.zip(codes).foldLeft(0.0) { case (a, (x, q)) =>
+        a + (x - q.toDouble * scale) * (x - q.toDouble * scale) } / xs.size)
+      val (gs, gc, gr) = got(id)
+      assert(gc == codes && math.abs(gs - scale) < 1e-15 &&
+        math.abs(gr - rmse) < 1e-12, s"row $id")
+    }
+  }
+
+  test("lorenz equals the driver cumulative-share scan on a duplicate-heavy support") {
+    val rng = new scala.util.Random(97)
+    val rows = (0 until 700).map(_ => Tuple1((rng.nextInt(25) + 1).toLong))
+    val got = G.lorenz(s.createDataFrame(rows).toDF("spend"), "spend")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val vals = rows.map(_._1)
+    val totC = vals.size.toDouble
+    val totR = vals.sum.toDouble
+    val sup = vals.groupBy(identity).map { case (v, g) => (v, g.size) }
+      .toSeq.sortBy(_._1)
+    var cc = 0L; var cr = 0L
+    val cells = sup.map { case (v, c) =>
+      cc += c; cr += v * c
+      (math.ceil(cc / totC * 10.0).toLong, cc / totC, cr / totR)
+    }
+    val want = cells.groupBy(_._1).map { case (d, xs) =>
+      d -> ((xs.map(_._2).max, xs.map(_._3).max)) }
+    assert(got.keySet == want.keySet)
+    got.foreach { case (d, (f, sh)) =>
+      assert(math.abs(f - want(d)._1) < 1e-12 &&
+        math.abs(sh - want(d)._2) < 1e-12, s"decile $d") }
+  }
+
+  test("weightedSampleK equals the driver exponential-sort draw (zero weights excluded)") {
+    val rng = new scala.util.Random(101)
+    val rows = (0 until 300).map(i => (i.toLong,
+      if (i % 37 == 0) 0.0 else (rng.nextInt(50) + 1).toDouble / 5.0))
+    val got = G.weightedSampleK(s.createDataFrame(rows).toDF("id", "w"),
+        col("id"), col("w"), 12)
+      .select("id").collect().map(_.getLong(0)).toSet
+    def key(id: Long, w: Double): Option[Double] =
+      if (w == 0.0) None else {
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val hex = md.digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 4294967296.0
+        Some(math.floor(math.log(u) / w * 1e10 + 0.5) / 1e10)
+      }
+    val want = rows.flatMap { case (id, w) => key(id, w).map(k => (id, k)) }
+      .sortBy { case (id, k) => (-k, id) }.take(12).map(_._1).toSet
+    assert(got == want)
+  }
 }
