@@ -533,4 +533,77 @@ class FacadeLawSpec extends AnyFunSuite {
       .sortBy { case (id, k) => (-k, id) }.take(12).map(_._1).toSet
     assert(got == want)
   }
+
+  test("pageRank equals the driver power iteration on a random weighted digraph") {
+    val rng = new scala.util.Random(103)
+    // integer weights keep per-source totals exact; dangling node 99 only
+    // receives; node 98 only sends (rank floor 1 - d)
+    val edges = ((0 until 150).map(_ =>
+      (rng.nextInt(25).toLong, rng.nextInt(25).toLong, (rng.nextInt(9) + 1).toLong)) ++
+      Seq((3L, 99L, 2L), (98L, 5L, 1L))).distinct
+    val df = s.createDataFrame(edges).toDF("src", "dst", "w")
+    val got = G.pageRank(df, "src", "dst", "w", iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def pin(x: Double) = math.floor(x * 1e10 + 0.5) / 1e10
+    val tot = edges.groupBy(_._1).map { case (sr, es) => sr -> es.map(_._3).sum }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var rank = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to 5) {
+      val contrib = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (sr, _, w) =>
+          rank(sr) * (w.toDouble / tot(sr).toDouble) }.sum
+      }
+      rank = nodes.map(n =>
+        n -> pin(0.15 + 0.85 * contrib.getOrElse(n, 0.0))).toMap
+    }
+    assert(got.keySet == rank.keySet)
+    // the distributed contribution sum reorders IEEE adds; each round's
+    // 10dp pin caps the compounding, so 1e-9 is a safe final tolerance
+    got.foreach { case (n, r) =>
+      assert(math.abs(r - rank(n)) < 1e-9, s"node $n") }
+  }
+
+  test("triangles equals the driver triple enumeration on a dup/orientation-noisy edge list") {
+    val rng = new scala.util.Random(107)
+    val raw = (0 until 220).map { _ =>
+      val a = rng.nextInt(18).toLong; val b = rng.nextInt(18).toLong; (a, b)
+    }.filter(e => e._1 != e._2)
+    val df = s.createDataFrame(raw ++ raw.take(30).map(_.swap)).toDF("x", "y")
+    val got = G.triangles(df, "x", "y").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val und = raw.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val ids = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val want = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      i <- ids.indices; j <- (i + 1) until ids.size; k <- (j + 1) until ids.size
+      (a, b, c) = (ids(i), ids(j), ids(k))
+      if und((a, b)) && und((b, c)) && und((a, c))
+      n <- Seq(a, b, c)
+    } want(n) = want.getOrElse(n, 0L) + 1L
+    assert(got == want.toMap)
+  }
+
+  test("adamicAdar equals the driver pair scan; degree-1 users drop, duplicates collapse") {
+    val rng = new scala.util.Random(109)
+    val raw = (0 until 260).map(_ =>
+      (rng.nextInt(30).toLong, s"i${rng.nextInt(12)}"))
+    val df = s.createDataFrame(raw ++ raw.take(40)).toDF("u", "i")
+    val got = G.adamicAdar(df, "u", "i").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val mem = raw.distinct.groupBy(_._1).toSeq
+      .map { case (u, rs) => u -> rs.map(_._2).distinct }
+      .filter(_._2.size >= 2)
+    val pairs = scala.collection.mutable.Map.empty[(String, String), (Long, Double)]
+    mem.foreach { case (_, items) =>
+      val w = 1.0 / math.log(items.size.toDouble)
+      for (a <- items; b <- items if a < b) {
+        val (c0, s0) = pairs.getOrElse((a, b), (0L, 0.0))
+        pairs((a, b)) = (c0 + 1L, s0 + w)
+      }
+    }
+    assert(got.keySet == pairs.keySet)
+    got.foreach { case (k, (c, aa)) =>
+      assert(c == pairs(k)._1 && math.abs(aa - pairs(k)._2) < 1e-9, s"$k") }
+  }
 }
