@@ -36,7 +36,9 @@ object Scale {
     "q39_join_interval_bucketed" -> "events bucketed interval self-join",
     "q93_dedup_components" -> "documents shingle-bucket connected components",
     "q64_user_knn_predict" -> "ratings contributor-capped pair self-join",
-    "q120_ref_integrity" -> "5-edge FK audit: full-outer join of key grains")
+    "q120_ref_integrity" -> "5-edge FK audit: full-outer join of key grains",
+    "q71_sim_search_topk" -> "embeddings brute-force cosine top-k (10 probes)",
+    "q85_sim_search_ivf" -> "embeddings IVF nprobe=1 cell-routed search")
 
   /** Which probe tables each family stresses — lets a deep (e.g. ×1000)
     * probe of one family skip blowing up the others (a ×1000 lineitem is
@@ -55,7 +57,9 @@ object Scale {
     "q39_join_interval_bucketed" -> Set("events"),
     "q93_dedup_components" -> Set("documents"),
     "q64_user_knn_predict" -> Set("events"), // ratings derive from events.props
-    "q120_ref_integrity" -> Set("lineitem", "orders", "dims"))
+    "q120_ref_integrity" -> Set("lineitem", "orders", "dims"),
+    "q71_sim_search_topk" -> Set("embeddings"),
+    "q85_sim_search_ivf" -> Set("embeddings"))
 
   private val OFF = 1000000000L // id offset per copy: disjoint key spaces
 
