@@ -606,4 +606,53 @@ class FacadeLawSpec extends AnyFunSuite {
     got.foreach { case (k, (c, aa)) =>
       assert(c == pairs(k)._1 && math.abs(aa - pairs(k)._2) < 1e-9, s"$k") }
   }
+
+  private def sha8(sv: String): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    java.lang.Long.parseLong(
+      md.digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8), 16)
+  }
+
+  test("hashBucket/hashSample equal the driver sha256 scan with per-stratum rates") {
+    val rng = new scala.util.Random(113)
+    val rows = (0 until 600).map(i =>
+      (i.toLong, if (rng.nextBoolean()) "big" else "small"))
+    val df = s.createDataFrame(rows).toDF("id", "stratum")
+    val rate = when(col("stratum") === "big", lit(40)).otherwise(lit(10))
+    val got = G.hashSample(df, col("id"), rate)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = rows.filter { case (id, st) =>
+      sha8(id.toString) % 100 < (if (st == "big") 40 else 10) }.map(_._1).toSet
+    assert(got == want)
+    assert(want.nonEmpty && want.size < rows.size)
+    // the bucket itself is content-stable: a second run over a reshuffled
+    // frame keeps the identical set
+    val again = G.hashSample(df.repartition(7), col("id"), rate)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == got)
+  }
+
+  test("rpLshBucket equals the driver sign-projection hash (integer-exact planes)") {
+    val rng = new scala.util.Random(127)
+    val dims = 6; val nPlanes = 10
+    val rows = (0 until 120).map(i => (i.toLong,
+      (0 until dims).map(_ => (rng.nextInt(2001) - 1000).toDouble / 1000.0)))
+    val df = s.createDataFrame(rows).toDF("id", "vec")
+    val got = G.rpLshBucket(df, "vec", dims, nPlanes)
+      .select("id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val planes = (0 until nPlanes).map(p => (0 until dims).map { i =>
+      val hex = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"${p}_$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (hex.head <= '7') 1L else -1L
+    })
+    val want = rows.map { case (id, xs) =>
+      val qv = xs.map(x => math.floor(x * 1000.0 + 0.5).toLong)
+      id -> (0 until nPlanes).foldLeft(0L) { (acc, p) =>
+        val dot = (0 until dims).map(i => planes(p)(i) * qv(i)).sum
+        acc + (if (dot >= 0L) 1L << p else 0L)
+      }
+    }.toMap
+    assert(got == want)
+  }
 }
