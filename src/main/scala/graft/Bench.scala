@@ -77,9 +77,39 @@ object Bench {
     // which silently reshuffles which query absorbs which cache warm-up —
     // a stable order keeps per-query times comparable across rounds
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Timed action: FULL-WIDTH materialization, not count(). A bare
+    // count() lets Catalyst prune every column no downstream operator
+    // consumes — terminal projections vanish entirely (caught r10: q103's
+    // sign-projection HOF benched at 0.3 s while computing the actual
+    // bucket column costs ~10 s at sf0.1 — the bench was timing a row
+    // count over the scan). Hashing every output column forces each
+    // query's complete result to be computed while keeping the action's
+    // own cost trivial (one codegen'd xxhash64 per row + a one-row sum).
+    // The terminal display orderBy is still optimizer-eliminated under
+    // the aggregation, exactly as it was under count(), so per-key times
+    // remain comparable for every key whose compute lives in joins /
+    // aggregations / windows; projection-terminal keys now read honestly
+    // higher. MapType columns hash via to_json (hash() on maps is
+    // disallowed); everything else hashes natively.
+    def force(df: org.apache.spark.sql.DataFrame): Unit = {
+      import org.apache.spark.sql.functions._
+      val cols = df.schema.fields.map { f =>
+        f.dataType match {
+          case _: org.apache.spark.sql.types.MapType =>
+            xxhash64(to_json(org.apache.spark.sql.functions.col(f.name)))
+          case _ => xxhash64(org.apache.spark.sql.functions.col(f.name))
+        }
+      }
+      // XOR folds (per-row across columns AND the final aggregate): a
+      // long sum overflows under ANSI mode, which is ON by default in
+      // Spark 4 — bit_xor is overflow-free and just as forcing
+      df.select(cols.reduce(_ bitwiseXOR _).as("__h"))
+        .agg(expr("bit_xor(__h)")).head()
+      ()
+    }
     def runOnce(): Seq[(String, Double, Boolean)] = suite.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      val ok = try { force(fn(spark, sfDir)); true }
                catch { case e: Throwable =>
                  System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       (name, (System.nanoTime() - t0) / 1e9, ok)

@@ -1271,6 +1271,7 @@ object Graft {
                   nPlanes: Int = 16, quantScale: Int = 1000): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 62, "nPlanes must fit a long's bits")
     val s = df.sparkSession
+    graft.plans.RpBucket.register(s)
     val planes = s.range(nPlanes).toDF("p").crossJoin(s.range(dims).toDF("i"))
       .select(col("p"), col("i"), expr(
         "IF(substring(sha2(concat(CAST(p AS STRING), '_', CAST(i AS STRING)), 256), 1, 1) <= '7', 1L, -1L)")
@@ -1278,15 +1279,13 @@ object Graft {
       .groupBy("p")
       .agg(expr("transform(sort_array(collect_list(struct(i, sgn))), x -> x.sgn)").as("sv"))
       .agg(expr("transform(sort_array(collect_list(struct(p, sv))), x -> x.sv)").as("__planes"))
+    // one fused codegen'd loop nest per row (graft.plans.RpBucket) — the
+    // interpreted nested-HOF form this replaces walked nPlanes×dims boxed
+    // lambda steps per row (measured ~10 s for 2k rows at 16×64, r10)
     df.crossJoin(broadcast(planes))
-      .withColumn("__qv", expr(
-        s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * ${quantScale}e0 + 0.5e0) AS BIGINT))"))
-      .withColumn("bucket", expr(
-        s"""aggregate(sequence(0, ${nPlanes - 1}), 0L, (acc, p) -> acc + IF(
-           |  aggregate(sequence(1, $dims), 0L, (a, i) ->
-           |    a + element_at(element_at(__planes, p + 1), i) * element_at(__qv, i)
-           |  ) >= 0L, shiftleft(1L, p), 0L))""".stripMargin))
-      .drop("__planes", "__qv")
+      .withColumn("bucket",
+        expr(s"rp_bucket($vecCol, __planes, ${quantScale}e0)"))
+      .drop("__planes")
   }
 
   /** One-pass multi-column table profile: per column, row count, non-null

@@ -84,8 +84,17 @@ object Retrieval {
   /** Signed-random-projection LSH buckets: 16 hyperplanes whose ±1 signs
     * come from sha256(plane, dim); bucket bit p = sign of the plane-p dot
     * product over milli-quantized components (exact integer arithmetic).
-    * Output: each vector's 16-bit bucket and its bucket's population. */
+    * Output: each vector's 16-bit bucket and its bucket's population.
+    * The bucket computes through the native codegen'd
+    * [[graft.plans.RpBucket]] expression — one fused integer loop nest
+    * per row; the interpreted nested-HOF form it replaces walked 16×64
+    * boxed lambda steps per row (~10 s for 2k rows at sf0.1, caught when
+    * the r10 bench action stopped letting Catalyst prune the column).
+    * The bucket population comes from a window count — a groupBy+join
+    * back would re-evaluate the projection pipeline for the second
+    * reference (measured 2x the query's time). */
   def q103(s: SparkSession, d: String): DataFrame = {
+    graft.plans.RpBucket.register(s)
     val planes = s.range(16).toDF("p").crossJoin(s.range(64).toDF("i"))
       .select(col("p"), col("i"), expr(
         "IF(substring(sha2(concat(CAST(p AS STRING), '_', CAST(i AS STRING)), 256), 1, 1) <= '7', 1L, -1L)")
@@ -93,19 +102,10 @@ object Retrieval {
       .groupBy("p")
       .agg(expr("transform(sort_array(collect_list(struct(i, sgn))), x -> x.sgn)").as("sv"))
       .agg(expr("transform(sort_array(collect_list(struct(p, sv))), x -> x.sv)").as("planes"))
-    // qv is hoisted out of the plane loop (16x fewer float->int quantize
-    // steps), and the bucket population comes from a window count — a
-    // groupBy+join back would re-evaluate the whole HOF pipeline for the
-    // second reference (measured 2x the query's time).
     val bk = embeddings(s, d)
       .crossJoin(broadcast(planes))
-      .withColumn("qv", expr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000e0 + 0.5e0) AS BIGINT))"))
-      .select(col("vec_id"), expr(
-        """aggregate(sequence(0, 15), 0L, (acc, p) -> acc + IF(
-          |  aggregate(sequence(1, 64), 0L, (a, i) ->
-          |    a + element_at(element_at(planes, p + 1), i) * element_at(qv, i)
-          |  ) >= 0L, shiftleft(1L, p), 0L))""".stripMargin).as("bucket"))
+      .select(col("vec_id"),
+        expr("rp_bucket(embedding, planes, 1000e0)").as("bucket"))
     bk.withColumn("bsize", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
       .select("vec_id", "bucket", "bsize").orderBy("vec_id")

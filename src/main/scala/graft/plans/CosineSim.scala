@@ -130,6 +130,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("lev_within"),
         new ExpressionInfo(classOf[LevWithin].getName, "lev_within"),
         LevWithin.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("rp_bucket"),
+        new ExpressionInfo(classOf[RpBucket].getName, "rp_bucket"),
+        RpBucket.builder))
     ext.injectOptimizerRule(_ => SimilarityBandRewrite)
     ext.injectQueryStagePrepRule(BroadcastGuard(_))
   }

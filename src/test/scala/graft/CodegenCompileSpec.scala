@@ -75,4 +75,36 @@ class CodegenCompileSpec extends AnyFunSuite {
         s"lev_within('$a','$b',$k) disagrees with builtin")
     }
   }
+
+  test("RpBucket codegen compiles and agrees with the interpreted path (float and double)") {
+    import org.apache.spark.sql.types.{FloatType, LongType}
+    import graft.plans.RpBucket
+    val planesT = ArrayType(ArrayType(LongType))
+    val planes = ArrayData.toArrayData(Array(
+      ArrayData.toArrayData(Array(1L, 1L, -1L)),
+      ArrayData.toArrayData(Array(-1L, 1L, 1L)),
+      ArrayData.toArrayData(Array(-1L, -1L, -1L))))
+    // double vector path
+    val vD = BoundReference(0, ArrayType(DoubleType), nullable = true)
+    val pRef = BoundReference(1, planesT, nullable = true)
+    val exD = RpBucket(vD, pRef, Literal(1000.0, DoubleType))
+    val projD = GenerateUnsafeProjection.generate(Seq(exD))
+    val inD = InternalRow(
+      ArrayData.toArrayData(Array(0.5, -0.25, 0.125)), planes)
+    // qv = (500, -250, 125): dots = 125, -625, -375 -> bits {0} -> 1
+    assert(projD(inD).getLong(0) == 1L)
+    assert(exD.eval(inD).asInstanceOf[Long] == 1L)
+    // float vector path widens exactly and agrees
+    val vF = BoundReference(0, ArrayType(FloatType), nullable = true)
+    val exF = RpBucket(vF, pRef, Literal(1000.0, DoubleType))
+    val projF = GenerateUnsafeProjection.generate(Seq(exF))
+    val inF = InternalRow(
+      ArrayData.toArrayData(Array(0.5f, -0.25f, 0.125f)), planes)
+    assert(projF(inF).getLong(0) == 1L)
+    assert(exF.eval(inF).asInstanceOf[Long] == 1L)
+    // zero dot counts as the positive side (>= 0), like the HOF form
+    val inZ = InternalRow(
+      ArrayData.toArrayData(Array(0.0, 0.0, 0.0)), planes)
+    assert(projD(inZ).getLong(0) == 7L)
+  }
 }
