@@ -1,6 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** The timed benchmark action: FULL-WIDTH materialization, not count().
+    * A bare count() lets Catalyst prune every column no downstream
+    * operator consumes — terminal projections vanish entirely (caught
+    * r10: q103's sign-projection HOF benched at 0.3 s while computing
+    * the actual bucket column cost ~10 s at sf0.1). Hashing every output
+    * column forces each query's complete result while keeping the
+    * action's own cost trivial (one codegen'd xxhash64 per row, XOR
+    * folds — a long sum overflows under Spark 4's default ANSI mode).
+    * The terminal display orderBy is still optimizer-eliminated under
+    * the aggregation, exactly as under count(). MapType columns hash via
+    * to_json (hash() on maps is disallowed). Shared by Bench, the Scale
+    * probe and ScalingSpec so every timing in the repo measures the same
+    * thing. */
+  def force(df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.MapType => xxhash64(to_json(col(f.name)))
+        case _ => xxhash64(col(f.name))
+      }
+    }
+    df.select(cols.reduce(_ bitwiseXOR _).as("__h"))
+      .agg(expr("bit_xor(__h)")).head()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -77,36 +103,6 @@ object Bench {
     // which silently reshuffles which query absorbs which cache warm-up —
     // a stable order keeps per-query times comparable across rounds
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
-    // Timed action: FULL-WIDTH materialization, not count(). A bare
-    // count() lets Catalyst prune every column no downstream operator
-    // consumes — terminal projections vanish entirely (caught r10: q103's
-    // sign-projection HOF benched at 0.3 s while computing the actual
-    // bucket column costs ~10 s at sf0.1 — the bench was timing a row
-    // count over the scan). Hashing every output column forces each
-    // query's complete result to be computed while keeping the action's
-    // own cost trivial (one codegen'd xxhash64 per row + a one-row sum).
-    // The terminal display orderBy is still optimizer-eliminated under
-    // the aggregation, exactly as it was under count(), so per-key times
-    // remain comparable for every key whose compute lives in joins /
-    // aggregations / windows; projection-terminal keys now read honestly
-    // higher. MapType columns hash via to_json (hash() on maps is
-    // disallowed); everything else hashes natively.
-    def force(df: org.apache.spark.sql.DataFrame): Unit = {
-      import org.apache.spark.sql.functions._
-      val cols = df.schema.fields.map { f =>
-        f.dataType match {
-          case _: org.apache.spark.sql.types.MapType =>
-            xxhash64(to_json(org.apache.spark.sql.functions.col(f.name)))
-          case _ => xxhash64(org.apache.spark.sql.functions.col(f.name))
-        }
-      }
-      // XOR folds (per-row across columns AND the final aggregate): a
-      // long sum overflows under ANSI mode, which is ON by default in
-      // Spark 4 — bit_xor is overflow-free and just as forcing
-      df.select(cols.reduce(_ bitwiseXOR _).as("__h"))
-        .agg(expr("bit_xor(__h)")).head()
-      ()
-    }
     def runOnce(): Seq[(String, Double, Boolean)] = suite.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { force(fn(spark, sfDir)); true }

@@ -159,7 +159,10 @@ object Scale {
       val fn = SparkEntry.queries(key)
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, dir).count()
+        // Bench.force, not count(): the same full-width materialization
+        // the bench times, so scaling curves measure complete results
+        // (count() lets Catalyst prune terminal projections — r10)
+        Bench.force(fn(spark, dir))
         (System.nanoTime() - t0) / 1e9
       }
       key -> (if (buildOnce(key)) times.head else times.min)
