@@ -190,6 +190,13 @@ object Scale {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Shuffle-file cleanup is driven by ContextCleaner, which only
+      // fires on driver GC; a deep (×1000) probe with a big heap barely
+      // GCs, so spill/shuffle dirs accumulate unboundedly across the
+      // 600 M-row families and can fill the disk mid-probe (observed:
+      // ~68 GB of /tmp spill before ENOSPC). Force a periodic GC so
+      // finished stages' files are reclaimed while the probe runs.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

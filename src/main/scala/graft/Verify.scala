@@ -19,7 +19,14 @@ object Verify {
     val failed = selected.flatMap { case (name, fn) =>
       try {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        // repartition(1), NOT coalesce(1): coalesce collapses the whole
+        // upstream plan into the single write task (q25's grouping-sets
+        // agg ran 1-threaded, 6.5 s of a 220 s sf0.01 verify), while
+        // repartition shuffles the (small, final) result into one file
+        // AFTER the plan has run at full parallelism. Row order in the
+        // dump is irrelevant — the driver's compare sort_values both
+        // sides before hashing (tools/check.py mirrors it).
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         times += name -> ((System.nanoTime() - t0) / 1e9)
         None
