@@ -1369,9 +1369,15 @@ object Analytics {
     cd.join(xt, "rf").join(yt, "rf").join(tot, "rf")
       .select(col("rf"), col("nn").as("n"),
         col("c_conc"), col("d_disc"),
+        // nullif: a group whose y ties on EVERY pair (n2 = n0) has no
+        // concordance signal and τ-b is undefined — null, not 0/0
+        // (Spark's 0/0 is null but DuckDB's is NaN; the q223
+        // degenerate-corpus guard class). All-x-tied groups never reach
+        // here: the x < xb pair join yields no cd row and the group
+        // drops from BOTH engines identically.
         r4((col("c_conc") - col("d_disc")).cast("double") /
-          (sqrt((col("n0") - col("n1")).cast("double")) *
-           sqrt((col("n0") - col("n2")).cast("double")))).as("tau_b"))
+          nullif(sqrt((col("n0") - col("n1")).cast("double")) *
+            sqrt((col("n0") - col("n2")).cast("double")), lit(0.0))).as("tau_b"))
       .orderBy("rf")
   }
 
@@ -1398,12 +1404,19 @@ object Analytics {
       sum(col("sy") * col("sy") / col("n").cast("double")).as("sb"))
     val ssb = col("sb") - col("s") * col("s") / col("nn").cast("double")
     val ssw = col("ss") - col("sb")
+    // nullif on every degenerate denominator (the q223 guard class):
+    // one group (k = 1) has no between-variance, one row per group
+    // (nn = k) no within-variance, exactly-constant within-group values
+    // (ssw = 0, reachable when y is binary-exact) an undefined F, and an
+    // all-constant corpus (SST = 0) an undefined η² — null in BOTH
+    // engines, where raw /0 is null in Spark but inf/NaN in DuckDB.
+    val msb = ssb / nullif((col("k") - 1).cast("double"), lit(0.0))
+    val msw = ssw / nullif((col("nn") - col("k")).cast("double"), lit(0.0))
     agg.select(col("k"), col("nn").as("n"),
-      r2(ssb / (col("k") - 1).cast("double")).as("ms_between"),
-      r2(ssw / (col("nn") - col("k")).cast("double")).as("ms_within"),
-      r4((ssb / (col("k") - 1).cast("double")) /
-        (ssw / (col("nn") - col("k")).cast("double"))).as("f"),
-      r5(ssb / (ssb + ssw)).as("eta_sq"))
+      r2(msb).as("ms_between"),
+      r2(msw).as("ms_within"),
+      r4(msb / nullif(msw, lit(0.0))).as("f"),
+      r5(ssb / nullif(ssb + ssw, lit(0.0))).as("eta_sq"))
   }
 
   /** Day-of-week seasonal index of daily revenue — the multiplicative
@@ -1474,8 +1487,13 @@ object Analytics {
       .select(col("k"), col("n"),
         (lit(12.0) / (col("n").cast("double") * (col("n") + 1).cast("double")) *
           col("sdev")).as("h0"),
-        (lit(1.0) - col("tie3") /
-          (col("n").cast("double") * col("n") * col("n") - col("n"))).as("cc"))
+        // nullif: a single-row corpus has N³−N = 0 and the tie
+        // correction is undefined — null (propagating into h_adj and
+        // eps_sq) in BOTH engines, where raw 0/0 is null in Spark but
+        // NaN in DuckDB (the q223 degenerate-corpus guard class)
+        (lit(1.0) - col("tie3") / nullif(
+          col("n").cast("double") * col("n") * col("n") - col("n"),
+          lit(0.0))).as("cc"))
       // nullif: when EVERY value ties (one support row) cc is exactly 0
       // and H is undefined — null, not 0/0 (the q223 degenerate-corpus
       // guard class)
@@ -1783,7 +1801,12 @@ object Analytics {
       .select(col("n_a"), col("n_b"), r2(col("m_a")).as("mean_a"),
         r2(col("m_b")).as("mean_b"), r4(col("se")).as("se"),
         r4(lit(2.801585) * col("se")).as("mde_abs"),
-        r4(lit(2.801585) * col("se") / col("m_a")).as("mde_rel"))
+        // nullif: a zero-mean control arm (every purchase value 0)
+        // has no defined RELATIVE effect — null in both engines, where
+        // raw /0 is null in Spark but inf in DuckDB (the q223
+        // degenerate-corpus guard class); mde_abs stays real
+        r4(lit(2.801585) * col("se") / nullif(col("m_a"), lit(0.0)))
+          .as("mde_rel"))
   }
 
   /** Smoothed target encoding of the market segment against customer
@@ -2493,7 +2516,7 @@ object Analytics {
          |       (SELECT * FROM per WHERE arm = 'B') b)
          |SELECT n_a, n_b, ${sr2("m_a")} AS mean_a, ${sr2("m_b")} AS mean_b,
          |  ${sr4("se")} AS se, ${sr4("2.801585e0 * se")} AS mde_abs,
-         |  ${sr4("2.801585e0 * se / m_a")} AS mde_rel
+         |  ${sr4("2.801585e0 * se / nullif(m_a, 0e0)")} AS mde_rel
          |FROM j""".stripMargin,
     "q261_target_encoding" ->
       s"""WITH spend AS (SELECT o_custkey, ${sr2("sum(o_totalprice)")} AS y
@@ -2558,7 +2581,7 @@ object Analytics {
          |    sum(dev2) AS sdev FROM dev),
          |fin AS (SELECT k, n,
          |    12e0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) * sdev AS h0,
-         |    1e0 - tie3 / (CAST(n AS DOUBLE) * n * n - n) AS cc FROM agg)
+         |    1e0 - tie3 / nullif(CAST(n AS DOUBLE) * n * n - n, 0e0) AS cc FROM agg)
          |SELECT k, n, ${sr4("h0")} AS h, ${sr4("h0 / nullif(cc, 0e0)")} AS h_adj,
          |  ${sr5("h0 / nullif(cc, 0e0) / CAST(n - 1 AS DOUBLE)")} AS eps_sq
          |FROM fin""".stripMargin,
@@ -2704,7 +2727,7 @@ object Analytics {
          |    CAST(sum(n) * (sum(n) - 1) // 2 AS BIGINT) AS n0
          |  FROM cells GROUP BY 1)
          |SELECT cd.rf, tot.nn AS n, cd.c_conc, cd.d_disc,
-         |  ${sr4("CAST(cd.c_conc - cd.d_disc AS DOUBLE) / (sqrt(CAST(tot.n0 - xt.n1 AS DOUBLE)) * sqrt(CAST(tot.n0 - yt.n2 AS DOUBLE)))")} AS tau_b
+         |  ${sr4("CAST(cd.c_conc - cd.d_disc AS DOUBLE) / nullif(sqrt(CAST(tot.n0 - xt.n1 AS DOUBLE)) * sqrt(CAST(tot.n0 - yt.n2 AS DOUBLE)), 0e0)")} AS tau_b
          |FROM cd JOIN xt USING (rf) JOIN yt USING (rf) JOIN tot USING (rf)
          |ORDER BY rf""".stripMargin,
     "q232_anova_f" ->
@@ -2719,10 +2742,10 @@ object Analytics {
          |    sum(sy * sy / CAST(n AS DOUBLE)) AS sb
          |  FROM per)
          |SELECT k, nn AS n,
-         |  ${sr2("(sb - s * s / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE)")} AS ms_between,
-         |  ${sr2("(ss - sb) / CAST(nn - k AS DOUBLE)")} AS ms_within,
-         |  ${sr4("((sb - s * s / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE)) / ((ss - sb) / CAST(nn - k AS DOUBLE))")} AS f,
-         |  ${sr5("(sb - s * s / CAST(nn AS DOUBLE)) / ((sb - s * s / CAST(nn AS DOUBLE)) + (ss - sb))")} AS eta_sq
+         |  ${sr2("(sb - s * s / CAST(nn AS DOUBLE)) / nullif(CAST(k - 1 AS DOUBLE), 0e0)")} AS ms_between,
+         |  ${sr2("(ss - sb) / nullif(CAST(nn - k AS DOUBLE), 0e0)")} AS ms_within,
+         |  ${sr4("((sb - s * s / CAST(nn AS DOUBLE)) / nullif(CAST(k - 1 AS DOUBLE), 0e0)) / nullif((ss - sb) / nullif(CAST(nn - k AS DOUBLE), 0e0), 0e0)")} AS f,
+         |  ${sr5("(sb - s * s / CAST(nn AS DOUBLE)) / nullif((sb - s * s / CAST(nn AS DOUBLE)) + (ss - sb), 0e0)")} AS eta_sq
          |FROM agg""".stripMargin,
     "q238_seasonal_index" ->
       s"""WITH daily AS (SELECT l_shipdate AS day,

@@ -2617,4 +2617,55 @@ class OperatorGoldenSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("k-group stats degenerates: tied-y tau_b, zero-SSW ANOVA F, 1-row KW tie correction and zero-mean MDE null out, never inf/NaN") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dkg").toString
+    // Group A: discount constant while quantity varies — every y pair
+    // tied, so tau_b's denominator is an exact 0 (Spark's unguarded 0/0
+    // is null but DuckDB's is NaN). Group B: one concordant pair
+    // (tau_b = 1, the guard must not over-null). Revenues are
+    // binary-exact and constant WITHIN each group (2.0 and 4.0), so
+    // ANOVA's within-group sum of squares is an EXACT 0 — unguarded F
+    // would be null in Spark but inf in DuckDB.
+    Seq(("A", 1.0, 0.5, 4.0), ("A", 2.0, 0.5, 4.0), ("A", 3.0, 0.5, 4.0),
+        ("B", 5.0, 0.5, 8.0), ("B", 6.0, 0.75, 16.0))
+      .toDF("l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val tau = operators.Analytics.q231(s, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(tau("A").isNullAt(4), s"all-y-tied group must null tau_b: ${tau("A")}")
+    assert(tau("B").getDouble(4) == 1.0, s"concordant group keeps tau_b: ${tau("B")}")
+    val an = operators.Analytics.q232(s, dir).head()
+    assert(an.getLong(0) == 2L && an.getLong(1) == 5L)
+    assert(an.getDouble(2) == 4.8, s"SSB/(k-1) stays real: $an")
+    assert(an.getDouble(3) == 0.0, s"zero SSW is a real 0, not null: $an")
+    assert(an.isNullAt(4), s"F over zero within-variance must be null: $an")
+    assert(an.getDouble(5) == 1.0, s"eta_sq = SSB/SSB = 1: $an")
+
+    // Single-row corpus: Kruskal-Wallis' tie correction divides by
+    // N^3 - N = 0; H itself is a real 0 (one deviation of 0)
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_dkw").toString
+    Seq(("A", 1.0, 0.0, 10.0))
+      .toDF("l_returnflag", "l_quantity", "l_discount", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir1/lineitem.parquet")
+    val kw = operators.Analytics.q243(s, dir1).head()
+    assert(kw.getLong(0) == 1L && kw.getLong(1) == 1L)
+    assert(kw.getDouble(2) == 0.0, s"H of a single row is 0: $kw")
+    assert(kw.isNullAt(3) && kw.isNullAt(4),
+      s"tie correction is undefined on 1 row: $kw")
+
+    // q260: every purchase value 0 -> both arm means are 0: the absolute
+    // MDE is a real 0 (zero variance) but the RELATIVE one divides by
+    // the control mean and must null, not print DuckDB's inf
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_dab").toString
+    (1 to 8).map(k => (k.toLong, dayNs(k.toLong), k.toLong, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val ab = operators.Analytics.q260(s, dir2).collect()
+    assert(ab.length == 1, "both arms populated by the 8-user hash split")
+    val pw = ab.head
+    assert(pw.getDouble(5) == 0.0, s"mde_abs of a zero-variance corpus is 0: $pw")
+    assert(pw.isNullAt(6), s"relative MDE over a zero mean must be null: $pw")
+  }
 }
