@@ -434,8 +434,11 @@ object Workloads {
           .as("med_ttc_sec"))
       .crossJoin(broadcast(tot))
       .select(col("n_clicks"), col("n_conv"),
-        r4(col("n_conv").cast("double") / col("n_clicks").cast("double"))
-          .as("conv_rate"),
+        // nullif: a corpus slice with no click events still produces
+        // the global-agg row (n_clicks = 0) and 0/0 is null in Spark
+        // but NaN in DuckDB (the q223 degenerate-corpus guard class)
+        r4(col("n_conv").cast("double") /
+          nullif(col("n_clicks").cast("double"), lit(0.0))).as("conv_rate"),
         col("med_ttc_sec"))
   }
 
@@ -1349,7 +1352,7 @@ object Workloads {
          |    ${sr2("median(CAST(first_p - us_c AS DOUBLE) / 1e6)")} AS med_ttc_sec
          |  FROM fc)
          |SELECT tot.n_clicks, agg.n_conv,
-         |  ${sr4("agg.n_conv / CAST(tot.n_clicks AS DOUBLE)")} AS conv_rate,
+         |  ${sr4("agg.n_conv / nullif(CAST(tot.n_clicks AS DOUBLE), 0e0)")} AS conv_rate,
          |  agg.med_ttc_sec
          |FROM agg CROSS JOIN tot""".stripMargin,
     "q131_attribution_last_touch" ->

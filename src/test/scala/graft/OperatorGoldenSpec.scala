@@ -2667,5 +2667,18 @@ class OperatorGoldenSpec extends AnyFunSuite {
     val pw = ab.head
     assert(pw.getDouble(5) == 0.0, s"mde_abs of a zero-variance corpus is 0: $pw")
     assert(pw.isNullAt(6), s"relative MDE over a zero mean must be null: $pw")
+
+    // q150: a corpus slice with NO click events still yields the
+    // global-agg row (n_clicks = 0); conv_rate must null, not print
+    // DuckDB's NaN
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_dcl").toString
+    (1 to 4).map(k => (k.toLong, dayNs(k.toLong), k.toLong, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir3/events.parquet")
+    val ttc = operators.Workloads.q150(s, dir3).collect()
+    assert(ttc.length == 1)
+    assert(ttc.head.getLong(0) == 0L && ttc.head.getLong(1) == 0L)
+    assert(ttc.head.isNullAt(2),
+      s"conv_rate over zero clicks must be null: ${ttc.head}")
   }
 }
