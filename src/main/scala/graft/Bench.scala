@@ -13,14 +13,23 @@ object Bench {
     * the aggregation, exactly as under count(). MapType columns hash via
     * to_json (hash() on maps is disallowed). Shared by Bench, the Scale
     * probe and ScalingSpec so every timing in the repo measures the same
-    * thing. */
+    * thing. Map detection is RECURSIVE (a map nested in a struct/array
+    * also breaks hash()), and a zero-column frame falls back to count()
+    * (cols.reduce would throw; with no columns there is nothing for
+    * count() to prune, so it is an honest force there). */
   def force(df: org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    if (df.schema.isEmpty) { df.count(); return }
     val cols = df.schema.fields.map { f =>
-      f.dataType match {
-        case _: org.apache.spark.sql.types.MapType => xxhash64(to_json(col(f.name)))
-        case _ => xxhash64(col(f.name))
-      }
+      if (hasMap(f.dataType)) xxhash64(to_json(col(f.name)))
+      else xxhash64(col(f.name))
     }
     df.select(cols.reduce(_ bitwiseXOR _).as("__h"))
       .agg(expr("bit_xor(__h)")).head()

@@ -30,8 +30,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * (floats widen exactly, so prior CAST-then-transform plans and this
   * expression agree bit-for-bit); `quant_scale` must be a double;
   * `planes` is `array<array<long>>` (broadcast-joined from a one-row
-  * derivation — dimension-bounded). Null if any input is null; a plane
-  * whose length mismatches the vector raises.
+  * derivation — dimension-bounded). Null if any input is null OR if any
+  * ELEMENT (vector component, plane, or plane component) is null — the
+  * same null-propagation the element_at/aggregate HOF form has, so the
+  * bit-identity claim covers containsNull data too. A plane whose length
+  * mismatches the vector raises; more than 62 planes raises (bit 63 is
+  * the long's sign bit and `1L << p` wraps at 64 — the same bound the
+  * `rpLshBucket` facade enforces, now also covering raw SQL callers).
   */
 case class RpBucket(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
@@ -50,6 +55,16 @@ case class RpBucket(first: Expression, second: Expression, third: Expression)
 
   private lazy val isFloat =
     first.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // per-element null checks are generated only where the schema says null
+  // elements are representable — containsNull=false keeps the original
+  // check-free loop nest
+  private lazy val vecCN = first.dataType.asInstanceOf[ArrayType].containsNull
+  private lazy val planesOuterCN = second.dataType.asInstanceOf[ArrayType].containsNull
+  private lazy val planesInnerCN = second.dataType.asInstanceOf[ArrayType]
+    .elementType.asInstanceOf[ArrayType].containsNull
+
+  override def nullable: Boolean =
+    children.exists(_.nullable) || vecCN || planesOuterCN || planesInnerCN
 
   override def nullSafeEval(v: Any, ps: Any, q: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
@@ -59,18 +74,26 @@ case class RpBucket(first: Expression, second: Expression, third: Expression)
     val qv = new Array[Long](n)
     var i = 0
     while (i < n) {
+      if (vecCN && x.isNullAt(i)) return null
       val xd = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
       qv(i) = math.floor(xd * scale + 0.5).toLong
       i += 1
     }
+    require(planes.numElements() <= 62,
+      "rp_bucket: at most 62 planes (1L << p wraps at 64)")
     var bucket = 0L
     var p = 0
     while (p < planes.numElements()) {
+      if (planesOuterCN && planes.isNullAt(p)) return null
       val plane = planes.getArray(p)
       require(plane.numElements() == n, "rp_bucket: plane/vector length mismatch")
       var dot = 0L
       var j = 0
-      while (j < n) { dot += plane.getLong(j) * qv(j); j += 1 }
+      while (j < n) {
+        if (planesInnerCN && plane.isNullAt(j)) return null
+        dot += plane.getLong(j) * qv(j)
+        j += 1
+      }
       if (dot >= 0L) bucket |= 1L << p
       p += 1
     }
@@ -87,26 +110,51 @@ case class RpBucket(first: Expression, second: Expression, third: Expression)
       val plane = ctx.freshName("plane")
       val dot = ctx.freshName("dot")
       val bucket = ctx.freshName("bucket")
+      val anyNull = ctx.freshName("anyNull")
       val get = if (isFloat) s"(double) $v.getFloat" else s"$v.getDouble"
+      // element-null plumbing only when the schema can represent it; when
+      // any check is generated, `nullable` is true so ev.isNull is a real
+      // variable (nullSafeCodeGen documents resultCode may change it)
+      val anyCN = vecCN || planesOuterCN || planesInnerCN
+      val vecNullChk =
+        if (vecCN) s"if ($v.isNullAt($i)) { $anyNull = true; break; }" else ""
+      val planeNullChk =
+        if (planesOuterCN) s"if ($ps.isNullAt($p)) { $anyNull = true; break; }" else ""
+      val elemNullChk =
+        if (planesInnerCN) s"if ($plane.isNullAt($j)) { $anyNull = true; break; }" else ""
+      val innerBreak = if (planesInnerCN) s"if ($anyNull) break;" else ""
+      val declAnyNull = if (anyCN) s"boolean $anyNull = false;" else ""
+      val loopGuard = if (anyCN) s" && !$anyNull" else ""
+      val assign =
+        if (anyCN) s"if ($anyNull) { ${ev.isNull} = true; } else { ${ev.value} = $bucket; }"
+        else s"${ev.value} = $bucket;"
       s"""
          |int $n = $v.numElements();
          |long[] $qv = new long[$n];
+         |$declAnyNull
          |for (int $i = 0; $i < $n; $i++) {
+         |  $vecNullChk
          |  $qv[$i] = (long) java.lang.Math.floor($get($i) * $q + 0.5);
          |}
+         |if ($ps.numElements() > 62) {
+         |  throw new IllegalArgumentException("rp_bucket: at most 62 planes (1L << p wraps at 64)");
+         |}
          |long $bucket = 0L;
-         |for (int $p = 0; $p < $ps.numElements(); $p++) {
+         |for (int $p = 0; $p < $ps.numElements()$loopGuard; $p++) {
+         |  $planeNullChk
          |  org.apache.spark.sql.catalyst.util.ArrayData $plane = $ps.getArray($p);
          |  if ($plane.numElements() != $n) {
          |    throw new IllegalArgumentException("rp_bucket: plane/vector length mismatch");
          |  }
          |  long $dot = 0L;
          |  for (int $j = 0; $j < $n; $j++) {
+         |    $elemNullChk
          |    $dot += $plane.getLong($j) * $qv[$j];
          |  }
+         |  $innerBreak
          |  if ($dot >= 0L) $bucket |= 1L << $p;
          |}
-         |${ev.value} = $bucket;
+         |$assign
        """.stripMargin
     })
 

@@ -43,4 +43,17 @@ class BenchForceSpec extends AnyFunSuite {
       .toDF("id", "m", "o")
     Bench.force(df) // hash() on MapType throws; the to_json branch must kick in
   }
+
+  test("force handles maps NESTED in structs/arrays and zero-column frames") {
+    import s.implicits._
+    // map inside a struct and inside an array: top-level-only MapType
+    // detection misses both and xxhash64 throws on the map underneath
+    val nested = Seq((1L, Map("a" -> 1)), (2L, Map("b" -> 2)))
+      .toDF("id", "m")
+      .select(col("id"), struct(col("m")).as("sm"), array(col("m")).as("am"))
+    Bench.force(nested)
+    // zero-column frame: cols.reduce on an empty array throws; the count()
+    // fallback must keep this a timed force, not a bench failure
+    Bench.force(Seq(1, 2, 3).toDF("x").select())
+  }
 }

@@ -107,4 +107,60 @@ class CodegenCompileSpec extends AnyFunSuite {
       ArrayData.toArrayData(Array(0.0, 0.0, 0.0)), planes)
     assert(projD(inZ).getLong(0) == 7L)
   }
+
+  test("RpBucket null-propagates per-element nulls and rejects >62 planes (eval AND codegen)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.LongType
+    import graft.plans.RpBucket
+    // containsNull=true schemas — the only way null elements are representable
+    val vRef = BoundReference(0, ArrayType(DoubleType, containsNull = true), nullable = true)
+    val pRef = BoundReference(1,
+      ArrayType(ArrayType(LongType, containsNull = true), containsNull = true),
+      nullable = true)
+    val ex = RpBucket(vRef, pRef, Literal(1000.0, DoubleType))
+    assert(ex.nullable)
+    val proj = GenerateUnsafeProjection.generate(Seq(ex))
+    val planes = new GenericArrayData(Array[Any](
+      new GenericArrayData(Array[Any](1L, 1L, -1L)),
+      new GenericArrayData(Array[Any](-1L, 1L, 1L))))
+    // clean row still computes (qv = (500,-250,125): dots 125, -625 -> 1)
+    val clean = InternalRow(
+      new GenericArrayData(Array[Any](0.5, -0.25, 0.125)), planes)
+    assert(ex.eval(clean).asInstanceOf[Long] == 1L)
+    assert(proj(clean).getLong(0) == 1L)
+    // a null VECTOR element -> null bucket (the HOF's null-propagation)
+    val nullVec = InternalRow(
+      new GenericArrayData(Array[Any](0.5, null, 0.125)), planes)
+    assert(ex.eval(nullVec) == null)
+    assert(proj(nullVec).isNullAt(0))
+    // a null PLANE -> null bucket
+    val nullPlane = InternalRow(
+      new GenericArrayData(Array[Any](0.5, -0.25, 0.125)),
+      new GenericArrayData(Array[Any](null,
+        new GenericArrayData(Array[Any](1L, 1L, -1L)))))
+    assert(ex.eval(nullPlane) == null)
+    assert(proj(nullPlane).isNullAt(0))
+    // a null PLANE ELEMENT -> null bucket
+    val nullPlaneElem = InternalRow(
+      new GenericArrayData(Array[Any](0.5, -0.25, 0.125)),
+      new GenericArrayData(Array[Any](
+        new GenericArrayData(Array[Any](1L, null, -1L)))))
+    assert(ex.eval(nullPlaneElem) == null)
+    assert(proj(nullPlaneElem).isNullAt(0))
+    // 63 planes: 1L << p wraps at 64 and would alias bucket bits — raises
+    // in both paths (the rpLshBucket facade guard now also covers raw SQL)
+    val deep = InternalRow(
+      new GenericArrayData(Array[Any](1.0)),
+      new GenericArrayData(
+        Array.fill[Any](63)(new GenericArrayData(Array[Any](1L)))))
+    intercept[IllegalArgumentException](ex.eval(deep))
+    intercept[IllegalArgumentException](proj(deep))
+    // 62 planes is the documented maximum and still computes
+    val ok62 = InternalRow(
+      new GenericArrayData(Array[Any](1.0)),
+      new GenericArrayData(
+        Array.fill[Any](62)(new GenericArrayData(Array[Any](1L)))))
+    assert(ex.eval(ok62).asInstanceOf[Long] == (1L << 62) - 1) // bits 0..61
+    assert(proj(ok62).getLong(0) == ex.eval(ok62).asInstanceOf[Long])
+  }
 }

@@ -96,10 +96,13 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {bad}")
             n_fail += 1
             continue
-        # emulate the driver's sort_values (crashes on unhashable cells)
+        # emulate the driver's sort-before-compare (crashes on unhashable
+        # cells). sort_values is NOT in-place — assign the results, else the
+        # value compare below runs in file order and repartition(1) output
+        # (no ordering guarantee) would spuriously FAIL.
         try:
-            sdf.sort_values(scols)
-            ddf.sort_values(dcols)
+            sdf = sdf.sort_values(scols).reset_index(drop=True)
+            ddf = ddf.sort_values(dcols).reset_index(drop=True)
         except Exception as e:
             print(f"FAIL {name}: driver-style sort_values crashed: {e}")
             n_fail += 1
