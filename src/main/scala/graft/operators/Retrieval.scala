@@ -354,8 +354,83 @@ object Retrieval {
     * (below + tie_rank − 1)/(n − 1). Memory trade: the support relation
     * is up to one row per (dim, value) pair — same order as the exploded
     * input (row-linear), shuffled on (dim, value) instead of funneled
-    * into 64 sort tasks. */
-  def q209(s: SparkSession, d: String): DataFrame = {
+    * into 64 sort tasks.
+    *
+    * Cardinality ceiling (measured, SCALING.md r10): the support grain is
+    * row-linear, so its shuffle+join degrades toward fact scale in the
+    * third decade (8.7×, 155 s at 2 M vectors) — the one steep curve that
+    * is plan shape, not a memory ceiling. [[rankNormalize]] is therefore
+    * the facade: exact here while the corpus is under the support-size
+    * threshold, [[quantileNormSketch]]'s histogram-CDF above it. */
+  def q209(s: SparkSession, d: String): DataFrame = rankNormalize(s, d)
+
+  /** Adaptive facade over the two rank-normalization plans: the EXACT
+    * support-grain rank (oracle semantics, [[quantileNormExact]]) while
+    * the vector count — an upper bound on every dimension's value
+    * support — is at or under `sketchAboveVectors`, the bounded-grain
+    * histogram-CDF sketch ([[quantileNormSketch]]) beyond it. The switch
+    * costs one parquet count (metadata-cheap next to either plan). The
+    * default keeps every correctness/bench SF and the ×10/×100 scaling
+    * decades exact (500 / 2 k / 20 k / 200 k vectors) and engages the
+    * sketch in the measured-degrading ×1000 decade (2 M vectors). */
+  private[graft] def rankNormalize(s: SparkSession, d: String,
+      sketchAboveVectors: Long = 1000000L): DataFrame =
+    if (embeddings(s, d).count() <= sketchAboveVectors) quantileNormExact(s, d)
+    else quantileNormSketch(s, d)
+
+  /** Histogram-CDF sketch of the per-dimension percent rank — the
+    * extreme-cardinality path behind [[rankNormalize]]. Per dimension:
+    * min/max (one map-side-combined agg to 64 rows, broadcast), each
+    * value mapped ROW-LOCALLY to one of `bins` equi-width buckets, bucket
+    * counts aggregated to a grain BOUNDED at dims × bins rows forever
+    * (never data-proportional — the whole point vs the exact support
+    * grain), strict-prefix counts under a window whose partitions are
+    * ≤ `bins` rows by construction (scale-safe without the range-block
+    * machinery), and the rank estimated row-locally as
+    * `(below_bucket + frac_within_bucket · c_bucket)/(n − 1)`, clamped to
+    * [0, 1]. Shuffled volume is the bounded histogram grain only; the
+    * fact-scale side sees two scans and zero fact-scale shuffles.
+    *
+    * Approximation contract (bound by the agreement test at small SF):
+    * within-bucket linear interpolation errs by at most one bucket's
+    * probability mass (~1/bins on smooth per-dim distributions); exact
+    * TIE spreading (the (value, vec_id) total order) is not reproducible
+    * from aggregates — tied values share their interpolated rank, and a
+    * constant dimension collapses to rank 0 where the exact path spreads
+    * 0..1 by vec_id. Same output shape and 6 dp pin as the exact path. */
+  private[graft] def quantileNormSketch(s: SparkSession, d: String,
+      bins: Int = 4096): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val long = embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .as(Seq("p", "x")))
+      .select(col("vec_id"), (col("p") + 1).cast("long").as("i"), col("x"))
+    val n1 = embeddings(s, d).agg(count(lit(1)).as("__n"))
+    val stats = long.groupBy("i")
+      .agg(min("x").as("__lo"), max("x").as("__hi"))
+      .withColumn("__w", (col("__hi") - col("__lo")) / lit(bins.toDouble))
+    val bucketed = long.join(broadcast(stats), "i")
+      .withColumn("__b", when(col("__w") === 0.0, lit(0L)).otherwise(
+        least(lit(bins - 1).cast("long"),
+          floor((col("x") - col("__lo")) / col("__w")).cast("long"))))
+    val cdf = bucketed.groupBy("i", "__b").agg(count(lit(1)).as("__c"))
+      .withColumn("__below", coalesce(
+        sum("__c").over(w.partitionBy("i").orderBy("__b")
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+    bucketed.join(broadcast(cdf), Seq("i", "__b"))
+      .crossJoin(broadcast(n1))
+      .withColumn("__frac", when(col("__w") === 0.0, lit(0.0)).otherwise(
+        (col("x") - (col("__lo") + col("__b") * col("__w"))) / col("__w")))
+      .withColumn("qn", rnd(least(lit(1.0), greatest(lit(0.0),
+        (col("__below") + col("__frac") * col("__c")) /
+          (col("__n") - 1).cast("double"))), 6))
+      .select("vec_id", "i", "qn")
+      .orderBy("vec_id", "i")
+  }
+
+  /** The exact support-grain plan (see [[q209]]'s scaladoc). */
+  private[graft] def quantileNormExact(s: SparkSession, d: String): DataFrame = {
     val long = embeddings(s, d)
       .select(col("vec_id"),
         posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))

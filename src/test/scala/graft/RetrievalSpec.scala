@@ -259,6 +259,34 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got("avg_word_len") == ((0.0, 0.0)))
   }
 
+  test("q209 sketch path agrees with the exact rank within one bucket mass, facade switches on size") {
+    // the histogram-CDF sketch is the >1 M-vector path of rankNormalize;
+    // bind it to the exact support-grain rank at oracle SF: same shape,
+    // per-cell |Δqn| bounded by interpolation error (≤ ~1/bins on smooth
+    // per-dim distributions; 0.02 allows small-n discreteness at n=500)
+    val exact = operators.Retrieval.quantileNormExact(s, d)
+    val sketch = operators.Retrieval.quantileNormSketch(s, d)
+    val joined = exact.withColumnRenamed("qn", "qe")
+      .join(sketch.withColumnRenamed("qn", "qs"), Seq("vec_id", "i"))
+      .cache()
+    try {
+      val nExact = exact.count()
+      assert(joined.count() == nExact, "sketch output shape differs from exact")
+      val worst = joined.agg(max(abs(col("qe") - col("qs")))).head().getDouble(0)
+      assert(worst <= 0.02, s"sketch rank diverges from exact by $worst")
+      // ranks are ranks: both land in [0, 1]
+      val oob = joined.filter(col("qs") < 0.0 || col("qs") > 1.0).count()
+      assert(oob == 0, s"$oob sketch ranks outside [0,1]")
+    } finally joined.unpersist()
+    // facade: exact at/under the threshold, sketch above it (500 vectors
+    // here, so a tiny threshold forces the sketch branch)
+    assert(operators.Retrieval.rankNormalize(s, d).collect().toSeq ==
+      exact.collect().toSeq, "facade must take the exact branch at oracle SF")
+    assert(operators.Retrieval.rankNormalize(s, d, sketchAboveVectors = 10L)
+      .collect().toSeq == sketch.collect().toSeq,
+      "facade must take the sketch branch above the threshold")
+  }
+
   test("q264 degenerate: collinear features null the betas but keep the scores") {
     import TestSpark.spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_d264").toString
