@@ -76,10 +76,11 @@ object Bench {
     try // item-pair dots memo — shared by the item-similarity family (q63/q88)
       Tables.itemDots(spark, sfDir).count()
     catch { case _: Throwable => () }
-    try // shingle family — fills shingles5, used by q76/q84/q92/q93
+    try // string-shingle grain — fills shingles5, used by q84/q92/q93/q106
       SparkEntry.queries("q84_doc_fingerprint")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    try // shingle-pair memo — shared by the resemblance/containment keys (q76/q129)
+    try // compact shingle grain + pair memo — fills shingles5h and shpairs50,
+        // shared by the resemblance/containment/verify keys (q76/q129/q138/q270)
       SparkEntry.queries("q76_dedup_ngram_jaccard")(spark, sfDir).count()
     catch { case _: Throwable => () }
     try // word-frequency family — fills words1, used by q49/q68/q69/q78/q99

@@ -152,8 +152,15 @@ object Scale {
     val tabs = keys.flatMap(tableOf.getOrElse(_, Set.empty[String])).toSet
     if (tabs("events"))
       try Tables.events(spark, dir).count() catch { case _: Throwable => () }
-    if (tabs("documents"))
+    // the shingle family split grains (r11): q93 fingerprints off the sha256
+    // STRING grain, q76's pair intersection off the compact 64-bit grain —
+    // warm only what the probed subset consumes, so an isolated q76 probe
+    // doesn't carry a string-shingle cache it never reads
+    if (keys.contains("q93_dedup_components"))
       try operators.TextPipeline.shingles5(spark, dir).count()
+      catch { case _: Throwable => () }
+    if (keys.contains("q76_dedup_ngram_jaccard"))
+      try operators.TextPipeline.shingles5h(spark, dir).count()
       catch { case _: Throwable => () }
     keys.map { key =>
       val fn = SparkEntry.queries(key)
@@ -184,9 +191,15 @@ object Scale {
           .getOrElse(sys.error(s"unknown scale family: $p"))
       }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle partitions sized to DATA, not cores (overridable): a cluster
+    // operator scales this with input volume so each shuffle partition
+    // stays within executor memory — the fixed 32 was measured as q120's
+    // ×1000 spill cause (150 M-key grains into 32 sort buffers). AQE
+    // coalesces small partitions back down, so oversizing is cheap.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -61,6 +61,34 @@ object TextPipeline {
         .distinct()
     }
 
+  /** COMPACT 64-bit shingle grain — (doc_id, shh = xxhash64(shingle)) — the
+    * storage format of the shingle set wherever only equality/counting
+    * semantics are needed (the pair-intersection family: q76/q129/q138/
+    * q270 via [[shinglePairCounts]]). The sha256-fingerprint keys (q84/
+    * q92/q93/q106) keep the string grain [[shingles5]]; their oracles pin
+    * sha2 of the TEXT.
+    *
+    * Why (r10 SCALING, ×1000 = 5 M docs): the string grain's cache is
+    * ~45 B/row and goes DISK-RESIDENT in the third decade — the measured
+    * 18.9× q76 curve is that memory ceiling, not plan shape. Hashing
+    * before the distinct cuts the cached grain and every downstream
+    * shuffle to 16 B/row (the q257 compact-signature route applied to
+    * storage). Distinctness: 64-bit collisions WITHIN a doc would merge
+    * two shingles (and across docs add a phantom intersection); at the
+    * ×1000 corpus (~10⁸ distinct shingles) the birthday bound puts any
+    * collision at ~10⁻³ and the correctness SFs at <10⁻⁸ — and the hash
+    * is deterministic, so the differential gate would expose one, not
+    * mask it. */
+  private[graft] def shingles5h(s: SparkSession, d: String): DataFrame =
+    graft.Tables.memoized(s, d, "shingles5h") {
+      docWords(s, d)
+        .filter(size(col("words")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(words) - 4), i -> xxhash64(array_join(slice(words, i, 5), ' ')))"))
+          .as("shh"))
+        .distinct()
+    }
+
   /** DuckDB twin of [[shingles5]] — assumes a `w` CTE from [[wordsSql]]. */
   private[operators] val shinglesSql =
     """SELECT DISTINCT doc_id, s AS sh FROM (
@@ -76,11 +104,14 @@ object TextPipeline {
     * (shared-count is symmetric). */
   private[operators] def shinglePairCounts(s: SparkSession, d: String): DataFrame =
     graft.Tables.memoized(s, d, "shpairs50") {
-      val sh = shingles5(s, d)
-      val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
-      val pruned = sh.join(rare.select("sh"), "sh")
-      pruned.select(col("doc_id").as("doc_a"), col("sh"))
-        .join(pruned.select(col("doc_id").as("doc_b"), col("sh")), "sh")
+      // the 64-bit grain: every operation here is equality + count, and the
+      // posting-list self-join is the family's dominant shuffle — 16 B keys
+      // instead of ~45 B strings (see [[shingles5h]])
+      val sh = shingles5h(s, d)
+      val rare = sh.groupBy("shh").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
+      val pruned = sh.join(rare.select("shh"), "shh")
+      pruned.select(col("doc_id").as("doc_a"), col("shh"))
+        .join(pruned.select(col("doc_id").as("doc_b"), col("shh")), "shh")
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
     }
@@ -88,8 +119,7 @@ object TextPipeline {
   /** Exact n-gram Jaccard dedup: distinct 5-word shingles, inverted-index
     * join with a df≤50 common-shingle cap, pairs with Jaccard ≥ 0.4. */
   def q76(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles5(s, d)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = shingles5h(s, d).groupBy("doc_id").agg(count(lit(1)).as("n"))
     shinglePairCounts(s, d)
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
@@ -313,11 +343,11 @@ object TextPipeline {
         Seq("b", "bv"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val sh = shingles5(s, d)
+    val sh = shingles5h(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("shh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shh")), Seq("doc_b", "shh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
@@ -403,8 +433,7 @@ object TextPipeline {
     * [[shinglePairCounts]] memo (q76's relation) — BOTH directions kept,
     * since containment is not symmetric. */
   def q129(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles5(s, d)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = shingles5h(s, d).groupBy("doc_id").agg(count(lit(1)).as("n"))
     val half = shinglePairCounts(s, d)
     val directed = half.union(half.select(
       col("doc_b").as("doc_a"), col("doc_a").as("doc_b"), col("shared")))
@@ -943,7 +972,7 @@ object TextPipeline {
         Seq("b", "bv"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val sizes = shingles5(s, d).groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sizes = shingles5h(s, d).groupBy("doc_id").agg(count(lit(1)).as("n"))
     val truth = shinglePairCounts(s, d)
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
