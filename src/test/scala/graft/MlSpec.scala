@@ -169,6 +169,45 @@ class MlSpec extends AnyFunSuite {
       .map("%02x".format(_)).mkString
   }
 
+  test("ALS golden: block-cohort fixture pins top-1 per user across numUserBlocks 2 vs 4") {
+    // r10 verdict task #6: q65/q66 are the only keys bound purely by
+    // seed+threshold tests; this constructed fixture pins the actual
+    // SOLUTION. Two disjoint taste cohorts with a strong in-cohort
+    // favorite (5 > 3 > 1 margins): any converged factorization must rank
+    // item 11 first for users 1-3 and item 21 first for users 4-6. ALS
+    // factor INIT depends on the block partitioning (per-block RNG
+    // streams), so exact factors differ between block counts — the pinned
+    // invariant is the argmax, which a Spark upgrade or solver drift
+    // would break long before thresholds notice.
+    import org.apache.spark.ml.recommendation.ALS
+    val sp = s; import sp.implicits._
+    val ratings = Seq(
+      (1, 11, 5f), (1, 12, 3f), (1, 21, 1f),
+      (2, 11, 5f), (2, 12, 3f), (2, 22, 1f),
+      (3, 11, 5f), (3, 12, 3f), (3, 21, 1f),
+      (4, 21, 5f), (4, 22, 3f), (4, 11, 1f),
+      (5, 21, 5f), (5, 22, 3f), (5, 12, 1f),
+      (6, 21, 5f), (6, 22, 3f), (6, 11, 1f))
+      .toDF("user_id", "item", "rating")
+    val golden = Map(1 -> 11, 2 -> 11, 3 -> 11, 4 -> 21, 5 -> 21, 6 -> 21)
+    val top1 = Seq(2, 4).map { blocks =>
+      val model = new ALS()
+        .setUserCol("user_id").setItemCol("item").setRatingCol("rating")
+        .setRank(8).setMaxIter(10).setRegParam(0.1).setSeed(42)
+        .setNumUserBlocks(blocks).setNumItemBlocks(blocks)
+        .setColdStartStrategy("drop")
+        .fit(ratings)
+      val got = model.recommendForAllUsers(1)
+        .select(col("user_id"), col("recommendations")(0)("item").as("top1"))
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(got == golden,
+        s"ALS top-1 at numUserBlocks=$blocks diverged from golden: $got")
+      got
+    }
+    assert(top1.head == top1.last,
+      "top-1 must be partitioning-invariant (numUserBlocks 2 vs 4)")
+  }
+
   test("q65/q66 pinned at seed=42: ALS outputs match their recorded fingerprints") {
     // Pins computed on Spark 4.1.2 at sf0.001 (r7). The scores/errors are
     // 4 dp-rounded before hashing, so only a genuine factor-matrix change
