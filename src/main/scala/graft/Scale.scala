@@ -191,11 +191,15 @@ object Scale {
           .getOrElse(sys.error(s"unknown scale family: $p"))
       }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Shuffle partitions sized to DATA, not cores (overridable): a cluster
-    // operator scales this with input volume so each shuffle partition
-    // stays within executor memory — the fixed 32 was measured as q120's
-    // ×1000 spill cause (150 M-key grains into 32 sort buffers). AQE
-    // coalesces small partitions back down, so oversizing is cheap.
+    // Shuffle-partition override for probe experiments. MEASURED on the
+    // q120 ×1000 2×2 (SCALING.md r11): partition count is NOT the
+    // third-decade knob — at 16 g heap, 32 vs 256 partitions read 67.8 vs
+    // 69.8 s (flat; per-task agg spill is sequential, page-cache-backed
+    // I/O), while at 96 g heap 256 partitions cost 1.44× over 32. The
+    // knob that matters on one node is HEAP vs PAGE CACHE: a 96 g heap
+    // starves the OS cache of the 600 M-row parquet + shuffle files
+    // (188.6 s at 32 partitions vs 67.8 s at 16 g, same session). Keep
+    // probe heaps modest; use this override only to re-run the A/B.
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
