@@ -29,12 +29,18 @@ def load_times(path):
     except ValueError:
         pass
     best = None
-    for m in re.finditer(r'\{"metric":"(steady_detail|steady_slowest80)".*?\}\}?', text):
+    dec = json.JSONDecoder()
+    for m in re.finditer(r'\{"metric":"(steady_detail|steady_slowest80)"', text):
         try:
-            best = json.loads(m.group(0))
+            doc = dec.raw_decode(text, m.start())[0]
         except ValueError:
             # the archived tail can clip the first line — keep looking
             continue
+        # prefer the full per-key line over the slowest-80 digest; within a
+        # metric, later lines win (a re-run appends below an earlier one)
+        if best is None or doc["metric"] == "steady_detail" or \
+                best["metric"] == doc["metric"]:
+            best = doc
     if best is None:
         sys.exit(f"no parseable steady_detail/steady_slowest80 line in {path}")
     return best["queries"]
