@@ -157,20 +157,40 @@ object Recommender {
   }
 
   /** MLlib ALS recommendations (no SQL oracle — fixed-seed + RMSE checks in
-    * MlSpec; driver records a rows-only check). */
+    * MlSpec; driver records a rows-only check). MLlib's ALS throws
+    * ("No ratings available") rather than fitting an empty matrix, so both
+    * ALS keys short-circuit a zero-row ratings slice to their natural
+    * empty result instead of crashing the run (r11 empty-corpus sweep);
+    * the isEmpty probe is a limit-1 job on the cached ratings memo. */
   def q65(s: SparkSession, d: String): DataFrame = {
-    val model = alsOn(ratings(s, d))
+    val r = ratings(s, d)
+    if (r.isEmpty) {
+      import s.implicits._
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("user_id", "rnk", "item", "score")
+    }
+    val model = alsOn(r)
     model.recommendForAllUsers(5)
       .select(col("user_id"), posexplode(col("recommendations")).as(Seq("pos", "rec")))
-      .select(col("user_id"), (col("pos") + 1).cast("long").as("rnk"),
+      // cast back to the corpus's LONG ids: MLlib's ALS narrows user/item
+      // to Int internally and would otherwise leak that int through the
+      // API (caught by the r11 empty-corpus schema-stability sweep)
+      .select(col("user_id").cast("long").as("user_id"),
+        (col("pos") + 1).cast("long").as("rnk"),
         col("rec.item").cast("long").as("item"),
         r4(col("rec.rating").cast("double")).as("score"))
       .orderBy("user_id", "rnk")
   }
 
-  /** ALS holdout quality: RMSE + MAE on a seeded 80/20 split (no oracle). */
+  /** ALS holdout quality: RMSE + MAE on a seeded 80/20 split (no oracle).
+    * Empty TRAIN split (zero-row corpus, or a split that drops every row
+    * at tiny slices) → empty metrics frame, same rationale as q65. */
   def q66(s: SparkSession, d: String): DataFrame = {
     val Array(train, test) = ratings(s, d).randomSplit(Array(0.8, 0.2), 42)
+    if (train.isEmpty) {
+      import s.implicits._
+      return Seq.empty[(Long, Double, Double)].toDF("n_test", "rmse", "mae")
+    }
     val model = alsOn(train)
     model.transform(test)
       .withColumn("err", col("prediction").cast("double") - col("rating"))
@@ -428,11 +448,18 @@ object Recommender {
       .crossJoin(broadcast(r.select("user_id").distinct()
         .agg(count(lit(1)).as("n_users"))))
       .select(col("n_users"), col("n_catalog"), col("n_recommended"),
-        r4(col("n_recommended").cast("double") / col("n_catalog").cast("double"))
+        // nullif guards: on a ZERO-ROW corpus slice the global counts are
+        // legitimately 0 and ANSI division must yield null, not kill the
+        // pipeline run (r11 empty-corpus sweep); on any non-empty corpus
+        // every denominator is >= 1 and the guards are identities
+        r4(col("n_recommended").cast("double") /
+            nullif(col("n_catalog").cast("double"), lit(0.0)))
           .as("coverage"),
         r4(lit(2.0) * col("ie").cast("double") /
-            (col("n_recommended").cast("double") * col("tot_e").cast("double")) -
-          (col("n_recommended") + 1).cast("double") / col("n_recommended").cast("double"))
+            nullif(col("n_recommended").cast("double") * col("tot_e").cast("double"),
+              lit(0.0)) -
+          (col("n_recommended") + 1).cast("double") /
+            nullif(col("n_recommended").cast("double"), lit(0.0)))
           .as("gini"))
   }
 

@@ -551,8 +551,12 @@ object Retrieval {
       .groupBy(col("a.i").as("i"), col("b.i").as("j"))
       .agg(sum(col("a.x") * col("b.x")).as("sxx"))
     val head = mu.agg(max("n"), max("i")).head()
-    val nRows = head.getLong(0)
-    val d64 = head.getInt(1) + 1
+    // an EMPTY embeddings slice (zero-row corpus) has no observable
+    // dimensionality — the max() aggregates come back null; emit the
+    // empty frame instead of NPEing on getLong (r11 empty-corpus sweep)
+    val noVectors = head.isNullAt(0)
+    val nRows = if (noVectors) 0L else head.getLong(0)
+    val d64 = if (noVectors) 0 else head.getInt(1) + 1
     val cov = Array.ofDim[Double](d64, d64)
     // nRows < 2 leaves no covariance denominator; dividing by
     // max(.., 1) keeps the collect finite, the trace guard below nulls

@@ -986,8 +986,11 @@ object TextPipeline {
       .select(col("n_docs"),
         expr("(n_docs * (n_docs - 1)) div 2").as("all_pairs"),
         col("n_candidates"),
+        // nullif: a zero- or one-doc corpus slice has no pairs to rate —
+        // null, not an ANSI divide-by-zero crash (r11 empty-corpus sweep)
         r5(col("n_candidates").cast("double") /
-          (col("n_docs").cast("double") * (col("n_docs") - 1) / lit(2.0)))
+          nullif(col("n_docs").cast("double") * (col("n_docs") - 1) / lit(2.0),
+            lit(0.0)))
           .as("candidate_rate"),
         col("n_truth"), col("n_hit"),
         r4(col("n_hit").cast("double") /
