@@ -143,7 +143,10 @@ object LlmPipeline {
   def q09(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val feat = documents(s, d)
-      .filter(length(col("text")) >= 1) // empty payloads: match the oracle's row set
+      // empty payloads: match the oracle's row set (length(null) is null, so
+      // this also gates null text); null ids can't enter the primitive-tuple
+      // encoder — the kernel-edge null gate (r11 null-corpus sweep)
+      .filter(col("doc_id").isNotNull && length(col("text")) >= 1)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -170,7 +173,8 @@ object LlmPipeline {
   def q06(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d)
-      .filter(length(col("text")) >= 1) // empty payloads: match the oracle's row set
+      // kernel-edge null gate, same rationale as q09 (r11 null-corpus sweep)
+      .filter(col("doc_id").isNotNull && length(col("text")) >= 1)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -200,6 +204,11 @@ object LlmPipeline {
   def q75(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val src = documents(s, d)
+      // a null payload or id would NPE the digest / primitive encoder: a
+      // real decode pipeline dead-letters those rows — here the kernel-edge
+      // gate drops them (r11 null-corpus sweep); null meta fields pass
+      // through fine (String/struct cells are nullable)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
         struct(col("lang"), col("n_chars")).as("meta"))
     src.select(col("doc_id"), col("payload"), col("meta.lang").as("lang"))
@@ -232,6 +241,8 @@ object LlmPipeline {
   def q95(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d)
+      // kernel-edge null gate, same rationale as q75 (r11 null-corpus sweep)
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -320,7 +331,8 @@ object LlmPipeline {
   def q257(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val bits = documents(s, d)
-      .filter(length(col("text")) >= 1)
+      // kernel-edge null gate, same rationale as q09 (r11 null-corpus sweep)
+      .filter(col("doc_id").isNotNull && length(col("text")) >= 1)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>

@@ -163,7 +163,10 @@ object Recommender {
     * empty result instead of crashing the run (r11 empty-corpus sweep);
     * the isEmpty probe is a limit-1 job on the cached ratings memo. */
   def q65(s: SparkSession, d: String): DataFrame = {
-    val r = ratings(s, d)
+    // MLlib's checkedCast raises on any null user/item/rating; a triple
+    // with a missing member carries no preference signal — drop it at the
+    // fit edge (no-op on the null-free corpus; r11 null-corpus sweep)
+    val r = ratings(s, d).na.drop(Seq("user_id", "item", "rating"))
     if (r.isEmpty) {
       import s.implicits._
       return Seq.empty[(Long, Long, Long, Double)]
@@ -186,7 +189,11 @@ object Recommender {
     * Empty TRAIN split (zero-row corpus, or a split that drops every row
     * at tiny slices) → empty metrics frame, same rationale as q65. */
   def q66(s: SparkSession, d: String): DataFrame = {
-    val Array(train, test) = ratings(s, d).randomSplit(Array(0.8, 0.2), 42)
+    // null-triple drop before the split, same rationale as q65 (transform's
+    // checkedCast raises on null test rows just like fit does)
+    val Array(train, test) = ratings(s, d)
+      .na.drop(Seq("user_id", "item", "rating"))
+      .randomSplit(Array(0.8, 0.2), 42)
     if (train.isEmpty) {
       import s.implicits._
       return Seq.empty[(Long, Double, Double)].toDF("n_test", "rmse", "mae")
