@@ -144,6 +144,19 @@ object Tables {
       }
     }
 
+  /** `props.$.k` as a BIGINT item id, corrupt-tolerant. Real event streams
+    * carry payloads the clean testdata never shows: truncated JSON, a
+    * renamed key (both nulled by get_json_object), and non-numeric /
+    * floating-point / BIGINT-overflowing ids after schema drift — which
+    * Spark 4's default ANSI CAST turns into a STAGE-KILLING
+    * [CAST_INVALID_INPUT]/[ARITHMETIC_OVERFLOW] (measured: one poisoned
+    * row failed 30+ inventory keys in the r11 corrupt-props sweep).
+    * TRY_CAST nulls them instead — the row simply drops out of item-keyed
+    * work, matching DuckDB's TRY_CAST — and is bit-identical to CAST on
+    * every well-formed row, so no oracle moves. */
+  def itemFromProps: Column =
+    expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+
   /** The user–item interaction matrix (SURVEY.md §2.8 q60): item id comes from
     * the JSON `props.$k`, rating is the mean event value per (user, item).
     * Kept UNROUNDED here — each consumer rounds at its output edge (§2.9.2).
@@ -153,7 +166,7 @@ object Tables {
       events(spark, sfDir)
         .select(
           col("user_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("item"),
+          itemFromProps.as("item"),
           col("value"))
         .groupBy("user_id", "item")
         .agg(avg("value").as("rating"))

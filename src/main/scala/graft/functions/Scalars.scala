@@ -61,7 +61,7 @@ object Scalars {
   def q53(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("item"),
+        itemFromProps.as("item"),
         size(map_keys(expr("from_json(props, 'map<string,bigint>')")))
           .cast("long").as("n_keys"),
         array_join(map_keys(expr("from_json(props, 'map<string,bigint>')")), ",")
@@ -73,10 +73,14 @@ object Scalars {
     * parse cost is paid once per row instead of once per `get_json_object`
     * path, and the binary encoding pushes through shuffles untouched. The
     * extraction feeds the same (item → count, mean value) aggregate shape
-    * as the ratings matrix, so the oracle stays pure SQL. */
+    * as the ratings matrix, so the oracle stays pure SQL. The try_ variants
+    * null malformed JSON and non-BIGINT-castable ids instead of raising —
+    * the VARIANT-path analogue of Tables.itemFromProps' try_cast, identical
+    * on every well-formed row (r11 corrupt-props sweep: variant_get threw
+    * INVALID_VARIANT_CAST on an overflowing id). */
   def q08(s: SparkSession, d: String): DataFrame =
     events(s, d)
-      .select(expr("variant_get(parse_json(props), '$.k', 'bigint')").as("item"),
+      .select(expr("try_variant_get(try_parse_json(props), '$.k', 'bigint')").as("item"),
         col("value"))
       .groupBy("item")
       .agg(count(lit(1)).as("n_events"), r4(avg("value")).as("avg_value"))

@@ -34,7 +34,7 @@ object Aggregates {
 
   def q21(s: SparkSession, d: String): DataFrame =
     events(s, d)
-      .withColumn("item", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("item", itemFromProps)
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n_users"),
         countDistinct(col("item")).as("n_items"))

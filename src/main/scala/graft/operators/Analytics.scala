@@ -1729,7 +1729,7 @@ object Analytics {
     val e = events(s, d).select(
       expr("((ts div 1000) - 1704067200000000) div 86400000000").as("day"),
       col("user_id"),
-      get_json_object(col("props"), "$.k").cast("long").as("item"))
+      itemFromProps.as("item"))
     val nu = e.groupBy("user_id").agg(min("day").as("day"))
       .groupBy("day").agg(count(lit(1)).as("new_users"))
     val ni = e.groupBy("item").agg(min("day").as("day"))

@@ -325,7 +325,7 @@ object Curation {
   def q135(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d).select(col("user_id"), col("event_id"),
       expr("ts div 1000").as("us"),
-      get_json_object(col("props"), "$.k").cast("long").as("item"))
+      itemFromProps.as("item"))
     val w = Window.partitionBy("user_id").orderBy("us", "event_id")
     val tagged = e
       .withColumn("rn", row_number().over(w))
@@ -422,7 +422,7 @@ object Curation {
     * popularity agg; the estimate join touches 10×4 cells. */
   def q262(s: SparkSession, d: String): DataFrame = {
     val items = events(s, d)
-      .select(get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .select(itemFromProps.as("item"))
     val rows4 = items.crossJoin(broadcast(s.range(0, 4).toDF("r")))
       .select(col("r"),
         graft.api.Graft.hashBucket(concat(col("item"), lit("#"), col("r")), 64)

@@ -31,7 +31,7 @@ object Graph {
     * popularity counting misses. */
   def q113(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d).select(col("user_id"), col("event_id"), col("tsc"),
-      get_json_object(col("props"), "$.k").cast("long").as("item"))
+      itemFromProps.as("item"))
     val w = Window.partitionBy("user_id").orderBy("tsc", "event_id")
     val edges = e.withColumn("prev_item", lag("item", 1).over(w))
       .filter(col("prev_item").isNotNull)

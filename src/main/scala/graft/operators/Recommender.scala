@@ -35,7 +35,7 @@ object Recommender {
   def q61(s: SparkSession, d: String): DataFrame =
     events(s, d)
       .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("item"),
+        itemFromProps.as("item"),
         col("value"))
       .groupBy("item")
       .agg(count(lit(1)).as("n_events"),
@@ -210,7 +210,7 @@ object Recommender {
     * click/view items) against each user's purchased-item set. */
   def q67(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
-      .withColumn("item", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("item", itemFromProps)
     val recs = ev.filter(col("event_type").isin("click", "view"))
       .groupBy("item").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("item")).limit(5)
@@ -254,7 +254,7 @@ object Recommender {
   def q160(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d).select(col("user_id"), col("event_id"),
       col("event_type"), expr("ts div 1000").as("us"),
-      get_json_object(col("props"), "$.k").cast("long").as("item"))
+      itemFromProps.as("item"))
     val w = Window.partitionBy("user_id").orderBy("us", "event_id")
     val tagged = e
       .withColumn("rn", row_number().over(w))
@@ -306,7 +306,7 @@ object Recommender {
     * precision/recall/NDCG). */
   def q87(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
-      .withColumn("item", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("item", itemFromProps)
     val recs = ev.filter(col("event_type").isin("click", "view"))
       .groupBy("item").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("item")).limit(5)
@@ -363,7 +363,7 @@ object Recommender {
     * segment (events.user_id shares the c_custkey domain — verified). */
   def q89(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
-      .withColumn("item", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("item", itemFromProps)
     val seg = customer(s, d).select(col("c_custkey").as("user_id"), col("c_mktsegment"))
     ev.join(seg, "user_id")
       .groupBy("c_mktsegment", "item")
@@ -407,7 +407,7 @@ object Recommender {
     * lag never leaves the user partition. */
   def q108(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d).select(col("user_id"), col("event_id"), col("tsc"),
-      get_json_object(col("props"), "$.k").cast("long").as("item"))
+      itemFromProps.as("item"))
     val w = Window.partitionBy("user_id").orderBy("tsc", "event_id")
     val tr = e.withColumn("prev_item", lag("item", 1).over(w))
       .filter(col("prev_item").isNotNull)
@@ -530,7 +530,7 @@ object Recommender {
   def q137(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d).select(col("user_id"), col("event_id"),
       expr("ts div 1000").as("us"),
-      get_json_object(col("props"), "$.k").cast("long").as("item"))
+      itemFromProps.as("item"))
     val l = e.select(col("user_id"), col("event_id").as("eid_a"),
       col("us").as("us_a"), col("item").as("item_a"))
     val r = e.select(col("user_id"), col("event_id").as("eid_b"),
@@ -588,7 +588,7 @@ object Recommender {
     * a one-row global broadcast — nothing beyond q61's plan. */
   def q165(s: SparkSession, d: String): DataFrame = {
     val buys = events(s, d).filter(col("event_type") === "purchase")
-      .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+      .select(itemFromProps.as("item"),
         col("value"))
     val g = buys.agg((sum("value") / count(lit(1))).as("mu"))
     buys.groupBy("item")
@@ -615,7 +615,7 @@ object Recommender {
     val day0 = 1704067200000000L // 2024-01-01T00:00:00Z epoch µs
     graft.streaming.Streaming.trendingRollup(
       events(s, d).filter(col("event_type") === "click")
-        .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+        .select(itemFromProps.as("item"),
           expr(graft.Tables.sqlFloorDiv(s"ts div 1000 - ${day0}L",
             "86400000000L")).as("k")))
       .orderBy(col("trend_score").desc, col("item"))
@@ -635,7 +635,7 @@ object Recommender {
   def q173(s: SparkSession, d: String): DataFrame = {
     val day0 = 1704067200000000L
     events(s, d)
-      .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+      .select(itemFromProps.as("item"),
         expr(graft.Tables.sqlFloorDiv(s"ts div 1000 - ${day0}L",
           "86400000000L")).as("day"))
       .groupBy("item")
@@ -700,7 +700,7 @@ object Recommender {
     val day0 = 1704067200000000L
     val weekUs = 7L * 86400000000L
     val wk = events(s, d).filter(col("event_type") === "click")
-      .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+      .select(itemFromProps.as("item"),
         expr(graft.Tables.sqlFloorDiv(s"ts div 1000 - ${day0}L",
           s"${weekUs}L")).as("wk"))
       .groupBy("wk", "item").agg(count(lit(1)).as("n"))
