@@ -55,6 +55,10 @@ object StreamBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // keep every micro-batch's progress for the inc100 sweep (default
+      // retention is 100 progress objects — the 100-chunk run plus its
+      // watermark-advance no-data batches would silently truncate)
+      .config("spark.sql.streaming.numRecentProgressUpdates", "512")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -67,8 +71,6 @@ object StreamBench {
         col("tsc").cast("timestamp").as("tsc"))
       .as[SEv].collect().sortBy(_.event_id).toIndexedSeq
     val n = rows.length
-    val chunkSize = math.max(1, (n + nChunks - 1) / nChunks)
-    val chunks = rows.grouped(chunkSize).toIndexedSeq
 
     def f1(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
@@ -88,33 +90,116 @@ object StreamBench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    def incremental(name: String, fn: DataFrame => DataFrame): Double = {
+    /** One incremental run: `kChunks` arrival chunks, one explicit
+      * micro-batch each. Returns wall seconds, the number of micro-batches
+      * Spark actually ran (data batches + watermark-advance no-data
+      * batches), and the summed per-component durations from
+      * StreamingQueryProgress — the breakdown that locates the per-batch
+      * fixed cost (r11 verdict task #2). `provider` optionally swaps the
+      * state store (RocksDB vs the default HDFS-backed) for THIS run. */
+    def incremental(name: String, fn: DataFrame => DataFrame, kChunks: Int,
+        provider: Option[String] = None,
+        noDataBatches: Boolean = true): (Double, Int, Map[String, Double]) = {
+      val chunkSz = math.max(1, (n + kChunks - 1) / kChunks)
+      val cs = rows.grouped(chunkSz).toIndexedSeq
       val ms = MemoryStream[SEv]
       uniq += 1
-      // kept_hourly carries its own watermark; every other shape gets the
-      // same 1 h delay so append mode can finalize+evict as arrivals advance
-      val src =
-        if (name == "kept_hourly") ms.toDF
-        else ms.toDF.withWatermark("tsc", "1 hour")
-      val t0 = System.nanoTime()
-      val q = fn(src)
-        .writeStream.format("memory").queryName(s"sb_$uniq")
-        .outputMode("append").start()
-      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
-      q.stop(); q.awaitTermination()
-      (System.nanoTime() - t0) / 1e9
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prior = spark.conf.getOption(providerKey)
+      val priorNd = spark.conf.getOption(noDataKey)
+      provider.foreach(spark.conf.set(providerKey, _))
+      spark.conf.set(noDataKey, noDataBatches.toString)
+      try {
+        // kept_hourly carries its own watermark; every other shape gets the
+        // same 1 h delay so append mode can finalize+evict as arrivals advance
+        val src =
+          if (name == "kept_hourly") ms.toDF
+          else ms.toDF.withWatermark("tsc", "1 hour")
+        val t0 = System.nanoTime()
+        val q = fn(src)
+          .writeStream.format("memory").queryName(s"sb_$uniq")
+          .outputMode("append").start()
+        cs.foreach { c => ms.addData(c); q.processAllAvailable() }
+        q.stop(); q.awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val progs = q.recentProgress
+        val dur = scala.collection.mutable.Map.empty[String, Double]
+        progs.foreach { p =>
+          p.durationMs.forEach { (k, v) =>
+            dur(k) = dur.getOrElse(k, 0.0) + v.toDouble }
+          p.stateOperators.foreach { so =>
+            dur("stateCommit") = dur.getOrElse("stateCommit", 0.0) + so.commitTimeMs.toDouble
+            dur("stateUpdates") = dur.getOrElse("stateUpdates", 0.0) + so.allUpdatesTimeMs.toDouble
+            dur("stateRemovals") = dur.getOrElse("stateRemovals", 0.0) + so.allRemovalsTimeMs.toDouble
+          }
+        }
+        (sec, progs.length, dur.toMap)
+      } finally {
+        prior match {
+          case Some(v) => spark.conf.set(providerKey, v)
+          case None => spark.conf.unset(providerKey)
+        }
+        priorNd match {
+          case Some(v) => spark.conf.set(noDataKey, v)
+          case None => spark.conf.unset(noDataKey)
+        }
+      }
     }
 
     val results = shapes.flatMap { case (name, fn) =>
       val ob = (1 to runs).map(_ => oneBatch(fn)).min
-      val inc = (1 to runs).map(_ => incremental(name, fn)).min
+      val incRuns = (1 to runs).map(_ => incremental(name, fn, nChunks))
+      val (inc, nb, dur) = incRuns.minBy(_._1)
       println(s"""{"metric":"streambench","shape":"$name","regime":"onebatch","sec":${f3(ob)},"rows":$n,"rows_per_sec":${f1(n / ob)}}""")
       println(s"""{"metric":"streambench","shape":"$name","regime":"inc$nChunks","sec":${f3(inc)},"rows":$n,"rows_per_sec":${f1(n / inc)}}""")
+      // the per-micro-batch cost breakdown of the best inc run: durationMs
+      // components (triggerExecution ⊇ addBatch ⊇ the plan run; walCommit +
+      // commitOffsets are the per-batch offset/commit-log file IO) plus the
+      // state-store operator timers, all as mean ms per micro-batch
+      val perBatch = dur.toSeq.sortBy(-_._2).map { case (k, v) =>
+        s""""$k":${f1(v / math.max(1, nb))}""" }.mkString(",")
+      println(s"""{"metric":"streambench_batchcost","shape":"$name","regime":"inc$nChunks","batches":$nb,"ms_per_batch":{$perBatch}}""")
       Seq(name -> ("onebatch", ob), name -> (s"inc$nChunks", inc))
     }
+
+    // Chunk-size sweep + state-store comparison (r11 verdict task #2) on a
+    // representative subset: tumbling (plain windowed agg), session (state
+    // merge), kept_hourly (dedup-style watermark accounting). Fits the
+    // per-batch fixed cost b from t(k) ≈ a + b·k over k ∈ {5, 20, 100}
+    // (total rows constant, so the data-proportional part a is ~constant):
+    // least-squares slope over the three points.
+    val sweepShapes = shapes.filter(s => Set("tumbling", "session", "kept_hourly")(s._1))
+    val rocksdb = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val fixedCosts = sweepShapes.map { case (name, fn) =>
+      val ks = Seq(5, nChunks, 100)
+      val pts = ks.map { k =>
+        val (t, nb, _) = incremental(name, fn, k)
+        println(s"""{"metric":"streambench_sweep","shape":"$name","chunks":$k,"batches":$nb,"sec":${f3(t)},"rows":$n,"rows_per_sec":${f1(n / t)}}""")
+        (k.toDouble, t)
+      }
+      val mk = pts.map(_._1).sum / pts.length
+      val mt = pts.map(_._2).sum / pts.length
+      val b = pts.map { case (k, t) => (k - mk) * (t - mt) }.sum /
+        pts.map { case (k, _) => (k - mk) * (k - mk) }.sum
+      val a = mt - b * mk
+      println(s"""{"metric":"streambench_fixedcost","shape":"$name","sec_per_batch":${f3(b)},"sec_base":${f3(a)},"points":{${pts.map { case (k, t) => s""""${k.toInt}":${f3(t)}""" }.mkString(",")}}}""")
+      val (tR, nbR, _) = incremental(name, fn, nChunks, Some(rocksdb))
+      println(s"""{"metric":"streambench","shape":"$name","regime":"inc${nChunks}_rocksdb","sec":${f3(tR)},"rows":$n,"rows_per_sec":${f1(n / tR)},"batches":$nbR}""")
+      // every processAllAvailable runs a DATA batch plus a watermark-advance
+      // NO-DATA batch (the default that finalizes+emits append-mode results
+      // promptly); disabling them halves the micro-batch count at the cost
+      // of append results finalizing only on the NEXT data batch — measure
+      // what that buys so the sizing rule can cite it
+      val (tNd, nbNd, _) = incremental(name, fn, nChunks, noDataBatches = false)
+      println(s"""{"metric":"streambench","shape":"$name","regime":"inc${nChunks}_nonodata","sec":${f3(tNd)},"rows":$n,"rows_per_sec":${f1(n / tNd)},"batches":$nbNd}""")
+      name -> b
+    }
+
     val summary = results.map { case (name, (reg, t)) =>
       s""""${name}_$reg":${f1(n / t)}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"streambench_summary","unit":"rows_per_sec","rows":$n,"chunks":$nChunks,"runs":$runs,"shapes":$summary,"sf":"$sfDir"}""")
+    val fcSummary = fixedCosts.map { case (k, v) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"streambench_summary","unit":"rows_per_sec","rows":$n,"chunks":$nChunks,"runs":$runs,"shapes":$summary,"fixed_sec_per_batch":$fcSummary,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -86,6 +86,29 @@ object Tables {
       build: => DataFrame): DataFrame =
     spark.table(memoizedView(spark, sfDir, key)(build))
 
+  /** Session-scoped memoized row count of a base table. Counted at most
+    * once per (session, sfDir, table); the result is parked in the
+    * session's RuntimeConfig (a plain string — no plan, no Dataset, so
+    * none of the WeakHashMap pinning hazards the view memo's scaladoc
+    * documents), and every later call is a driver-local conf read with
+    * ZERO Spark jobs. Adaptive facades (q209's rankNormalize) use this so
+    * their size-based path choice stops re-running a count job per
+    * invocation. */
+  private[graft] def rowCountKey(sfDir: String, name: String): String =
+    "graft.memo.rowcount." + memoName(sfDir, name)
+
+  private[graft] def memoizedCount(spark: SparkSession, sfDir: String,
+      name: String): Long = {
+    val key = rowCountKey(sfDir, name)
+    spark.conf.getOption(key) match {
+      case Some(v) => v.toLong
+      case None =>
+        val n = table(spark, sfDir, name).count()
+        spark.conf.set(key, n.toString)
+        n
+    }
+  }
+
   /** Drop this session's memoized views and unpersist their cached data.
     * Note Spark's CacheManager is context-shared: unpersisting here also
     * evicts any other session's identical (same-plan) cache entry. */
@@ -96,6 +119,8 @@ object Tables {
         try spark.catalog.uncacheTable(n) catch { case _: Exception => () }
         spark.catalog.dropTempView(n)
       }
+    spark.conf.getAll.keys.filter(_.startsWith("graft.memo.rowcount."))
+      .foreach(spark.conf.unset)
   }
 
   def events(spark: SparkSession, sfDir: String): DataFrame =
@@ -152,10 +177,15 @@ object Tables {
     * [CAST_INVALID_INPUT]/[ARITHMETIC_OVERFLOW] (measured: one poisoned
     * row failed 30+ inventory keys in the r11 corrupt-props sweep).
     * TRY_CAST nulls them instead — the row simply drops out of item-keyed
-    * work, matching DuckDB's TRY_CAST — and is bit-identical to CAST on
-    * every well-formed row, so no oracle moves. */
-  def itemFromProps: Column =
-    expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+    * work, matching the TRY_CAST(json_extract(...)) the oracle CTEs use —
+    * and is bit-identical to CAST on every well-formed row, so no oracle
+    * moves. The no-arg form resolves an unqualified `props`, so it is only
+    * safe BEFORE any join that could make `props` ambiguous; call sites
+    * after such a join must pass the disambiguated Column explicitly. */
+  def itemFromProps: Column = itemFromProps(col("props"))
+
+  def itemFromProps(props: Column): Column =
+    get_json_object(props, "$.k").try_cast("BIGINT")
 
   /** The user–item interaction matrix (SURVEY.md §2.8 q60): item id comes from
     * the JSON `props.$k`, rating is the mean event value per (user, item).
@@ -254,7 +284,7 @@ object Tables {
 
   /** DuckDB-side CTE mirroring `ratings` — splice into oracle SQL. */
   val ratingsSql: String =
-    "SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS item, avg(value) AS rating FROM events GROUP BY 1, 2"
+    "SELECT user_id, TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS item, avg(value) AS rating FROM events GROUP BY 1, 2"
 
   /** Cross-engine deterministic rounding (§2.9.2). Spark's builtin `round` is
     * BigDecimal(shortest-decimal-string)-based while DuckDB's is binary-double

@@ -120,7 +120,7 @@ object Scalars {
 
   val oracle: Map[String, String] = Map(
     "q08_variant_extract" ->
-      s"""SELECT CAST(json_extract(props, '$$.k') AS BIGINT) AS item,
+      s"""SELECT TRY_CAST(json_extract(props, '$$.k') AS BIGINT) AS item,
          |  count(*) AS n_events, ${sr4("avg(value)")} AS avg_value
          |FROM events GROUP BY 1 ORDER BY item""".stripMargin,
     "q50_string_funcs" ->
@@ -157,7 +157,7 @@ object Scalars {
          |  floor_c, qty_sq, ln_price, sqrt_qty, min_dt, max_dt""".stripMargin,
     "q53_json_funcs" ->
       """SELECT event_id,
-        |  CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+        |  TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS item,
         |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
         |  array_to_string(json_keys(props), ',') AS keys
         |FROM events ORDER BY event_id""".stripMargin,

@@ -405,7 +405,7 @@ object Aggregates {
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q21_agg_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
-        |  count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS n_items
+        |  count(DISTINCT TRY_CAST(json_extract(props, '$.k') AS BIGINT)) AS n_items
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q23_agg_rollup" ->
       s"""SELECT r_name, n_name, ${sr2("sum(o_totalprice)")} AS revenue,

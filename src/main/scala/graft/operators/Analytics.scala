@@ -2542,7 +2542,7 @@ object Analytics {
          |ORDER BY day""".stripMargin,
     "q256_new_entity_rate" ->
       s"""WITH e AS (SELECT (epoch_us(ts) - 1704067200000000) // 86400000000 AS day,
-         |    user_id, CAST(json_extract(props, '$$.k') AS BIGINT) AS item
+         |    user_id, TRY_CAST(json_extract(props, '$$.k') AS BIGINT) AS item
          |  FROM events),
          |nu AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM (
          |    SELECT user_id, min(day) AS day FROM e GROUP BY 1) GROUP BY 1),

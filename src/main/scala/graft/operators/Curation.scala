@@ -466,7 +466,7 @@ object Curation {
 
   val oracle: Map[String, String] = Map(
     "q262_countmin_sketch" ->
-      s"""WITH items AS (SELECT CAST(json_extract(props, '$$.k') AS BIGINT) AS item
+      s"""WITH items AS (SELECT TRY_CAST(json_extract(props, '$$.k') AS BIGINT) AS item
          |  FROM events),
          |rx AS (SELECT item, t.r AS r,
          |    ('0x' || substr(sha256(CAST(item AS VARCHAR) || '#' || CAST(t.r AS VARCHAR)), 1, 8))::BIGINT % 64 AS b
@@ -520,7 +520,7 @@ object Curation {
          |FROM sel ORDER BY stage_id""".stripMargin,
     "q135_temporal_split" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
-        |    CAST(json_extract(props, '$.k') AS BIGINT) AS item FROM events),
+        |    TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS item FROM events),
         |tagged AS (SELECT user_id, item, us,
         |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn,
         |    count(*) OVER (PARTITION BY user_id) AS cnt

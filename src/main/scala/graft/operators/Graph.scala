@@ -196,7 +196,7 @@ object Graph {
          |ORDER BY clustering_coeff DESC, item LIMIT 20""".stripMargin,
     "q113_item_pagerank" ->
       s"""WITH ev AS (SELECT user_id, event_id, ts,
-         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),
+         |    TRY_CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),
          |l AS (SELECT user_id, item, lag(item) OVER (
          |    PARTITION BY user_id ORDER BY ts, event_id) AS prev_item FROM ev),
          |e AS (SELECT prev_item AS src, item AS dst, CAST(count(*) AS DOUBLE) AS w

@@ -187,7 +187,10 @@ object Recommender {
 
   /** ALS holdout quality: RMSE + MAE on a seeded 80/20 split (no oracle).
     * Empty TRAIN split (zero-row corpus, or a split that drops every row
-    * at tiny slices) → empty metrics frame, same rationale as q65. */
+    * at tiny slices) → the SAME one-row (n_test=0, rmse=null, mae=null)
+    * frame a fitted model with an empty TEST split produces (count=0,
+    * avg=null on an empty agg), so adjacent degenerate inputs agree on
+    * shape instead of flipping between zero and one rows. */
   def q66(s: SparkSession, d: String): DataFrame = {
     // null-triple drop before the split, same rationale as q65 (transform's
     // checkedCast raises on null test rows just like fit does)
@@ -196,7 +199,8 @@ object Recommender {
       .randomSplit(Array(0.8, 0.2), 42)
     if (train.isEmpty) {
       import s.implicits._
-      return Seq.empty[(Long, Double, Double)].toDF("n_test", "rmse", "mae")
+      return Seq((0L, Option.empty[Double], Option.empty[Double]))
+        .toDF("n_test", "rmse", "mae")
     }
     val model = alsOn(train)
     model.transform(test)
@@ -1137,7 +1141,7 @@ object Recommender {
          |WHERE c_ab >= 10
          |ORDER BY lift DESC, ante, cons LIMIT 20""".stripMargin,
     "q180_rank_churn" ->
-      s"""WITH c AS (SELECT CAST(json_extract(props, '$$.k') AS BIGINT) AS item,
+      s"""WITH c AS (SELECT TRY_CAST(json_extract(props, '$$.k') AS BIGINT) AS item,
          |    (epoch_us(ts) - 1704067200000000) // 604800000000 AS wk
          |  FROM events WHERE event_type = 'click'),
          |wkc AS (SELECT wk, item, count(*) AS n FROM c GROUP BY 1, 2),
@@ -1150,7 +1154,7 @@ object Recommender {
          |WHERE rk.rnk <= 5
          |ORDER BY rk.wk, rk.rnk""".stripMargin,
     "q173_item_lifecycle" ->
-      s"""WITH e AS (SELECT CAST(json_extract(props, '$$.k') AS BIGINT) AS item,
+      s"""WITH e AS (SELECT TRY_CAST(json_extract(props, '$$.k') AS BIGINT) AS item,
          |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS day
          |  FROM events),
          |g AS (SELECT item, count(*) AS n_events, min(day) AS first_day,
@@ -1161,7 +1165,7 @@ object Recommender {
          |  ${sr4("CAST(active_days AS DOUBLE) / CAST(last_day - first_day + 1 AS DOUBLE)")} AS fill_ratio
          |FROM g ORDER BY item""".stripMargin,
     "q165_item_bayes_score" ->
-      s"""WITH buys AS (SELECT CAST(json_extract(props, '$$.k') AS BIGINT) AS item,
+      s"""WITH buys AS (SELECT TRY_CAST(json_extract(props, '$$.k') AS BIGINT) AS item,
          |    value FROM events WHERE event_type = 'purchase'),
          |g AS (SELECT sum(value) / count(*) AS mu FROM buys),
          |per AS (SELECT item, count(*) AS n, sum(value) AS sv
@@ -1171,7 +1175,7 @@ object Recommender {
          |FROM per, g
          |ORDER BY bayes_score DESC, item LIMIT 20""".stripMargin,
     "q166_trending_decay" ->
-      s"""WITH c AS (SELECT CAST(json_extract(props, '$$.k') AS BIGINT) AS item,
+      s"""WITH c AS (SELECT TRY_CAST(json_extract(props, '$$.k') AS BIGINT) AS item,
          |    (epoch_us(ts) - 1704067200000000) // 86400000000 AS k
          |  FROM events WHERE event_type = 'click')
          |SELECT item, count(*) AS n_clicks,
@@ -1221,7 +1225,7 @@ object Recommender {
          |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
     "q137_covisit_decay" ->
       s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us,
-         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),
+         |    TRY_CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),
          |p AS (SELECT least(a.item, b.item) AS ia, greatest(a.item, b.item) AS ib,
          |    exp(-CAST(abs(a.us - b.us) AS DOUBLE) / 1800e6) AS wt
          |  FROM ev a JOIN ev b ON a.user_id = b.user_id
@@ -1274,7 +1278,7 @@ object Recommender {
          |ORDER BY c_ab DESC, item_a, item_b LIMIT 20""".stripMargin,
     "q108_next_item_transition" ->
       s"""WITH e AS (SELECT user_id, event_id, ts,
-         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),
+         |    TRY_CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),
          |l AS (SELECT user_id, item, lag(item) OVER (
          |    PARTITION BY user_id ORDER BY ts, event_id) AS prev_item FROM e),
          |tr AS (SELECT prev_item, item AS next_item, count(*) AS c
@@ -1286,7 +1290,7 @@ object Recommender {
          |ORDER BY c DESC, prev_item, next_item LIMIT 20""".stripMargin,
     "q87_ranking_mrr_map" ->
       s"""WITH ev AS (SELECT user_id, event_type,
-         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),
+         |    TRY_CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),
          |recs AS (SELECT item, CAST(row_number() OVER (
          |      ORDER BY count(*) DESC, item) AS BIGINT) AS pos
          |  FROM ev WHERE event_type IN ('click', 'view')
@@ -1324,7 +1328,7 @@ object Recommender {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q89_segment_recs" ->
       s"""WITH ev AS (SELECT user_id, value,
-         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),
+         |    TRY_CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),
          |agg AS (SELECT c_mktsegment, item, count(*) AS n_events,
          |    ${sr4("avg(value)")} AS avg_value
          |  FROM ev JOIN customer ON user_id = c_custkey
@@ -1339,7 +1343,7 @@ object Recommender {
       s"""SELECT user_id, item, ${sr4("rating")} AS rating
          |FROM ($ratingsSql) ORDER BY user_id, item""".stripMargin,
     "q61_item_popularity" ->
-      s"""SELECT CAST(json_extract(props, '$$.k') AS BIGINT) AS item,
+      s"""SELECT TRY_CAST(json_extract(props, '$$.k') AS BIGINT) AS item,
          |  count(*) AS n_events, count(DISTINCT user_id) AS n_users,
          |  ${sr4("avg(value)")} AS avg_value
          |FROM events GROUP BY 1
@@ -1401,7 +1405,7 @@ object Recommender {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q160_rec_pipeline" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
-         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),
+         |    TRY_CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),
          |t AS (SELECT user_id, event_type, item,
          |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn,
          |    count(*) OVER (PARTITION BY user_id) AS cnt
@@ -1431,7 +1435,7 @@ object Recommender {
          |FROM m CROSS JOIN sizes""".stripMargin,
     "q67_ranking_metrics" ->
       s"""WITH ev AS (SELECT user_id, event_type,
-         |    CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),
+         |    TRY_CAST(json_extract(props, '$$.k') AS BIGINT) AS item FROM events),
          |recs AS (SELECT item, CAST(row_number() OVER (
          |      ORDER BY count(*) DESC, item) AS BIGINT) AS pos
          |  FROM ev WHERE event_type IN ('click', 'view')

@@ -369,13 +369,18 @@ object Retrieval {
     * the vector count — an upper bound on every dimension's value
     * support — is at or under `sketchAboveVectors`, the bounded-grain
     * histogram-CDF sketch ([[quantileNormSketch]]) beyond it. The switch
-    * costs one parquet count (metadata-cheap next to either plan). The
-    * default keeps every correctness/bench SF and the ×10/×100 scaling
-    * decades exact (500 / 2 k / 20 k / 200 k vectors) and engages the
-    * sketch in the measured-degrading ×1000 decade (2 M vectors). */
+    * reads [[graft.Tables.memoizedCount]]: one metadata-cheap count job
+    * the FIRST time any facade sizes this (session, sfDir), a driver-local
+    * conf read (zero jobs) on every call after — so repeat invocations
+    * (bench steady state, a pipeline calling q209 per batch) add no
+    * probe work at all. The default keeps every correctness/bench SF and
+    * the ×10/×100 scaling decades exact (500 / 2 k / 20 k / 200 k
+    * vectors) and engages the sketch in the measured-degrading ×1000
+    * decade (2 M vectors). */
   private[graft] def rankNormalize(s: SparkSession, d: String,
       sketchAboveVectors: Long = 1000000L): DataFrame =
-    if (embeddings(s, d).count() <= sketchAboveVectors) quantileNormExact(s, d)
+    if (graft.Tables.memoizedCount(s, d, "embeddings") <= sketchAboveVectors)
+      quantileNormExact(s, d)
     else quantileNormSketch(s, d)
 
   /** Histogram-CDF sketch of the per-dimension percent rank — the

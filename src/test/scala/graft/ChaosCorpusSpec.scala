@@ -18,6 +18,11 @@ import java.nio.file.Files
   * 278 queries to execute under the full-width force action without
   * throwing.
   */
+/** Tagged Slow: part of the FULL adversarial profile (the round gate). The
+  * fast iteration profile excludes these corpus-rewriting/multi-SF sweeps:
+  * `sbt -batch "testOnly * -- -l org.scalatest.tags.Slow"` (see BASELINE.md
+  * r12 notes). */
+@org.scalatest.tags.Slow
 class ChaosCorpusSpec extends AnyFunSuite {
   private def s = TestSpark.spark
 

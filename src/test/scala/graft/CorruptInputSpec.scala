@@ -20,6 +20,11 @@ import java.nio.file.Files
   * a null item id (the row drops out of item-keyed work), which is also
   * what DuckDB's TRY_CAST computes.
   */
+/** Tagged Slow: part of the FULL adversarial profile (the round gate). The
+  * fast iteration profile excludes these corpus-rewriting/multi-SF sweeps:
+  * `sbt -batch "testOnly * -- -l org.scalatest.tags.Slow"` (see BASELINE.md
+  * r12 notes). */
+@org.scalatest.tags.Slow
 class CorruptInputSpec extends AnyFunSuite {
   private def s = TestSpark.spark
 

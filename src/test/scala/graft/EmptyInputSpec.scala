@@ -21,6 +21,11 @@ import java.nio.file.Files
   * each operator's own semantics — this sweep pins only "no crash", the
   * property a scheduler retry can't fix.
   */
+/** Tagged Slow: part of the FULL adversarial profile (the round gate). The
+  * fast iteration profile excludes these corpus-rewriting/multi-SF sweeps:
+  * `sbt -batch "testOnly * -- -l org.scalatest.tags.Slow"` (see BASELINE.md
+  * r12 notes). */
+@org.scalatest.tags.Slow
 class EmptyInputSpec extends AnyFunSuite {
   private def s = TestSpark.spark
 

@@ -169,16 +169,22 @@ class MlSpec extends AnyFunSuite {
       .map("%02x".format(_)).mkString
   }
 
-  test("ALS golden: block-cohort fixture pins top-1 per user across numUserBlocks 2 vs 4") {
-    // r10 verdict task #6: q65/q66 are the only keys bound purely by
-    // seed+threshold tests; this constructed fixture pins the actual
-    // SOLUTION. Two disjoint taste cohorts with a strong in-cohort
-    // favorite (5 > 3 > 1 margins): any converged factorization must rank
-    // item 11 first for users 1-3 and item 21 first for users 4-6. ALS
-    // factor INIT depends on the block partitioning (per-block RNG
-    // streams), so exact factors differ between block counts — the pinned
-    // invariant is the argmax, which a Spark upgrade or solver drift
-    // would break long before thresholds notice.
+  test("ALS golden: block-cohort fixture pins the full top-5 ranking across numUserBlocks 2 vs 4 x shuffle partitions 4 vs 13") {
+    // r10 verdict task #6 (top-1), extended per r11 verdict task #6 to the
+    // FULL ranked list and a shuffle-partition axis. q65/q66 are the only
+    // keys bound purely by seed+threshold tests; this constructed fixture
+    // pins the actual SOLUTION. Two disjoint taste cohorts with a strong
+    // in-cohort preference ladder (5 > 3 > 1 margins): any converged
+    // factorization must rank the 5-rated item first and the 3-rated item
+    // second for every user — a rank-2..5 reordering a top-1 pin would
+    // miss now fails. ALS factor INIT depends on the block partitioning
+    // (per-block RNG streams), so exact factors and the weakly-determined
+    // TAIL order (the two out-of-cohort items, both rated ~1 or unseen)
+    // may differ between block counts — the pinned invariants are the
+    // strong head (positions 1-2) under every config, the tail as a SET,
+    // and full-list invariance across the SHUFFLE-PARTITION axis at fixed
+    // blocks (partition count must never change a result; only the block
+    // axis reseeds init). */
     import org.apache.spark.ml.recommendation.ALS
     val sp = s; import sp.implicits._
     val ratings = Seq(
@@ -189,23 +195,46 @@ class MlSpec extends AnyFunSuite {
       (5, 21, 5f), (5, 22, 3f), (5, 12, 1f),
       (6, 21, 5f), (6, 22, 3f), (6, 11, 1f))
       .toDF("user_id", "item", "rating")
-    val golden = Map(1 -> 11, 2 -> 11, 3 -> 11, 4 -> 21, 5 -> 21, 6 -> 21)
-    val top1 = Seq(2, 4).map { blocks =>
-      val model = new ALS()
-        .setUserCol("user_id").setItemCol("item").setRatingCol("rating")
-        .setRank(8).setMaxIter(10).setRegParam(0.1).setSeed(42)
-        .setNumUserBlocks(blocks).setNumItemBlocks(blocks)
-        .setColdStartStrategy("drop")
-        .fit(ratings)
-      val got = model.recommendForAllUsers(1)
-        .select(col("user_id"), col("recommendations")(0)("item").as("top1"))
-        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
-      assert(got == golden,
-        s"ALS top-1 at numUserBlocks=$blocks diverged from golden: $got")
-      got
+    val goldenHead = Map(
+      1 -> Seq(11, 12), 2 -> Seq(11, 12), 3 -> Seq(11, 12),
+      4 -> Seq(21, 22), 5 -> Seq(21, 22), 6 -> Seq(21, 22))
+    val allItems = Set(11, 12, 21, 22)
+    val priorParts = s.conf.get("spark.sql.shuffle.partitions")
+    def fitAndRank(blocks: Int, parts: Int): Map[Int, Seq[Int]] = {
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try {
+        val model = new ALS()
+          .setUserCol("user_id").setItemCol("item").setRatingCol("rating")
+          .setRank(8).setMaxIter(10).setRegParam(0.1).setSeed(42)
+          .setNumUserBlocks(blocks).setNumItemBlocks(blocks)
+          .setColdStartStrategy("drop")
+          .fit(ratings)
+        model.recommendForAllUsers(5)
+          .select(col("user_id"), col("recommendations.item").as("items"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Int](1).toList).toMap
+      } finally s.conf.set("spark.sql.shuffle.partitions", priorParts)
     }
-    assert(top1.head == top1.last,
-      "top-1 must be partitioning-invariant (numUserBlocks 2 vs 4)")
+    val grid = for (blocks <- Seq(2, 4); parts <- Seq(4, 13))
+      yield (blocks, parts) -> fitAndRank(blocks, parts)
+    grid.foreach { case ((blocks, parts), got) =>
+      assert(got.keySet == goldenHead.keySet,
+        s"blocks=$blocks parts=$parts: user set moved: ${got.keySet}")
+      goldenHead.foreach { case (u, head) =>
+        assert(got(u).take(2) == head,
+          s"blocks=$blocks parts=$parts user=$u: head ranking diverged: ${got(u)}")
+        assert(got(u).toSet == allItems,
+          s"blocks=$blocks parts=$parts user=$u: ranked set moved: ${got(u)}")
+      }
+    }
+    // the shuffle-partition axis must be a pure no-op on the FULL list at
+    // fixed blocks: only the block axis is allowed to reseed factor init
+    Seq(2, 4).foreach { blocks =>
+      val byParts = grid.collect { case ((b, p), m) if b == blocks => p -> m }
+      assert(byParts.head._2 == byParts.last._2,
+        s"blocks=$blocks: full top-5 changed with shuffle partitions " +
+          s"${byParts.head._1} vs ${byParts.last._1}")
+    }
   }
 
   test("q65/q66 pinned at seed=42: ALS outputs match their recorded fingerprints") {

@@ -23,6 +23,11 @@ import java.nio.file.Files
   * to each operator (row dropped, null group, skipped term) is its own
   * semantics — this sweep pins only "no crash".
   */
+/** Tagged Slow: part of the FULL adversarial profile (the round gate). The
+  * fast iteration profile excludes these corpus-rewriting/multi-SF sweeps:
+  * `sbt -batch "testOnly * -- -l org.scalatest.tags.Slow"` (see BASELINE.md
+  * r12 notes). */
+@org.scalatest.tags.Slow
 class NullInputSpec extends AnyFunSuite {
   private def s = TestSpark.spark
 

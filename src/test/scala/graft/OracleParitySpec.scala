@@ -9,6 +9,11 @@ import java.nio.file.Files
   * DuckDB re-run each oracle SQL and compare values AND dtypes (via
   * tools/check.py, which reads the Spark side through pyarrow like the
   * driver's harness). Skips cleanly if python/duckdb are unavailable. */
+/** Tagged Slow: part of the FULL adversarial profile (the round gate). The
+  * fast iteration profile excludes these corpus-rewriting/multi-SF sweeps:
+  * `sbt -batch "testOnly * -- -l org.scalatest.tags.Slow"` (see BASELINE.md
+  * r12 notes). */
+@org.scalatest.tags.Slow
 class OracleParitySpec extends AnyFunSuite {
 
   test("every oracle-backed query hash-matches DuckDB on sf0.001") {

@@ -17,6 +17,11 @@ import org.apache.spark.sql.types._
   * asserts no floating-point output cell (top-level, one struct level
   * deep, or inside a float/double array) is NaN or ±Infinity.
   */
+/** Tagged Slow: part of the FULL adversarial profile (the round gate). The
+  * fast iteration profile excludes these corpus-rewriting/multi-SF sweeps:
+  * `sbt -batch "testOnly * -- -l org.scalatest.tags.Slow"` (see BASELINE.md
+  * r12 notes). */
+@org.scalatest.tags.Slow
 class OutputSanitySpec extends AnyFunSuite {
   private def s = TestSpark.spark
 
@@ -41,11 +46,15 @@ class OutputSanitySpec extends AnyFunSuite {
       }
     }
 
-  test("no query emits NaN or Infinity in any floating-point output cell") {
+  /** Runs the sweep at BOTH sf0.001 and sf0.01 (r11 verdict task #7): a
+    * larger corpus has more groups and more degenerate slices, so it can
+    * reach a NaN edge the small one never exercises — one decade up is
+    * cheap insurance. */
+  private def sweep(sfDir: String): Unit = {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
-          val df = fn(s, TestSpark.sf0001)
+          val df = fn(s, sfDir)
           val cs = checks(df)
           if (cs.isEmpty) None
           else {
@@ -57,6 +66,15 @@ class OutputSanitySpec extends AnyFunSuite {
         }
     }
     assert(failures.isEmpty,
-      s"${failures.size} queries leak NaN/Infinity:\n" + failures.mkString("\n"))
+      s"${failures.size} queries leak NaN/Infinity at $sfDir:\n" +
+        failures.mkString("\n"))
+  }
+
+  test("no query emits NaN or Infinity in any floating-point output cell (sf0.001)") {
+    sweep(TestSpark.sf0001)
+  }
+
+  test("no query emits NaN or Infinity in any floating-point output cell (sf0.01)") {
+    sweep(TestSpark.sf001)
   }
 }

@@ -45,6 +45,11 @@ import java.nio.file.Files
   *    partitioning; pinned by MlSpec's block-cohort fixture (top-1 recs
   *    stable across numUserBlocks 2 vs 4) + seeded RMSE threshold instead.
   */
+/** Tagged Slow: part of the FULL adversarial profile (the round gate). The
+  * fast iteration profile excludes these corpus-rewriting/multi-SF sweeps:
+  * `sbt -batch "testOnly * -- -l org.scalatest.tags.Slow"` (see BASELINE.md
+  * r12 notes). */
+@org.scalatest.tags.Slow
 class PartitionInvarianceSpec extends AnyFunSuite {
   private def s = TestSpark.spark
 

@@ -287,6 +287,38 @@ class RetrievalSpec extends AnyFunSuite {
       "facade must take the sketch branch above the threshold")
   }
 
+  test("rankNormalize's size probe memoizes: repeat calls are conf reads, not count jobs") {
+    // r11 verdict task #3: the facade used to run a parquet count job on
+    // EVERY invocation to pick exact-vs-sketch. memoizedCount parks the
+    // cardinality in the session RuntimeConfig; prove repeat calls read
+    // the conf (zero jobs) by poisoning the memo and watching the facade
+    // obey the poisoned value — it could only do that via the conf.
+    val real = graft.Tables.memoizedCount(s, d, "embeddings")
+    assert(real == Tables.embeddings(s, d).count(), "memoized count wrong")
+    // the exact key for THIS (sfDir, table) — other suites may have
+    // memoized equal counts for other corpora, so never search by value
+    val key = graft.Tables.rowCountKey(d, "embeddings")
+    assert(s.conf.getOption(key).contains(real.toString),
+      "rowcount memo key not found in session conf")
+    try {
+      s.conf.set(key, (2000000L).toString) // pretend ×1000-decade corpus
+      assert(graft.Tables.memoizedCount(s, d, "embeddings") == 2000000L,
+        "repeat memoizedCount must be a conf read — it recounted")
+      // and the facade's path choice flows through the same memo: with the
+      // poisoned count above the default threshold it must pick the sketch
+      // canonicalized plans normalize exprIds, so two independent builds
+      // of the same logical plan compare equal
+      val poisoned = operators.Retrieval.rankNormalize(s, d)
+        .queryExecution.analyzed.canonicalized
+      val sketch = operators.Retrieval.quantileNormSketch(s, d)
+        .queryExecution.analyzed.canonicalized
+      val exact = operators.Retrieval.quantileNormExact(s, d)
+        .queryExecution.analyzed.canonicalized
+      assert(poisoned == sketch && poisoned != exact,
+        "facade ignored the memoized cardinality")
+    } finally s.conf.set(key, real.toString)
+  }
+
   test("q264 degenerate: collinear features null the betas but keep the scores") {
     import TestSpark.spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_d264").toString

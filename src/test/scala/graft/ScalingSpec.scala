@@ -11,6 +11,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * noise on a shared 4-core test session stays far inside the bound.
   * The full 1×/10×/100× curves at sf0.1 live in SCALING.md (graft.Scale).
   */
+/** Tagged Slow: part of the FULL adversarial profile (the round gate). The
+  * fast iteration profile excludes these corpus-rewriting/multi-SF sweeps:
+  * `sbt -batch "testOnly * -- -l org.scalatest.tags.Slow"` (see BASELINE.md
+  * r12 notes). */
+@org.scalatest.tags.Slow
 class ScalingSpec extends AnyFunSuite {
   private def s = TestSpark.spark
   private val src = TestSpark.sf001

@@ -27,6 +27,11 @@ import java.nio.file.Files
   * an equivalence their scaladocs state holds only on ASCII payloads (on
   * multi-byte text the engine's byte semantics are the correct ones).
   */
+/** Tagged Slow: part of the FULL adversarial profile (the round gate). The
+  * fast iteration profile excludes these corpus-rewriting/multi-SF sweeps:
+  * `sbt -batch "testOnly * -- -l org.scalatest.tags.Slow"` (see BASELINE.md
+  * r12 notes). */
+@org.scalatest.tags.Slow
 class UnicodeParitySpec extends AnyFunSuite {
   private def s = TestSpark.spark
 
