@@ -378,7 +378,16 @@ class PlanRegressionSpec extends AnyFunSuite {
     assert(memoViews(s2).isEmpty, "release left memo views behind")
     assert(memoViews(s).nonEmpty, "release touched another session's views")
     assert(Tables.events(s2, d).count() == 1000, "rebuild after release failed")
+    // rowcount memos live in the session RuntimeConfig (r12, q209's size
+    // probe); release() must clear those too, and only in its own session
+    val rcKey = Tables.rowCountKey(d, "embeddings")
+    Tables.memoizedCount(s, d, "embeddings")
+    Tables.memoizedCount(s2, d, "embeddings")
     Tables.release(s2)
+    assert(s2.conf.getOption(rcKey).isEmpty,
+      "release left rowcount conf memos behind")
+    assert(s.conf.getOption(rcKey).nonEmpty,
+      "release cleared another session's rowcount memo")
   }
 
   test("Tables.events: UTC is baked at analysis, the caller's timezone is restored") {
