@@ -59,9 +59,69 @@ object Scale {
     "q64_user_knn_predict" -> Set("events"), // ratings derive from events.props
     "q120_ref_integrity" -> Set("lineitem", "orders", "dims"),
     "q71_sim_search_topk" -> Set("embeddings"),
-    "q85_sim_search_ivf" -> Set("embeddings"))
+    "q85_sim_search_ivf" -> Set("embeddings"),
+    // skew-probe-only families (events-resident, see skewFamilies)
+    "q32_window_sessionize" -> Set("events"),
+    "q115_session_paths" -> Set("events"),
+    "q168_user_entropy" -> Set("events"))
 
   private val OFF = 1000000000L // id offset per copy: disjoint key spaces
+
+  /** The hot-key skew probe's family set (r12). The uniform blow-up keeps
+    * per-key group size constant BY DESIGN — the shape where partitioned
+    * plans scale out cleanly. This set measures the opposite adversarial
+    * direction: ONE user absorbing 10% of all events (a bot/test account at
+    * 100 TB), the case where per-key windows serialize into a single task
+    * and per-key self-joins go quadratic in hot-key density. Families
+    * chosen to span the distinct skew behaviours:
+    *  - per-user window chains (q32, q115): O(h log h) sort of the hot
+    *    key's h rows in ONE task — the classic straggler;
+    *  - per-user bucketed self-join (q39): pair count grows with the hot
+    *    key's per-cell density SQUARED — semantic output growth any engine
+    *    pays, bounded here by the 5-min cell grain;
+    *  - per-user lag edge build + item fixpoint (q113);
+    *  - contributor-capped CF core (q64): the per-user top-50 cap should
+    *    absorb the hot rater — measured, not assumed;
+    *  - user-day explode (q121) and a plain two-level groupBy (q168):
+    *    partial aggregation absorbs hot GROUP keys map-side — the control
+    *    rows that should stay at uniform-corpus cost. */
+  val skewFamilies: Seq[(String, String)] = Seq(
+    "q32_window_sessionize" -> "per-user gap window, single-task hot key",
+    "q115_session_paths" -> "per-user session + lead windows",
+    "q39_join_interval_bucketed" -> "per-user 5-min-cell self-join",
+    "q113_item_pagerank" -> "per-user lag edge build + item fixpoint",
+    "q64_user_knn_predict" -> "per-user-capped CF pair core",
+    "q121_rolling_active_users" -> "user-day explode + day groupBy (control)",
+    "q168_user_entropy" -> "two-level groupBy (map-side-combine control)")
+
+  /** Hot user id for the skew blow-up: outside every copy's offset space
+    * (copies occupy [copy·OFF, copy·OFF + baseIds), copy < k ≤ 100). */
+  private val HOT = OFF * 999L
+
+  /** Skewed ×k events blow-up: identical to [[blowUp]]'s events branch —
+    * same event_id/ts/value perturbations, same copy count — EXCEPT that
+    * every 10th copy's rows land on the single [[HOT]] user instead of a
+    * disjoint id space. At k ≥ 10 the hot user holds 10% of all events
+    * (k/10 × base rows) while the remaining users keep constant group
+    * size, so a same-k uniform-vs-skew time delta isolates pure hot-key
+    * cost. Copy 0 stays bit-identical to the source (hot copies are
+    * copy % 10 == 9), so k = 1 remains the unskewed base. */
+  def blowUpSkew(spark: SparkSession, src: String, out: String, k: Int): Unit = {
+    def done(t: String) =
+      new java.io.File(s"$out/$t.parquet/_SUCCESS").exists()
+    if (!done("events"))
+      spark.read.parquet(s"$src/events.parquet")
+        .crossJoin(broadcast(
+          spark.range(k.toLong).select(col("id").as("copy"))))
+        .select((col("event_id") + col("copy") * OFF).as("event_id"),
+          expr("timestampadd(MICROSECOND, copy, ts)").as("ts"),
+          when(col("copy") % 10 === 9, lit(HOT))
+            .otherwise(col("user_id") + col("copy") * OFF).as("user_id"),
+          col("event_type"),
+          (col("value") + col("copy").cast("double") * 1e-4).as("value"),
+          col("props"))
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+  }
 
   /** Deterministic ×k blow-up of the probe tables in `tables` from `src`
     * into `out`. Idempotent per (out, k): skips tables already written. */
@@ -178,16 +238,23 @@ object Scale {
 
   /** args: [factors] [family-subset] — e.g. `1000 q39,q113,q121` probes
     * only the events families at ×1000, blowing up ONLY events. A bare
-    * prefix like `q39` matches its full key. */
+    * prefix like `q39` matches its full key. Env `SPARK_GRAFT_SCALE_SKEW=1`
+    * switches to the hot-key skew experiment: [[blowUpSkew]] corpora,
+    * [[skewFamilies]] as the default key set, metric `scaling_skew`. */
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outBase = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scaling")
+    val skew = sys.env.get("SPARK_GRAFT_SCALE_SKEW").contains("1")
+    val keyPool = if (skew) skewFamilies else families
     val factors = args.headOption.getOrElse("1,10,100")
       .split(",").map(_.trim.toInt).toSeq
+    // explicit subsets resolve against BOTH pools so the skew families can
+    // be probed on a uniform corpus (the control side of the experiment)
+    val lookup = (families ++ skewFamilies).map(_._1).distinct
     val keys: Seq[String] =
-      if (args.length < 2) families.map(_._1)
+      if (args.length < 2) keyPool.map(_._1)
       else args(1).split(",").map(_.trim).toSeq.map { p =>
-        families.map(_._1).find(k => k == p || k.startsWith(p + "_"))
+        lookup.find(k => k == p || k.startsWith(p + "_"))
           .getOrElse(sys.error(s"unknown scale family: $p"))
       }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -219,18 +286,24 @@ object Scale {
     spark.sparkContext.setLogLevel("WARN")
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val tabs = keys.flatMap(tableOf.getOrElse(_, Set.empty[String])).toSet
+    val tabs =
+      if (skew) Set("events")
+      else keys.flatMap(tableOf.getOrElse(_, Set.empty[String])).toSet
     factors.foreach { k =>
       val dir =
         if (k == 1) src
-        else { blowUp(spark, src, s"$outBase/x$k", k, tabs); s"$outBase/x$k" }
+        else if (skew) {
+          blowUpSkew(spark, src, s"$outBase/skew_x$k", k); s"$outBase/skew_x$k"
+        } else { blowUp(spark, src, s"$outBase/x$k", k, tabs); s"$outBase/x$k" }
       val rows = Seq("events", "lineitem").filter(tabs).map { t =>
         s""""${t}_rows":${spark.read.parquet(s"$dir/$t.parquet").count()}"""
       }
       val times = probe(spark, dir, keys = keys)
       val qs = times.map { case (q, t) => s""""$q":${f3(t)}""" }
         .mkString("{", ",", "}")
-      println(s"""{"metric":"scaling","factor":$k,${(rows :+ s""""queries":$qs""").mkString(",")},"src":"$src"}""")
+      val metric = if (skew) """"metric":"scaling_skew","skew":"hot10_user""""
+        else """"metric":"scaling""""
+      println(s"""{$metric,"factor":$k,${(rows :+ s""""queries":$qs""").mkString(",")},"src":"$src"}""")
     }
     spark.stop()
   }

@@ -28,7 +28,13 @@ import java.sql.Timestamp
   * Sizing note: rows/s here is single-JVM local[N]; state is partitioned by
   * the group key (shuffle-partition count = the CLI's 32), so on a real
   * cluster the same plans scale out with executors — the artifact's value is
-  * cross-round comparability, not absolute cluster throughput. */
+  * cross-round comparability, not absolute cluster throughput.
+  *
+  * Sections (env `SPARK_GRAFT_STREAM_SECTIONS`, default all): `main` per-
+  * shape regimes + batch-cost breakdown, `sweep` chunk-size fit + RocksDB +
+  * no-data-batch comparison, `partitions` the state-store-count sweep that
+  * measures the "fewer stores to commit" lever in SCALING.md's sizing
+  * rule. */
 object StreamBench {
 
   // tsc as LTZ Timestamp: watermarks require it; session TZ is pinned UTC so
@@ -99,16 +105,23 @@ object StreamBench {
       * state store (RocksDB vs the default HDFS-backed) for THIS run. */
     def incremental(name: String, fn: DataFrame => DataFrame, kChunks: Int,
         provider: Option[String] = None,
-        noDataBatches: Boolean = true): (Double, Int, Map[String, Double]) = {
+        noDataBatches: Boolean = true,
+        shufflePartitions: Option[Int] = None): (Double, Int, Map[String, Double]) = {
       val chunkSz = math.max(1, (n + kChunks - 1) / kChunks)
       val cs = rows.grouped(chunkSz).toIndexedSeq
       val ms = MemoryStream[SEv]
       uniq += 1
       val providerKey = "spark.sql.streaming.stateStore.providerClass"
       val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val shufKey = "spark.sql.shuffle.partitions"
       val prior = spark.conf.getOption(providerKey)
       val priorNd = spark.conf.getOption(noDataKey)
+      val priorShuf = spark.conf.get(shufKey)
       provider.foreach(spark.conf.set(providerKey, _))
+      // streaming queries pin shuffle-partition count (= state-store count)
+      // at FIRST start from the session conf, so setting it here scopes the
+      // override to this run's query
+      shufflePartitions.foreach(p => spark.conf.set(shufKey, p.toString))
       spark.conf.set(noDataKey, noDataBatches.toString)
       try {
         // kept_hourly carries its own watermark; every other shape gets the
@@ -144,10 +157,19 @@ object StreamBench {
           case Some(v) => spark.conf.set(noDataKey, v)
           case None => spark.conf.unset(noDataKey)
         }
+        spark.conf.set(shufKey, priorShuf)
       }
     }
 
-    val results = shapes.flatMap { case (name, fn) =>
+    // Section selector: "main" (per-shape onebatch/incN + batch-cost
+    // breakdown), "sweep" (chunk-size fit + RocksDB + no-data-batch
+    // comparison), "partitions" (state-store-count sweep). A single section
+    // can be re-measured standalone and its lines appended to
+    // STREAMBENCH.json without re-running the ~20 min full matrix.
+    val sections = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECTIONS",
+      "main,sweep,partitions").split(",").map(_.trim).toSet
+
+    val results = if (!sections("main")) Seq.empty else shapes.flatMap { case (name, fn) =>
       val ob = (1 to runs).map(_ => oneBatch(fn)).min
       val incRuns = (1 to runs).map(_ => incremental(name, fn, nChunks))
       val (inc, nb, dur) = incRuns.minBy(_._1)
@@ -171,7 +193,7 @@ object StreamBench {
     // least-squares slope over the three points.
     val sweepShapes = shapes.filter(s => Set("tumbling", "session", "kept_hourly")(s._1))
     val rocksdb = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-    val fixedCosts = sweepShapes.map { case (name, fn) =>
+    val fixedCosts = if (!sections("sweep")) Seq.empty else sweepShapes.map { case (name, fn) =>
       val ks = Seq(5, nChunks, 100)
       val pts = ks.map { k =>
         val (t, nb, _) = incremental(name, fn, k)
@@ -196,10 +218,34 @@ object StreamBench {
       name -> b
     }
 
-    val summary = results.map { case (name, (reg, t)) =>
-      s""""${name}_$reg":${f1(n / t)}""" }.mkString("{", ",", "}")
-    val fcSummary = fixedCosts.map { case (k, v) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"streambench_summary","unit":"rows_per_sec","rows":$n,"chunks":$nChunks,"runs":$runs,"shapes":$summary,"fixed_sec_per_batch":$fcSummary,"sf":"$sfDir"}""")
+    // State-store-count sweep (r12): SCALING.md's sizing rule names "cut
+    // spark.sql.shuffle.partitions for the stream (fewer stores to commit)"
+    // as the fixed-cost lever — this MEASURES it. Each stateful operator
+    // keeps one state store per shuffle partition and every store commits a
+    // delta file per micro-batch, so if the per-batch fixed cost really is
+    // store-commit-dominated (the batch-cost breakdown says it is), wall
+    // cost per batch should fall near-linearly with the partition count
+    // while the marginal row cost (100 k rows here) barely moves. 32 is the
+    // CLI-config control re-run in the same session for comparability.
+    if (sections("partitions")) sweepShapes.foreach { case (name, fn) =>
+      Seq(32, 8, 4, 1).foreach { p =>
+        val rs = (1 to runs).map(_ =>
+          incremental(name, fn, nChunks, shufflePartitions = Some(p)))
+        val (t, nb, dur) = rs.minBy(_._1)
+        val perBatch = Seq("stateCommit", "stateUpdates", "stateRemovals",
+            "triggerExecution").flatMap { k =>
+          dur.get(k).map(v => s""""$k":${f1(v / math.max(1, nb))}""") }
+          .mkString(",")
+        println(s"""{"metric":"streambench_partitions","shape":"$name","partitions":$p,"chunks":$nChunks,"batches":$nb,"sec":${f3(t)},"rows":$n,"rows_per_sec":${f1(n / t)},"ms_per_batch":{$perBatch}}""")
+      }
+    }
+
+    if (sections("main")) {
+      val summary = results.map { case (name, (reg, t)) =>
+        s""""${name}_$reg":${f1(n / t)}""" }.mkString("{", ",", "}")
+      val fcSummary = fixedCosts.map { case (k, v) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
+      println(s"""{"metric":"streambench_summary","unit":"rows_per_sec","rows":$n,"chunks":$nChunks,"runs":$runs,"shapes":$summary,"fixed_sec_per_batch":$fcSummary,"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }
