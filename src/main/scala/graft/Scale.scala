@@ -38,7 +38,13 @@ object Scale {
     "q64_user_knn_predict" -> "ratings contributor-capped pair self-join",
     "q120_ref_integrity" -> "5-edge FK audit: full-outer join of key grains",
     "q71_sim_search_topk" -> "embeddings brute-force cosine top-k (10 probes)",
-    "q85_sim_search_ivf" -> "embeddings IVF nprobe=1 cell-routed search")
+    "q85_sim_search_ivf" -> "embeddings IVF nprobe=1 cell-routed search",
+    // the batched-mapPartitions multimodal kernel plumbing (r12): the one
+    // operator class whose row-linearity was design-argued but unmeasured —
+    // q06 emits a transformed BINARY column (resize), q09 per-payload
+    // feature scalars; both are the shape a real decoder drops into
+    "q06_multimodal_resize" -> "documents batched binary-kernel resize",
+    "q09_multimodal_features" -> "documents batched binary-kernel features")
 
   /** Which probe tables each family stresses — lets a deep (e.g. ×1000)
     * probe of one family skip blowing up the others (a ×1000 lineitem is
@@ -60,6 +66,8 @@ object Scale {
     "q120_ref_integrity" -> Set("lineitem", "orders", "dims"),
     "q71_sim_search_topk" -> Set("embeddings"),
     "q85_sim_search_ivf" -> Set("embeddings"),
+    "q06_multimodal_resize" -> Set("documents"),
+    "q09_multimodal_features" -> Set("documents"),
     // skew-probe-only families (events-resident, see skewFamilies)
     "q32_window_sessionize" -> Set("events"),
     "q115_session_paths" -> Set("events"),
@@ -124,52 +132,65 @@ object Scale {
   }
 
   /** Deterministic ×k blow-up of the probe tables in `tables` from `src`
-    * into `out`. Idempotent per (out, k): skips tables already written. */
+    * into `out`. Idempotent per (out, k): skips tables already written.
+    *
+    * `files` fans each written table out across that many parquet files
+    * (default 1 — the single-file layout every published curve ran on).
+    * WHY it exists (r12): a single-partition write produces one file whose
+    * row groups are ~128 MB, and a parquet SPLIT cannot subdivide a row
+    * group — so a scan-dominated family's parallelism is size/128 MB no
+    * matter what `maxPartitionBytes` says (measured: the q06/q09 kernel
+    * families run one task at ×100's 78 MB corpus). Shuffle-heavy families
+    * never noticed (their cost centers run at shuffle parallelism), but
+    * kernel families need `files` ≈ cores for the wall number to measure
+    * the KERNEL rather than the writer's layout. A real 100 TB table is
+    * thousands of files — `files > 1` is the realistic layout, and the
+    * single-file default is kept only for published-curve comparability. */
   def blowUp(spark: SparkSession, src: String, out: String, k: Int,
              tables: Set[String] = Set("events", "lineitem", "orders",
-               "documents", "embeddings", "dims")): Unit = {
+               "documents", "embeddings", "dims"),
+             files: Int = 1): Unit = {
     def done(t: String) =
       new java.io.File(s"$out/$t.parquet/_SUCCESS").exists()
     def copies(df: DataFrame): DataFrame =
       df.crossJoin(broadcast(
         spark.range(k.toLong).select(col("id").as("copy"))))
+    def save(df: DataFrame, t: String): Unit =
+      (if (files > 1) df.repartition(files) else df)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
 
     if (tables("events") && !done("events"))
-      copies(spark.read.parquet(s"$src/events.parquet"))
+      save(copies(spark.read.parquet(s"$src/events.parquet"))
         .select((col("event_id") + col("copy") * OFF).as("event_id"),
           expr("timestampadd(MICROSECOND, copy, ts)").as("ts"),
           (col("user_id") + col("copy") * OFF).as("user_id"),
           col("event_type"),
           (col("value") + col("copy").cast("double") * 1e-4).as("value"),
-          col("props"))
-        .write.mode("overwrite").parquet(s"$out/events.parquet")
+          col("props")), "events")
 
     if (tables("lineitem") && !done("lineitem"))
-      copies(spark.read.parquet(s"$src/lineitem.parquet"))
+      save(copies(spark.read.parquet(s"$src/lineitem.parquet"))
         .withColumn("l_orderkey", col("l_orderkey") + col("copy") * OFF)
         // widen the price support ×min(k,100): the prefix-scan stressor
         .withColumn("l_extendedprice",
           col("l_extendedprice") + (col("copy") % 100).cast("double") * 0.01)
-        .drop("copy")
-        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+        .drop("copy"), "lineitem")
 
     if (tables("orders") && !done("orders"))
-      copies(spark.read.parquet(s"$src/orders.parquet"))
+      save(copies(spark.read.parquet(s"$src/orders.parquet"))
         .withColumn("o_orderkey", col("o_orderkey") + col("copy") * OFF)
         .withColumn("o_custkey", col("o_custkey") + col("copy") * OFF)
         .withColumn("o_totalprice",
           col("o_totalprice") + (col("copy") % 100).cast("double") * 0.01)
-        .drop("copy")
-        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+        .drop("copy"), "orders")
 
     if (tables("documents") && !done("documents"))
-      copies(spark.read.parquet(s"$src/documents.parquet"))
+      save(copies(spark.read.parquet(s"$src/documents.parquet"))
         .withColumn("doc_id", col("doc_id") + col("copy") * OFF)
         .withColumn("text", when(col("copy") === 0, col("text")).otherwise(
           expr("array_join(transform(filter(split(text, ' '), w -> w != ''), " +
             "w -> concat(w, '_c', CAST(copy AS STRING))), ' ')")))
-        .drop("copy")
-        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+        .drop("copy"), "documents")
 
     // dimension passthrough (verbatim): dims stay dimension-sized at every
     // factor, exactly as at 100 TB. The blown orders keep their offset
@@ -185,12 +206,11 @@ object Scale {
       }
 
     if (tables("embeddings") && !done("embeddings"))
-      copies(spark.read.parquet(s"$src/embeddings.parquet"))
+      save(copies(spark.read.parquet(s"$src/embeddings.parquet"))
         .withColumn("vec_id", col("vec_id") + col("copy") * OFF)
         .withColumn("embedding",
           expr("transform(embedding, x -> CAST(x + copy * 1e-4 AS FLOAT))"))
-        .drop("copy")
-        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+        .drop("copy"), "embeddings")
   }
 
   /** Families whose ENTIRE result is session-memoized (computed once per
@@ -268,9 +288,18 @@ object Scale {
     // (188.6 s at 32 partitions vs 67.8 s at 16 g, same session). Keep
     // probe heaps modest; use this override only to re-run the A/B.
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // Scan-split override for probe experiments. The blow-up writes each
+    // table as ONE parquet file, so splits = size / maxPartitionBytes: a
+    // sub-128 MB corpus runs a CPU-heavy kernel family on ONE core (the
+    // q06/q09 ×100 artifact, SCALING.md r12) while at real scale splits
+    // grow with data automatically. Lowering this for a probe restores
+    // data-proportional parallelism at small corpus sizes.
+    val mpb = sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES",
+      (128L * 1024 * 1024).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
+      .config("spark.sql.files.maxPartitionBytes", mpb)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -289,12 +318,21 @@ object Scale {
     val tabs =
       if (skew) Set("events")
       else keys.flatMap(tableOf.getOrElse(_, Set.empty[String])).toSet
+    // SPARK_GRAFT_BLOWUP_FILES=N writes blown tables as N parquet files
+    // (own corpus dir, suffix _fN) — see the blowUp scaladoc: single-file
+    // corpora cap scan-stage parallelism at size/128 MB (one row group per
+    // ~128 MB), which a kernel-dominated family inherits as its wall time.
+    val blowFiles = sys.env.getOrElse("SPARK_GRAFT_BLOWUP_FILES", "1").toInt
+    val fSuffix = if (blowFiles > 1) s"_f$blowFiles" else ""
     factors.foreach { k =>
       val dir =
         if (k == 1) src
         else if (skew) {
           blowUpSkew(spark, src, s"$outBase/skew_x$k", k); s"$outBase/skew_x$k"
-        } else { blowUp(spark, src, s"$outBase/x$k", k, tabs); s"$outBase/x$k" }
+        } else {
+          blowUp(spark, src, s"$outBase/x$k$fSuffix", k, tabs, blowFiles)
+          s"$outBase/x$k$fSuffix"
+        }
       val rows = Seq("events", "lineitem").filter(tabs).map { t =>
         s""""${t}_rows":${spark.read.parquet(s"$dir/$t.parquet").count()}"""
       }
