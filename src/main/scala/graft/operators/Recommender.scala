@@ -137,6 +137,48 @@ object Recommender {
       .orderBy("user_id", "item")
   }
 
+  /** MLlib ALS narrows user/item ids to Int (its checkedCast raises beyond
+    * ±2³¹) — so a 100 TB event log's 64-bit ids crash the fit outright
+    * (found by the r12 big-id corpus sweep: every other key runs clean on
+    * id-offset corpora; q65/q66 threw CAST_OVERFLOW). The facade:
+    * [[idsFitInt]] probes the ratings grain once (an agg on the cached
+    * memo); small-id corpora — every correctness SF and every suite
+    * fixture — pass ids through UNTOUCHED, preserving the r11 seed-42
+    * output fingerprints, while corpora with any id beyond Int range fit
+    * on a deterministic dense index ([[denseIndex]]: distinct → sort →
+    * zipWithIndex, fully distributed — no single-task window) and map
+    * results back to the original Long ids. The ceiling that remains is
+    * MLlib's own: more than 2³¹ DISTINCT users or items cannot be block-
+    * partitioned by this ALS at all — the indexer raises explicitly
+    * instead of overflowing silently. MlSpec pins the facade law (big-id
+    * corpus ≡ crash-free, ids mapped back into the original universe). */
+  private def idsFitInt(r: DataFrame): Boolean = {
+    val row = r.agg(min("user_id"), max("user_id"), min("item"), max("item")).head()
+    (0 until 4).forall { i =>
+      row.isNullAt(i) || {
+        val v = row.getLong(i)
+        v >= Int.MinValue.toLong && v <= Int.MaxValue.toLong
+      }
+    }
+  }
+
+  /** Deterministic Long→Int dense index of one id column: the distinct
+    * grain sorted by value, indexed by position (sort-then-zipWithIndex is
+    * content-determined — same ids, same index, any layout). Distributed:
+    * a range-partitioned sort plus one count job, never a global window. */
+  private def denseIndex(df: DataFrame, c: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val distinct = df.select(col(c).cast("long")).na.drop.distinct.orderBy(c)
+    val rdd = distinct.rdd.map(_.getLong(0)).zipWithIndex()
+    rdd.map { case (id, i) =>
+      if (i > Int.MaxValue.toLong)
+        throw new IllegalArgumentException(
+          s"ALS cannot block-partition > 2^31 distinct $c values (MLlib Int ids)")
+      (id, i.toInt)
+    }.toDF(c, s"${c}_idx")
+  }
+
   private def alsOn(train: DataFrame): org.apache.spark.ml.recommendation.ALSModel = {
     // Block counts sized to the data: ALS shuffles user-block × item-block
     // pairs every iteration, so MLlib's default 10×10 grid is pure overhead
@@ -172,16 +214,40 @@ object Recommender {
       return Seq.empty[(Long, Long, Long, Double)]
         .toDF("user_id", "rnk", "item", "score")
     }
-    val model = alsOn(r)
-    model.recommendForAllUsers(5)
-      .select(col("user_id"), posexplode(col("recommendations")).as(Seq("pos", "rec")))
-      // cast back to the corpus's LONG ids: MLlib's ALS narrows user/item
-      // to Int internally and would otherwise leak that int through the
-      // API (caught by the r11 empty-corpus schema-stability sweep)
-      .select(col("user_id").cast("long").as("user_id"),
-        (col("pos") + 1).cast("long").as("rnk"),
-        col("rec.item").cast("long").as("item"),
-        r4(col("rec.rating").cast("double")).as("score"))
+    // big-id facade (see idsFitInt): Int-range corpora fit on raw ids
+    // (fingerprint-stable); 64-bit-id corpora fit on the dense index and
+    // map both output id columns back to the original Long ids
+    val recs =
+      if (idsFitInt(r)) {
+        alsOn(r).recommendForAllUsers(5)
+          .select(col("user_id"), posexplode(col("recommendations")).as(Seq("pos", "rec")))
+          // cast back to the corpus's LONG ids: MLlib's ALS narrows
+          // user/item to Int internally and would otherwise leak that int
+          // through the API (r11 empty-corpus schema-stability sweep)
+          .select(col("user_id").cast("long").as("user_id"),
+            (col("pos") + 1).cast("long").as("rnk"),
+            col("rec.item").cast("long").as("item"),
+            col("rec.rating").cast("double").as("score"))
+      } else {
+        val ui = denseIndex(r, "user_id")
+        val ii = denseIndex(r, "item")
+        val rIdx = r.join(ui, "user_id").join(ii, "item")
+          .select(col("user_id_idx").as("user_id"),
+            col("item_idx").as("item"), col("rating"))
+        alsOn(rIdx).recommendForAllUsers(5)
+          .select(col("user_id").as("user_id_idx"),
+            posexplode(col("recommendations")).as(Seq("pos", "rec")))
+          .join(ui, "user_id_idx")
+          .join(ii.withColumnRenamed("item_idx", "rec_item_idx")
+            .withColumnRenamed("item", "item_orig"),
+            col("rec.item") === col("rec_item_idx"))
+          .select(col("user_id"),
+            (col("pos") + 1).cast("long").as("rnk"),
+            col("item_orig").as("item"),
+            col("rec.rating").cast("double").as("score"))
+      }
+    recs
+      .select(col("user_id"), col("rnk"), col("item"), r4(col("score")).as("score"))
       .orderBy("user_id", "rnk")
   }
 
@@ -193,10 +259,22 @@ object Recommender {
     * shape instead of flipping between zero and one rows. */
   def q66(s: SparkSession, d: String): DataFrame = {
     // null-triple drop before the split, same rationale as q65 (transform's
-    // checkedCast raises on null test rows just like fit does)
-    val Array(train, test) = ratings(s, d)
-      .na.drop(Seq("user_id", "item", "rating"))
-      .randomSplit(Array(0.8, 0.2), 42)
+    // checkedCast raises on null test rows just like fit does). Big-id
+    // facade (idsFitInt): 64-bit-id corpora are dense-indexed BEFORE the
+    // split so train and test share one mapping; the output carries only
+    // aggregate metrics, so no back-map is needed. Int-range corpora pass
+    // through untouched (fingerprint-stable).
+    val r0 = ratings(s, d).na.drop(Seq("user_id", "item", "rating"))
+    val r =
+      if (idsFitInt(r0)) r0
+      else {
+        val ui = denseIndex(r0, "user_id")
+        val ii = denseIndex(r0, "item")
+        r0.join(ui, "user_id").join(ii, "item")
+          .select(col("user_id_idx").as("user_id"),
+            col("item_idx").as("item"), col("rating"))
+      }
+    val Array(train, test) = r.randomSplit(Array(0.8, 0.2), 42)
     if (train.isEmpty) {
       import s.implicits._
       return Seq((0L, Option.empty[Double], Option.empty[Double]))

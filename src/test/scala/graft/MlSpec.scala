@@ -271,6 +271,38 @@ class MlSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("ALS big-id facade: 64-bit ids fit via the dense index and map back (r12)") {
+    // MLlib ALS narrows ids to Int and raises CAST_OVERFLOW beyond ±2^31 —
+    // found by running the inventory on an id-offset corpus (every other
+    // key ran clean). The facade must (a) not crash, (b) return the
+    // ORIGINAL 64-bit ids, (c) stay deterministic (sorted dense index +
+    // fixed seed). The small-id identity path is pinned separately by the
+    // seed-42 fingerprints above — this corpus triggers the other branch.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bigid").toString
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val OFF = 3000000000L // pushes every user_id past Int.MaxValue
+    s.read.parquet(s"${TestSpark.sf0001}/events.parquet")
+      .withColumn("user_id", col("user_id") + lit(OFF))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val recs = operators.Recommender.q65(s, dir).collect()
+    assert(recs.nonEmpty, "big-id corpus must fit, not crash")
+    assert(recs.forall(_.getLong(0) >= OFF),
+      "user ids must map back to the original 64-bit universe")
+    val origItems = Tables.ratings(s, TestSpark.sf0001)
+      .select("item").distinct.collect().map(_.getLong(0)).toSet
+    assert(recs.map(_.getLong(2)).toSet.subsetOf(origItems),
+      "item ids must map back to the original item universe")
+    val perUser = recs.groupBy(_.getLong(0)).values
+    assert(perUser.forall(g => g.map(_.getLong(1)).sorted.sameElements(1L to g.size)),
+      "ranks stay 1..k per user after the back-join")
+    val again = operators.Recommender.q65(s, dir).collect()
+    assert(recs.map(_.toString).sorted.sameElements(again.map(_.toString).sorted),
+      "dense-index path is run-to-run deterministic")
+    val m = operators.Recommender.q66(s, dir).head()
+    assert(m.getLong(0) > 0 && !m.isNullAt(1) && m.getDouble(1) > 0.0,
+      "holdout metrics compute on the indexed ids")
+  }
+
   test("q126 coverage/Gini: metric bounds and candidate-list cap hold") {
     val r = operators.Recommender.q126(s, d).head()
     val (nUsers, nCat, nRec) = (r.getLong(0), r.getLong(1), r.getLong(2))
