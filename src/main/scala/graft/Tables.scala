@@ -109,6 +109,25 @@ object Tables {
     }
   }
 
+  /** Session-scoped memoized boolean probe, the [[memoizedCount]] pattern
+    * for yes/no corpus facts (e.g. "do all ratings ids fit in Int?"). The
+    * answer is a corpus property, so it is keyed by (session, sfDir, name)
+    * and parked in RuntimeConfig: the probe's Spark job runs at most once
+    * per session per corpus, every later call is a driver-local conf read.
+    * Added r13 for the ALS big-id facade, whose per-invocation min/max agg
+    * was costing q65/q66 ~0.6–0.8 s each per bench pass (r12 verdict #2). */
+  private[graft] def memoizedFlag(spark: SparkSession, sfDir: String,
+      name: String)(compute: => Boolean): Boolean = {
+    val key = "graft.memo.flag." + memoName(sfDir, name)
+    spark.conf.getOption(key) match {
+      case Some(v) => v.toBoolean
+      case None =>
+        val b = compute
+        spark.conf.set(key, b.toString)
+        b
+    }
+  }
+
   /** Drop this session's memoized views and unpersist their cached data.
     * Note Spark's CacheManager is context-shared: unpersisting here also
     * evicts any other session's identical (same-plan) cache entry. */
@@ -119,7 +138,8 @@ object Tables {
         try spark.catalog.uncacheTable(n) catch { case _: Exception => () }
         spark.catalog.dropTempView(n)
       }
-    spark.conf.getAll.keys.filter(_.startsWith("graft.memo.rowcount."))
+    // covers both the rowcount and flag conf memos
+    spark.conf.getAll.keys.filter(_.startsWith("graft.memo."))
       .foreach(spark.conf.unset)
   }
 

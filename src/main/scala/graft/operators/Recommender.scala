@@ -151,16 +151,33 @@ object Recommender {
     * MLlib's own: more than 2³¹ DISTINCT users or items cannot be block-
     * partitioned by this ALS at all — the indexer raises explicitly
     * instead of overflowing silently. MlSpec pins the facade law (big-id
-    * corpus ≡ crash-free, ids mapped back into the original universe). */
-  private def idsFitInt(r: DataFrame): Boolean = {
-    val row = r.agg(min("user_id"), max("user_id"), min("item"), max("item")).head()
-    (0 until 4).forall { i =>
-      row.isNullAt(i) || {
-        val v = row.getLong(i)
-        v >= Int.MinValue.toLong && v <= Int.MaxValue.toLong
+    * corpus ≡ crash-free, ids mapped back into the original universe).
+    *
+    * The id range is a CORPUS property, so the probe is memoized per
+    * (session, sfDir) via [[graft.Tables.memoizedFlag]] — r12's verdict
+    * measured the per-invocation min/max agg at ~0.6–0.8 s each on
+    * q65/q66 per bench pass; now it is one job per session per corpus
+    * and a conf read thereafter. */
+  private def idsFitInt(s: SparkSession, d: String, r: DataFrame): Boolean =
+    graft.Tables.memoizedFlag(s, d, "alsIdsFitInt") {
+      val row = r.agg(min("user_id"), max("user_id"), min("item"), max("item")).head()
+      (0 until 4).forall { i =>
+        row.isNullAt(i) || {
+          val v = row.getLong(i)
+          v >= Int.MinValue.toLong && v <= Int.MaxValue.toLong
+        }
       }
     }
-  }
+
+  /** The big-id facade's dense indexes, session-memoized (and cached) per
+    * corpus: q65 references each index twice (fit-side join + output
+    * back-map) and q66 shares the identical mapping — without the memo
+    * every reference re-ran the distinct+sort+zipWithIndex build (~4
+    * redundant sort jobs per q65 call, r12 ADVICE). Keyed on the ratings
+    * grain's id column, released with the rest via Tables.release. */
+  private def alsIndex(s: SparkSession, d: String, r: DataFrame,
+      c: String): DataFrame =
+    graft.Tables.memoized(s, d, s"alsidx_$c")(denseIndex(r, c))
 
   /** Deterministic Long→Int dense index of one id column: the distinct
     * grain sorted by value, indexed by position (sort-then-zipWithIndex is
@@ -218,7 +235,7 @@ object Recommender {
     // (fingerprint-stable); 64-bit-id corpora fit on the dense index and
     // map both output id columns back to the original Long ids
     val recs =
-      if (idsFitInt(r)) {
+      if (idsFitInt(s, d, r)) {
         alsOn(r).recommendForAllUsers(5)
           .select(col("user_id"), posexplode(col("recommendations")).as(Seq("pos", "rec")))
           // cast back to the corpus's LONG ids: MLlib's ALS narrows
@@ -229,8 +246,8 @@ object Recommender {
             col("rec.item").cast("long").as("item"),
             col("rec.rating").cast("double").as("score"))
       } else {
-        val ui = denseIndex(r, "user_id")
-        val ii = denseIndex(r, "item")
+        val ui = alsIndex(s, d, r, "user_id")
+        val ii = alsIndex(s, d, r, "item")
         val rIdx = r.join(ui, "user_id").join(ii, "item")
           .select(col("user_id_idx").as("user_id"),
             col("item_idx").as("item"), col("rating"))
@@ -266,10 +283,10 @@ object Recommender {
     // through untouched (fingerprint-stable).
     val r0 = ratings(s, d).na.drop(Seq("user_id", "item", "rating"))
     val r =
-      if (idsFitInt(r0)) r0
+      if (idsFitInt(s, d, r0)) r0
       else {
-        val ui = denseIndex(r0, "user_id")
-        val ii = denseIndex(r0, "item")
+        val ui = alsIndex(s, d, r0, "user_id")
+        val ii = alsIndex(s, d, r0, "item")
         r0.join(ui, "user_id").join(ii, "item")
           .select(col("user_id_idx").as("user_id"),
             col("item_idx").as("item"), col("rating"))
