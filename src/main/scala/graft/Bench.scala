@@ -1,6 +1,115 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // ---------------------------------------------------------------------
+  // Outlier self-diagnosis (r13). Motivation: BENCH_r12 read q137 at
+  // 25.46 s min-of-2 (18.2x its committed baseline) on the driver host
+  // while two independent same-tree, same-config local runs — including a
+  // full double-pass suite — read 1.44–1.67 s. The scored artifact cannot
+  // be re-run on the driver host, so the artifact itself must carry the
+  // host-vs-code diagnosis: any key whose steady (min-of-2) reading
+  // exceeds OUTLIER_BAND x its committed per-key baseline gets a THIRD
+  // pass instrumented with a task-metrics listener, and a compact
+  // per-key line (third-pass wall vs summed executor task-time, GC ms,
+  // spill bytes) lands inside the archived tail. BenchDiagSpec pins the
+  // selection, classification and diagnosis paths.
+  // ---------------------------------------------------------------------
+
+  /** Parse the committed per-key baseline (`<key> <seconds>` lines,
+    * '#' comments). Missing file → empty map (diagnosis degrades to a
+    * "no baseline" note, never an error — the bench must still run on a
+    * checkout without test resources). */
+  def parseBaseline(path: String): Map[String, Double] = {
+    val f = new java.io.File(path)
+    if (!f.exists()) return Map.empty
+    val src = scala.io.Source.fromFile(f)
+    try src.getLines()
+      .map(_.split("#")(0).trim).filter(_.nonEmpty)
+      .flatMap { l =>
+        l.split("\\s+") match {
+          case Array(k, v) => scala.util.Try(k -> v.toDouble).toOption
+          case _ => None
+        }
+      }.toMap
+    finally src.close()
+  }
+
+  /** Keys whose steady reading exceeds `band` x their committed baseline
+    * AND an absolute floor (sub-`floorSec` readings are fixed per-query
+    * overhead noise even at a large ratio). Returns (key, steadySec,
+    * baseSec) sorted worst-ratio first. Keys without a baseline entry
+    * (a newly added key mid-round) are skipped — there is nothing to
+    * diagnose against. */
+  def outlierKeys(steady: Seq[(String, Double, Boolean)],
+      base: Map[String, Double], band: Double,
+      floorSec: Double): Seq[(String, Double, Double)] =
+    steady.collect {
+      case (k, t, _) if base.contains(k) && t > band * base(k) && t >= floorSec =>
+        (k, t, base(k))
+    }.sortBy { case (_, t, b) => -(t / b) }
+
+  /** Classify a diagnosed key from its third-pass evidence.
+    *  - "host": the third pass does NOT reproduce the slow reading (wall
+    *    back under max(2x baseline, half the flagged steady)) — the
+    *    min-of-2 outlier was external to the code (host contention, the
+    *    r12 q137 syndrome).
+    *  - "gc": reproduces with >30% of wall in JVM GC — memory pressure.
+    *  - "spill": reproduces with shuffle/agg spill — partitions no longer
+    *    fit, size knobs or data shape changed.
+    *  - "code": reproduces cleanly — the plan itself got slower; read the
+    *    explain before anything else. */
+  def classify(p3Wall: Double, baseSec: Double, steadySec: Double,
+      gcMs: Long, spillBytes: Long): String =
+    if (p3Wall <= math.max(2 * baseSec, steadySec / 2)) "host"
+    else if (gcMs > 0.3 * p3Wall * 1000) "gc"
+    else if (spillBytes > 0) "spill"
+    else "code"
+
+  /** Sums task metrics across every task that ends while registered.
+    * Listener-bus delivery is asynchronous — [[diagnose]] sleeps briefly
+    * after the action before reading the tallies. */
+  private[graft] class TaskTally extends org.apache.spark.scheduler.SparkListener {
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        runMs.addAndGet(m.executorRunTime)
+        gcMs.addAndGet(m.jvmGCTime)
+        spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+  }
+
+  /** Third instrumented pass of one flagged key: wall time, summed
+    * executor task-time, GC ms and spill bytes, plus the [[classify]]
+    * verdict, as one compact JSON object string. A wall far above the
+    * summed task-time/cores means the time went to scheduling stalls,
+    * not compute — visible directly in the emitted pair. */
+  def diagnose(spark: SparkSession, name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      sfDir: String, baseSec: Double, steadySec: Double): String = {
+    val tally = new TaskTally
+    spark.sparkContext.addSparkListener(tally)
+    val t0 = System.nanoTime()
+    val ok = try { force(fn(spark, sfDir)); true }
+             catch { case _: Throwable => false }
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(300) // let the async listener bus drain task-end events
+    spark.sparkContext.removeSparkListener(tally)
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val verdict =
+      if (!ok) "error"
+      else classify(wall, baseSec, steadySec, tally.gcMs.get, tally.spillBytes.get)
+    s""""$name":{"steady":${f3(steadySec)},"base":${f3(baseSec)},""" +
+      s""""p3_wall":${f3(wall)},"task_sec":${f3(tally.runMs.get / 1e3)},""" +
+      s""""gc_ms":${tally.gcMs.get},"spill_mb":${tally.spillBytes.get / (1024 * 1024)},""" +
+      s""""verdict":"$verdict"}"""
+  }
+
   /** The timed benchmark action: FULL-WIDTH materialization, not count().
     * A bare count() lets Catalyst prune every column no downstream
     * operator consumes — terminal projections vanish entirely (caught
@@ -185,6 +294,29 @@ object Bench {
     // steady_slowest80 + total (~1.7 KB combined, under the 2000-char tail).
     println(s"""{"metric":"storage",${snaps.mkString(",")}}""")
     println(line("steady_slowest80", steady.sortBy(-_._2).take(80)))
+    // Self-diagnosis of out-of-band keys (r13, see the header block): a
+    // third instrumented pass per flagged key, classified host/gc/spill/
+    // code, printed INSIDE the archived tail window so a q137-class
+    // reading carries its own adjudication. Printed even when empty so
+    // "no outliers" is distinguishable from "diagnosis didn't run".
+    val basePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
+      "src/test/resources/bench_baseline.txt")
+    val baseline = parseBaseline(basePath)
+    if (baseline.isEmpty)
+      println(s"""{"metric":"outliers","note":"no baseline at $basePath","keys":{}}""")
+    else {
+      val band = sys.env.getOrElse("SPARK_GRAFT_OUTLIER_BAND", "4.0").toDouble
+      val flagged = outlierKeys(steady, baseline, band, floorSec = 0.5)
+      // cap the extra passes so a globally-slow session (every key 5x —
+      // clearly host-wide) can't double the bench; the count of dropped
+      // keys is reported rather than silently truncated
+      val (diag, dropped) = flagged.splitAt(8)
+      val frags = diag.map { case (k, t, b) =>
+        diagnose(spark, k, SparkEntry.queries(k), sfDir, b, t)
+      }
+      val drop = if (dropped.isEmpty) "" else s""","undiagnosed":${dropped.size}"""
+      println(s"""{"metric":"outliers","band":$band,"keys":${frags.mkString("{", ",", "}")}$drop}""")
+    }
     val failed = steady.collect { case (k, _, false) => "\"" + k + "\"" }
       .sorted.mkString("[", ",", "]")
     val total = steady.map(_._2).sum
