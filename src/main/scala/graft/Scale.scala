@@ -71,6 +71,7 @@ object Scale {
     // skew-probe-only families (events-resident, see skewFamilies)
     "q32_window_sessionize" -> Set("events"),
     "q115_session_paths" -> Set("events"),
+    "q115_capped" -> Set("events"),
     "q168_user_entropy" -> Set("events"))
 
   private val OFF = 1000000000L // id offset per copy: disjoint key spaces
@@ -96,29 +97,53 @@ object Scale {
   val skewFamilies: Seq[(String, String)] = Seq(
     "q32_window_sessionize" -> "per-user gap window, single-task hot key",
     "q115_session_paths" -> "per-user session + lead windows",
+    "q115_capped" -> "q115 behind Graft.capPerKey(user_id, 1000) — the mitigation row",
     "q39_join_interval_bucketed" -> "per-user 5-min-cell self-join",
     "q113_item_pagerank" -> "per-user lag edge build + item fixpoint",
     "q64_user_knn_predict" -> "per-user-capped CF pair core",
     "q121_rolling_active_users" -> "user-day explode + day groupBy (control)",
     "q168_user_entropy" -> "two-level groupBy (map-side-combine control)")
 
-  /** Hot user id for the skew blow-up: outside every copy's offset space
-    * (copies occupy [copy·OFF, copy·OFF + baseIds), copy < k ≤ 100). */
+  /** Probe-only variants OUTSIDE the frozen 278-key inventory (they have no
+    * oracle and exist purely as experiment rows). "q115_capped" is the
+    * hot-key mitigation recipe measured against q115's skew curve: cap
+    * every user to their first 1000 events (content-stable ts+event_id
+    * order — ~10x the organic per-user max at every SF, so the cap never
+    * binds on a uniform corpus) BEFORE the same 3-window session-path
+    * chain. `Graft.capPerKey`'s WindowGroupLimit runs its partial mode
+    * map-side, cutting the hot key's rows per input partition before the
+    * shuffle — the capped hot-key curve should sit on the uniform one
+    * (SkewSpec pins the x10 point; SCALING.md records x1000). */
+  val extraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "q115_capped" -> ((s, d) => operators.Windows.sessionPaths(
+      api.Graft.capPerKey(Tables.events(s, d), Seq("user_id"), 1000,
+        Seq(col("ts"), col("event_id"))))))
+
+  /** Hot user id for the skew blow-up: outside every non-hot copy's offset
+    * space (copies occupy [copy·OFF, copy·OFF + baseIds) for copy < k ≤
+    * 1000 — safe up to ×1000, the deepest documented run, because copy 999
+    * is itself a hot copy (999 % 10 == 9) so its offset space — the only
+    * one containing HOT — is never emitted). */
   private val HOT = OFF * 999L
 
   /** Skewed ×k events blow-up: identical to [[blowUp]]'s events branch —
-    * same event_id/ts/value perturbations, same copy count — EXCEPT that
-    * every 10th copy's rows land on the single [[HOT]] user instead of a
-    * disjoint id space. At k ≥ 10 the hot user holds 10% of all events
-    * (k/10 × base rows) while the remaining users keep constant group
-    * size, so a same-k uniform-vs-skew time delta isolates pure hot-key
-    * cost. Copy 0 stays bit-identical to the source (hot copies are
-    * copy % 10 == 9), so k = 1 remains the unskewed base. */
-  def blowUpSkew(spark: SparkSession, src: String, out: String, k: Int): Unit = {
+    * same event_id/ts/value perturbations, same copy count, same `files`
+    * fan-out (single-file default for published-curve comparability; a
+    * multi-file uniform control vs a single-file skew corpus would
+    * confound writer layout with hot-key cost — the row-group ceiling
+    * documented at [[blowUp]]) — EXCEPT that every 10th copy's rows land
+    * on the single [[HOT]] user instead of a disjoint id space. At k ≥ 10
+    * the hot user holds 10% of all events (k/10 × base rows) while the
+    * remaining users keep constant group size, so a same-k uniform-vs-skew
+    * time delta isolates pure hot-key cost. Copy 0 stays bit-identical to
+    * the source (hot copies are copy % 10 == 9), so k = 1 remains the
+    * unskewed base. */
+  def blowUpSkew(spark: SparkSession, src: String, out: String, k: Int,
+                 files: Int = 1): Unit = {
     def done(t: String) =
       new java.io.File(s"$out/$t.parquet/_SUCCESS").exists()
-    if (!done("events"))
-      spark.read.parquet(s"$src/events.parquet")
+    if (!done("events")) {
+      val blown = spark.read.parquet(s"$src/events.parquet")
         .crossJoin(broadcast(
           spark.range(k.toLong).select(col("id").as("copy"))))
         .select((col("event_id") + col("copy") * OFF).as("event_id"),
@@ -128,7 +153,9 @@ object Scale {
           col("event_type"),
           (col("value") + col("copy").cast("double") * 1e-4).as("value"),
           col("props"))
+      (if (files > 1) blown.repartition(files) else blown)
         .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
   }
 
   /** Deterministic ×k blow-up of the probe tables in `tables` from `src`
@@ -243,7 +270,7 @@ object Scale {
       try operators.TextPipeline.shingles5h(spark, dir).count()
       catch { case _: Throwable => () }
     keys.map { key =>
-      val fn = SparkEntry.queries(key)
+      val fn = SparkEntry.queries.getOrElse(key, extraProbes(key))
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // Bench.force, not count(): the same full-width materialization
@@ -277,6 +304,16 @@ object Scale {
         lookup.find(k => k == p || k.startsWith(p + "_"))
           .getOrElse(sys.error(s"unknown scale family: $p"))
       }
+    // skew mode writes ONLY events.parquet — a resolved family that reads
+    // any other table would die mid-probe with FileNotFound at k>1; fail
+    // fast with the actual mistake instead (r12 ADVICE)
+    if (skew) keys.foreach { k =>
+      val tabs = tableOf.getOrElse(k, Set.empty[String])
+      require(tabs == Set("events"),
+        s"skew mode (SPARK_GRAFT_SCALE_SKEW=1) blows up only events.parquet, " +
+          s"but family $k reads ${tabs.mkString("{", ",", "}")} — " +
+          "probe it on a uniform corpus instead")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Shuffle-partition override for probe experiments. MEASURED on the
     // q120 ×1000 2×2 (SCALING.md r11): partition count is NOT the
@@ -328,7 +365,8 @@ object Scale {
       val dir =
         if (k == 1) src
         else if (skew) {
-          blowUpSkew(spark, src, s"$outBase/skew_x$k", k); s"$outBase/skew_x$k"
+          blowUpSkew(spark, src, s"$outBase/skew_x$k$fSuffix", k, blowFiles)
+          s"$outBase/skew_x$k$fSuffix"
         } else {
           blowUp(spark, src, s"$outBase/x$k$fSuffix", k, tabs, blowFiles)
           s"$outBase/x$k$fSuffix"

@@ -24,6 +24,33 @@ object Graft {
       .filter(col(rankCol) <= k)
   }
 
+  /** Hot-key cap — the skew mitigation for per-key plans, as API (r13).
+    * Keeps at most `n` rows per `keys` group, chosen by `orderBy`, which
+    * MUST be content-stable (a hash of the row's id, or event time +
+    * unique id — never a partition-order artifact), so every rerun,
+    * repartition and engine keeps the same rows.
+    *
+    * Use case: the bot/test-account shape every 100 TB event log contains
+    * — SCALING.md's hot-key experiment measured ONE user holding 10% of
+    * all events pushing q115's 3-window chain to 2.46x the uniform corpus
+    * at x1000 (the hot key's rows serialize into one O(h log h) sort
+    * task). Capping per-user rows before the window chain bounds that
+    * task at O(n log n) regardless of the key's true density.
+    *
+    * Plan: row_number + `<= n` filter, which Spark rewrites to
+    * `WindowGroupLimit` — and the PARTIAL mode runs map-side, so a hot
+    * key's rows are cut to n per input partition BEFORE the shuffle:
+    * the mitigation acts where the skew originates, not after one task
+    * has already absorbed the key. No global sort, no collect. */
+  def capPerKey(df: DataFrame, keys: Seq[String], n: Int,
+                orderBy: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty, "capPerKey needs key columns")
+    require(n >= 1, s"n must be >= 1, got $n")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("__cap_rn", row_number().over(w))
+      .filter(col("__cap_rn") <= n).drop("__cap_rn")
+  }
+
   /** Per-key TOP-M contributor cap with WHOLE-TIE-GROUP admission: keep
     * each key's rows whose `score` is at or above that key's M-th highest
     * DISTINCT-row score, admitting the entire boundary tie group (so both

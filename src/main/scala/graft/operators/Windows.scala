@@ -68,8 +68,15 @@ object Windows {
     * inside a session is enforced by leading the session id alongside the
     * event type and filtering equality — cheaper than re-partitioning by
     * (user, session), which WOULD be a second shuffle. */
-  def q115(s: SparkSession, d: String): DataFrame = {
-    val e = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+  def q115(s: SparkSession, d: String): DataFrame =
+    sessionPaths(events(s, d))
+
+  /** [[q115]]'s body over any events-shaped frame — factored out so the
+    * hot-key mitigation recipe (SkewSpec / SCALING.md: `Graft.capPerKey`
+    * on user_id before the window chain) runs the IDENTICAL plan on a
+    * capped input rather than a near-copy. */
+  private[graft] def sessionPaths(ev: DataFrame): DataFrame = {
+    val e = ev.withColumn("ts_us", expr("ts div 1000"))
     val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     e.withColumn("new_sess",

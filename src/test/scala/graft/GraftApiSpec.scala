@@ -21,6 +21,31 @@ class GraftApiSpec extends AnyFunSuite {
     assert(api.except(q30).isEmpty && q30.except(api).isEmpty)
   }
 
+  test("capPerKey: bot-filter recipe — bounds every key at n, keeps content-stable rows, no-ops under organic density") {
+    val ev = Tables.events(s, d)
+    // one synthetic bot user holding as many events as the rest combined
+    val bot = ev.withColumn("user_id", lit(424242L))
+      .withColumn("event_id", col("event_id") + lit(10000000L))
+    val skewed = ev.unionAll(bot)
+    val capped = Graft.capPerKey(skewed, Seq("user_id"), 50,
+      Seq(col("ts"), col("event_id")))
+    val perKey = capped.groupBy("user_id").count()
+    assert(perKey.filter(col("count") > 50).isEmpty,
+      "no key may exceed the cap")
+    // content-stable selection: the kept set is the user's FIRST 50 events
+    // by (ts, event_id) — layout-independent, so a repartitioned input
+    // keeps the identical rows
+    val again = Graft.capPerKey(skewed.repartition(7), Seq("user_id"), 50,
+      Seq(col("ts"), col("event_id")))
+    assert(capped.except(again).isEmpty && again.except(capped).isEmpty,
+      "capPerKey selection must be layout-independent")
+    // under organic density (max ~88 events/user at sf0.001) a generous
+    // cap is the identity — the mitigation costs nothing when not needed
+    val noop = Graft.capPerKey(ev, Seq("user_id"), 1000,
+      Seq(col("ts"), col("event_id")))
+    assert(noop.except(ev).isEmpty && ev.except(noop).isEmpty)
+  }
+
   test("asofJoin reproduces q17 (latest order strictly before each event)") {
     val ev = Tables.events(s, d).select("event_id", "user_id", "tsc")
     val o = Tables.orders(s, d)

@@ -35,11 +35,18 @@ class SkewSpec extends AnyFunSuite {
   private val Floor = 0.3
   private val MaxRatio = 10.0
 
+  private lazy val uni: String = {
+    val dir = Files.createTempDirectory("graft_skew_uni").toString
+    Scale.blowUp(s, src, dir, 10, Set("events"))
+    dir
+  }
+  private lazy val hot: String = {
+    val dir = Files.createTempDirectory("graft_skew_hot").toString
+    Scale.blowUpSkew(s, src, dir, 10)
+    dir
+  }
+
   test("10x hot-key skew: one user holding 10% of all events stays in band of the uniform corpus") {
-    val uni = Files.createTempDirectory("graft_skew_uni").toString
-    val hot = Files.createTempDirectory("graft_skew_hot").toString
-    Scale.blowUp(s, src, uni, 10, Set("events"))
-    Scale.blowUpSkew(s, src, hot, 10)
     val keys = Scale.skewFamilies.map(_._1)
     val tU = Scale.probe(s, uni, runs = 2, keys = keys).toMap
     val tH = Scale.probe(s, hot, runs = 2, keys = keys).toMap
@@ -51,5 +58,41 @@ class SkewSpec extends AnyFunSuite {
         f"$key went quadratic in hot-key density: uniform ${u}%.2fs -> " +
           f"hot-key ${h}%.2fs (${ratio}%.1fx > ${MaxRatio}x bound) — $what")
     }
+  }
+
+  test("capPerKey mitigation: the capped q115 neutralizes the hot key (r13)") {
+    // SCALING.md's x1000 experiment measured q115's 3-window chain at
+    // 2.46x uniform when one user holds 10% of all events; the mitigation
+    // recipe (Graft.capPerKey on user_id before the identical window
+    // chain — Scale.extraProbes' q115_capped) flattens that curve. This
+    // pins the recipe's two laws at suite scale:
+    //  1. SEMANTICS — under organic per-user density the generous cap is
+    //     the IDENTITY: q115_capped ≡ q115 exactly on the uniform corpus
+    //     (disjoint users keep ~86 events each, far under 1000).
+    val fCapped = Scale.extraProbes("q115_capped")
+    val fPlain = SparkEntry.queries("q115_session_paths")
+    val cappedUni = fCapped(s, uni)
+    val plainUni = fPlain(s, uni)
+    assert(cappedUni.except(plainUni).isEmpty && plainUni.except(cappedUni).isEmpty,
+      "a cap above organic density must not change uniform-corpus results")
+    //  2. STATE BOUND — on the hot corpus the cap BINDS: the hot user
+    //     contributes exactly 1000 rows to the window chain (from 10k
+    //     here, 10M at the x1000 probe), so the single-task sort cost is
+    //     O(cap log cap) regardless of true key density.
+    import org.apache.spark.sql.functions.col
+    val hotRows = graft.api.Graft.capPerKey(
+        Tables.events(s, hot), Seq("user_id"), 1000,
+        Seq(col("ts"), col("event_id")))
+      .filter(col("user_id") === 999000000000L).count()
+    assert(hotRows == 1000L,
+      s"hot user must be capped to exactly 1000 rows, saw $hotRows")
+    // and the capped hot-key wall time sits in a tight band of the capped
+    // uniform run (the x1000 flattening, pinned at suite scale)
+    val tU = Scale.probe(s, uni, runs = 2, keys = Seq("q115_capped")).head._2
+    val tH = Scale.probe(s, hot, runs = 2, keys = Seq("q115_capped")).head._2
+    val ratio = tH / math.max(tU, Floor)
+    info(f"q115_capped uniform ${tU}%.2fs  hot-key ${tH}%.2fs  ratio ${ratio}%.1fx")
+    assert(ratio <= 3.0,
+      f"capped q115 must stay near uniform cost on the hot corpus: ${ratio}%.1fx")
   }
 }
