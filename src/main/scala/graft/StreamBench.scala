@@ -250,8 +250,15 @@ object StreamBench {
     if (sections("main")) {
       val summary = results.map { case (name, (reg, t)) =>
         s""""${name}_$reg":${f1(n / t)}""" }.mkString("{", ",", "}")
-      val fcSummary = fixedCosts.map { case (k, v) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
-      println(s"""{"metric":"streambench_summary","unit":"rows_per_sec","rows":$n,"chunks":$nChunks,"runs":$runs,"shapes":$summary,"fixed_sec_per_batch":$fcSummary,"sf":"$sfDir"}""")
+      // fixed_sec_per_batch only when the sweep section actually ran: a
+      // sections=main run previously emitted {} — a silent shape change
+      // for STREAMBENCH.json consumers that always saw the three swept
+      // shapes (r12 ADVICE)
+      val fcSummary =
+        if (!sections("sweep")) ""
+        else s""","fixed_sec_per_batch":${fixedCosts.map { case (k, v) =>
+          s""""$k":${f3(v)}""" }.mkString("{", ",", "}")}"""
+      println(s"""{"metric":"streambench_summary","unit":"rows_per_sec","rows":$n,"chunks":$nChunks,"runs":$runs,"shapes":$summary$fcSummary,"sf":"$sfDir"}""")
     }
     spark.stop()
   }

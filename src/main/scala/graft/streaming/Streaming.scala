@@ -31,6 +31,44 @@ import org.apache.spark.sql.functions._
   */
 object Streaming {
 
+  /** Deployment-sizing wrapper (r13): runs `start` — a block that STARTS a
+    * streaming query — with `spark.sql.shuffle.partitions` (which pins the
+    * stateful operator's state-store count at first start) and optionally
+    * `noDataMicroBatches` scoped to the block, restoring the session conf
+    * after. Why a start-scoped wrapper and not a DataFrame transform:
+    * Spark reads both settings from the SESSION conf at query start — a
+    * `repartition` on the frame would add an exchange without changing the
+    * state-store count.
+    *
+    * Sizing rule (MEASURED, SCALING.md r12 / STREAMBENCH.json): each
+    * stateful operator keeps one state store per shuffle partition and
+    * every store commits a delta file per micro-batch, giving a per-batch
+    * fixed cost ≈ 0.2 s + ~0.02 s × partitions. On these shapes at small
+    * per-partition state, 32 → 8 partitions measured 2.3–2.5× incremental
+    * throughput, `noDataMicroBatches=false` another ~1.8× (append results
+    * then finalize only on the NEXT data batch), and both levers stacked
+    * 4.6–5.7× (13.7–18.3 k rows/s). Size partition count to the STATE, not
+    * the site batch default: partitions ≈ max(cores actually needed for
+    * the per-batch row volume, state size / executor-memory budget). */
+  def sized[T](spark: SparkSession, statePartitions: Int,
+      noDataMicroBatches: Boolean = true)(start: => T): T = {
+    require(statePartitions >= 1, s"statePartitions must be >= 1, got $statePartitions")
+    val shufKey = "spark.sql.shuffle.partitions"
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val priorShuf = spark.conf.get(shufKey)
+    val priorNd = spark.conf.getOption(ndKey)
+    spark.conf.set(shufKey, statePartitions.toString)
+    spark.conf.set(ndKey, noDataMicroBatches.toString)
+    try start
+    finally {
+      spark.conf.set(shufKey, priorShuf)
+      priorNd match {
+        case Some(v) => spark.conf.set(ndKey, v)
+        case None => spark.conf.unset(ndKey)
+      }
+    }
+  }
+
   /** Shared transforms — `ev` may be a batch OR streaming DataFrame with the
     * events schema (+ tsc). Ordering/rounding happen in the batch wrapper
     * (sorts are illegal on unaggregated streams). */

@@ -608,6 +608,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.except(streamed).count() == 0)
     assert(streamed.count() == batch.count())
   }
+
+  test("Streaming.sized pins the state-store count at query start and restores the session conf") {
+    // The sizing lever SCALING.md's rule names (r13 verdict task #5): the
+    // state-store count = spark.sql.shuffle.partitions AT FIRST START, so
+    // the helper scopes the conf around the start block. Assert (a) the
+    // running query really keeps 8 stores (StateOperatorProgress), (b) the
+    // result is the same as the default-partition run — sizing must never
+    // change semantics — and (c) the session conf is restored after.
+    val sp = s
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val priorShuf = sp.conf.get("spark.sql.shuffle.partitions")
+    val ms = MemoryStream[Ev]
+    ms.addData(batchEvents.as[Ev].collect().toIndexedSeq)
+    val q = streaming.Streaming.sized(sp, 8, noDataMicroBatches = false) {
+      streaming.Streaming.tumbling(ms.toDF.withWatermark("tsc", "10 minutes"))
+        .writeStream.format("memory").queryName("sized_out")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    val stores = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numShufflePartitions).distinct.toSeq
+    assert(stores == Seq(8L),
+      s"query must run with 8 state stores, saw $stores")
+    assert(sp.conf.get("spark.sql.shuffle.partitions") == priorShuf,
+      "sized must restore the session shuffle-partition conf")
+    assert(sp.conf.getOption(
+      "spark.sql.streaming.noDataMicroBatches.enabled").isEmpty ||
+      sp.conf.get("spark.sql.streaming.noDataMicroBatches.enabled") == "true",
+      "sized must restore the no-data-batch conf")
+    val streamed = s.table("sized_out")
+    val batch = streaming.Streaming.tumbling(batchEvents)
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
 }
 
 /** Document row for the streaming-curation test. */
