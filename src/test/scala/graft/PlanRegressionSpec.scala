@@ -52,6 +52,21 @@ class PlanRegressionSpec extends AnyFunSuite {
     }
   }
 
+  test("capPerKey plans a WindowGroupLimit with a map-side partial (the skew mitigation's plan contract)") {
+    // The scaladoc's scale claim: the row_number + <= n filter rewrites to
+    // WindowGroupLimit, whose Partial mode cuts a hot key's rows per input
+    // partition BEFORE the shuffle. If a Spark upgrade or a refactor drops
+    // the rewrite (e.g. the rank filter no longer matches), the cap
+    // degenerates to a full window sort of the hot partition — exactly the
+    // straggler it exists to prevent — so the plan property is the test.
+    val plan = planOf(graft.api.Graft.capPerKey(
+      Tables.events(s, d), Seq("user_id"), 50, Seq(col("ts"), col("event_id"))))
+    assert(plan.contains("WindowGroupLimit"),
+      s"capPerKey must plan via WindowGroupLimit, got:\n$plan")
+    assert(plan.contains("Partial"),
+      "the WindowGroupLimit must include the map-side Partial pass")
+  }
+
   test("q64: no BroadcastExchange anywhere when auto-broadcast is off (no fact-sized broadcast hints)") {
     // Disabling size-based auto-broadcast leaves only EXPLICIT broadcasts in
     // the plan — at 100 TB every q64 input (ratings, norms, sims) is
