@@ -403,6 +403,14 @@ class PlanRegressionSpec extends AnyFunSuite {
       "release left rowcount conf memos behind")
     assert(s.conf.getOption(rcKey).nonEmpty,
       "release cleared another session's rowcount memo")
+    // flag memos (r13, the ALS id-range probe) share the conf-memo
+    // lifecycle: computed once, conf-read after, cleared by release
+    var evals = 0
+    def probe() = Tables.memoizedFlag(s2, d, "relTestFlag") { evals += 1; true }
+    assert(probe() && probe() && evals == 1,
+      "flag memo must compute once and conf-read after")
+    Tables.release(s2)
+    assert(probe() && evals == 2, "release must clear flag memos")
   }
 
   test("Tables.events: UTC is baked at analysis, the caller's timezone is restored") {
