@@ -293,12 +293,16 @@ object Bench {
     // ~170 chars; printed inside the archived tail window together with
     // steady_slowest80 + total (~1.7 KB combined, under the 2000-char tail).
     println(s"""{"metric":"storage",${snaps.mkString(",")}}""")
-    println(line("steady_slowest80", steady.sortBy(-_._2).take(80)))
     // Self-diagnosis of out-of-band keys (r13, see the header block): a
     // third instrumented pass per flagged key, classified host/gc/spill/
     // code, printed INSIDE the archived tail window so a q137-class
     // reading carries its own adjudication. Printed even when empty so
     // "no outliers" is distinguishable from "diagnosis didn't run".
+    // Printed BEFORE steady_slowest80: the common case (0–2 keys) fits the
+    // 2000-char tail entirely, and a host-meltdown case (8 keys ≈ 1.6 KB)
+    // clips THIS line's head rather than evicting slowest80/total — the
+    // two lines every cross-round consumer parses. Fragments print
+    // least-severe FIRST so the worst key sits nearest the surviving end.
     val basePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
       "src/test/resources/bench_baseline.txt")
     val baseline = parseBaseline(basePath)
@@ -311,12 +315,13 @@ object Bench {
       // clearly host-wide) can't double the bench; the count of dropped
       // keys is reported rather than silently truncated
       val (diag, dropped) = flagged.splitAt(8)
-      val frags = diag.map { case (k, t, b) =>
+      val frags = diag.reverse.map { case (k, t, b) =>
         diagnose(spark, k, SparkEntry.queries(k), sfDir, b, t)
       }
       val drop = if (dropped.isEmpty) "" else s""","undiagnosed":${dropped.size}"""
       println(s"""{"metric":"outliers","band":$band,"keys":${frags.mkString("{", ",", "}")}$drop}""")
     }
+    println(line("steady_slowest80", steady.sortBy(-_._2).take(80)))
     val failed = steady.collect { case (k, _, false) => "\"" + k + "\"" }
       .sorted.mkString("[", ",", "]")
     val total = steady.map(_._2).sum
