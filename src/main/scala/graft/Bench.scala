@@ -66,8 +66,8 @@ object Bench {
     else "code"
 
   /** Sums task metrics across every task that ends while registered.
-    * Listener-bus delivery is asynchronous — [[diagnose]] sleeps briefly
-    * after the action before reading the tallies. */
+    * Listener-bus delivery is asynchronous — [[diagnose]] polls via
+    * [[drainTallies]] until the tallies go quiet before reading them. */
   private[graft] class TaskTally extends org.apache.spark.scheduler.SparkListener {
     val runMs = new java.util.concurrent.atomic.AtomicLong
     val gcMs = new java.util.concurrent.atomic.AtomicLong
@@ -80,6 +80,28 @@ object Bench {
         gcMs.addAndGet(m.jvmGCTime)
         spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
       }
+    }
+  }
+
+  /** Wait for the async listener bus to finish delivering task-end events:
+    * poll the tallies until they are UNCHANGED for `stableForMs` (capped at
+    * `maxWaitMs`). A single fixed sleep — the r13 shape — can read the
+    * tallies early on a loaded/contended host, which is precisely the
+    * condition being diagnosed: missed late task-end events undercount
+    * gc_ms/spill and skew a reproduced slowdown's verdict from gc/spill
+    * toward code (r13 ADVICE). Quiet-period polling is load-adaptive and
+    * uses only public API (listenerBus.waitUntilEmpty is private[spark]). */
+  private[graft] def drainTallies(t: TaskTally, maxWaitMs: Long = 5000,
+      stableForMs: Long = 200, pollMs: Long = 50): Unit = {
+    def snap = (t.runMs.get, t.gcMs.get, t.spillBytes.get)
+    val deadline = System.nanoTime() + maxWaitMs * 1000000L
+    var last = snap
+    var stableSince = System.nanoTime()
+    while (System.nanoTime() < deadline &&
+        System.nanoTime() - stableSince < stableForMs * 1000000L) {
+      Thread.sleep(pollMs)
+      val cur = snap
+      if (cur != last) { last = cur; stableSince = System.nanoTime() }
     }
   }
 
@@ -97,7 +119,7 @@ object Bench {
     val ok = try { force(fn(spark, sfDir)); true }
              catch { case _: Throwable => false }
     val wall = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(300) // let the async listener bus drain task-end events
+    drainTallies(tally) // poll until the async listener bus goes quiet
     spark.sparkContext.removeSparkListener(tally)
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -46,9 +46,15 @@ object Graft {
                 orderBy: Seq[Column]): DataFrame = {
     require(keys.nonEmpty, "capPerKey needs key columns")
     require(n >= 1, s"n must be >= 1, got $n")
+    // collision-free helper name: withColumn REPLACES an existing column of
+    // the same name, so a fixed "__cap_rn" would silently DROP a caller's
+    // column of that name at the end (r13 ADVICE)
+    val rn = Iterator.from(0)
+      .map(i => if (i == 0) "__cap_rn" else s"__cap_rn$i")
+      .find(c => !df.columns.contains(c)).get
     val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
-    df.withColumn("__cap_rn", row_number().over(w))
-      .filter(col("__cap_rn") <= n).drop("__cap_rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= n).drop(rn)
   }
 
   /** Per-key TOP-M contributor cap with WHOLE-TIE-GROUP admission: keep

@@ -31,14 +31,24 @@ import org.apache.spark.sql.functions._
   */
 object Streaming {
 
-  /** Deployment-sizing wrapper (r13): runs `start` — a block that STARTS a
-    * streaming query — with `spark.sql.shuffle.partitions` (which pins the
-    * stateful operator's state-store count at first start) and optionally
-    * `noDataMicroBatches` scoped to the block, restoring the session conf
-    * after. Why a start-scoped wrapper and not a DataFrame transform:
-    * Spark reads both settings from the SESSION conf at query start — a
-    * `repartition` on the frame would add an exchange without changing the
-    * state-store count.
+  /** Deployment-sizing wrapper (r13, isolated r14): runs `start` — a block
+    * that builds and STARTS a streaming query off the SparkSession it is
+    * handed — on a FRESH child session (`spark.newSession()`: same
+    * SparkContext, same cached data, isolated SQL conf) with
+    * `spark.sql.shuffle.partitions` (which pins the stateful operator's
+    * state-store count at first start) and `noDataMicroBatches` set on
+    * that child only. Why a start-scoped wrapper and not a DataFrame
+    * transform: Spark reads both settings from the SESSION conf at query
+    * start — a `repartition` on the frame would add an exchange without
+    * changing the state-store count. Why a child session and not a
+    * set/restore around the block (the r13 shape): mutating the SHARED
+    * session conf races any concurrent `sized` call or batch-query start
+    * on the same session — one could observe the temporary values or
+    * restore the wrong prior (r13 ADVICE). The child session's conf dies
+    * with it, so nothing needs restoring and concurrent callers are
+    * isolated by construction. The block MUST build its source/sink
+    * through the session it receives (not a captured outer session) —
+    * the settings bind to the session the query starts on.
     *
     * Sizing rule (MEASURED, SCALING.md r12 / STREAMBENCH.json): each
     * stateful operator keeps one state store per shuffle partition and
@@ -51,22 +61,13 @@ object Streaming {
     * the site batch default: partitions ≈ max(cores actually needed for
     * the per-batch row volume, state size / executor-memory budget). */
   def sized[T](spark: SparkSession, statePartitions: Int,
-      noDataMicroBatches: Boolean = true)(start: => T): T = {
+      noDataMicroBatches: Boolean = true)(start: SparkSession => T): T = {
     require(statePartitions >= 1, s"statePartitions must be >= 1, got $statePartitions")
-    val shufKey = "spark.sql.shuffle.partitions"
-    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
-    val priorShuf = spark.conf.get(shufKey)
-    val priorNd = spark.conf.getOption(ndKey)
-    spark.conf.set(shufKey, statePartitions.toString)
-    spark.conf.set(ndKey, noDataMicroBatches.toString)
-    try start
-    finally {
-      spark.conf.set(shufKey, priorShuf)
-      priorNd match {
-        case Some(v) => spark.conf.set(ndKey, v)
-        case None => spark.conf.unset(ndKey)
-      }
-    }
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    sess.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      noDataMicroBatches.toString)
+    start(sess)
   }
 
   /** Shared transforms — `ev` may be a batch OR streaming DataFrame with the

@@ -80,4 +80,57 @@ class ConcurrencySpec extends AnyFunSuite {
         s"$k returned different results under concurrent execution")
     }
   }
+
+  test("release() in one session racing queries in another keeps results correct (the shared-CacheManager rebuild path)") {
+    // The one multi-session edge r13 left unpinned (r13 verdict, missing
+    // #3): Spark's CacheManager is CONTEXT-shared, so session A's
+    // Tables.release() also evicts session B's identical-plan cache entry.
+    // B's memo VIEW survives in its own catalog (views are session-scoped),
+    // so B's queries must transparently fall back to the uncached plan —
+    // slower, never wrong. Race an A-side release/rebuild loop against
+    // B-side query replays and assert every B result is bit-identical to
+    // its pre-race fingerprint; then measure the rebuild cost once for the
+    // release() scaladoc.
+    val dir = java.nio.file.Files.createTempDirectory("graft_rel_race").toString
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$d/events.parquet")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val sA = s.newSession()
+    val sB = s.newSession()
+    def fpB(): String = {
+      val rows = SparkEntry.queries("q32_window_sessionize")(sB, dir).collect()
+        .map(_.toSeq.mkString(",")).sorted
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(rows.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    try {
+      Tables.events(sA, dir).count() // A shares B's canonical events plan
+      val expected = fpB()           // warm + fingerprint B before the race
+      val results = onPool(2) {
+        case 1 => Left((1 to 4).map(_ => fpB()))
+        case _ => Right((1 to 8).foreach { _ =>
+          Tables.release(sA)                // evicts the shared cache entry
+          Tables.events(sA, dir).count()    // and A immediately rebuilds it
+        })
+      }
+      val bFps = results.collectFirst { case Left(fps) => fps }.get
+      assert(bFps.forall(_ == expected),
+        s"a mid-flight release() changed another session's results: $bFps")
+      // quantify the rebuild penalty once (cited in Tables.release's
+      // scaladoc): B warm-cached vs B straight after a cross-session evict
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      fpB() // ensure warm
+      val warm = time(fpB())
+      Tables.release(sA)
+      val evicted = time(fpB())
+      info(f"q32 on events at sf0.001: warm-cached $warm%.3f s, " +
+        f"post-cross-session-evict $evicted%.3f s (uncached rebuild)")
+    } finally {
+      Tables.release(sA)
+      Tables.release(sB)
+    }
+  }
 }

@@ -67,6 +67,40 @@ class PlanRegressionSpec extends AnyFunSuite {
       "the WindowGroupLimit must include the map-side Partial pass")
   }
 
+  test("capPerKey keeps the WindowGroupLimit plan AT the shipped recipe value n=1000 (the threshold boundary)") {
+    // The shipped recipe (q115_capped, SCALING.md's flattening experiment,
+    // SkewSpec) caps at n=1000 — EXACTLY Spark's default
+    // spark.sql.optimizer.windowGroupLimitThreshold, whose boundary is
+    // inclusive (limit <= threshold) in 4.1.2. If an upgrade makes the
+    // boundary exclusive or lowers the default, the n=1000 recipe silently
+    // degrades to a full window sort of the hot partition while the n=50
+    // pin above stays green (r13 ADVICE) — so pin the boundary value too.
+    val plan = planOf(graft.api.Graft.capPerKey(
+      Tables.events(s, d), Seq("user_id"), 1000, Seq(col("ts"), col("event_id"))))
+    assert(plan.contains("WindowGroupLimit"),
+      s"capPerKey at n=1000 must still plan via WindowGroupLimit, got:\n$plan")
+    assert(plan.contains("Partial"),
+      "the n=1000 WindowGroupLimit must include the map-side Partial pass")
+  }
+
+  test("capPerKey never clobbers a caller's own __cap_rn column") {
+    // withColumn REPLACES a same-named column, so a fixed helper name would
+    // silently drop the caller's __cap_rn at the end (r13 ADVICE); the
+    // helper now derives a collision-free name instead.
+    val withRn = Tables.events(s, d)
+      .withColumn("__cap_rn", col("event_id") * 2)
+    val out = graft.api.Graft.capPerKey(withRn, Seq("user_id"), 5,
+      Seq(col("ts"), col("event_id")))
+    assert(out.columns.contains("__cap_rn"),
+      "caller's __cap_rn column disappeared")
+    assert(out.filter(col("__cap_rn") =!= col("event_id") * 2).count() == 0,
+      "caller's __cap_rn values were overwritten by the helper rank")
+    // and the cap semantics are unchanged by the renamed helper
+    val plain = graft.api.Graft.capPerKey(Tables.events(s, d), Seq("user_id"),
+      5, Seq(col("ts"), col("event_id")))
+    assert(out.count() == plain.count())
+  }
+
   test("q64: no BroadcastExchange anywhere when auto-broadcast is off (no fact-sized broadcast hints)") {
     // Disabling size-based auto-broadcast leaves only EXPLICIT broadcasts in
     // the plan — at 100 TB every q64 input (ratings, norms, sims) is

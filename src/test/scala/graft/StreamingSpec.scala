@@ -609,23 +609,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() == batch.count())
   }
 
-  test("Streaming.sized pins the state-store count at query start and restores the session conf") {
-    // The sizing lever SCALING.md's rule names (r13 verdict task #5): the
-    // state-store count = spark.sql.shuffle.partitions AT FIRST START, so
-    // the helper scopes the conf around the start block. Assert (a) the
-    // running query really keeps 8 stores (StateOperatorProgress), (b) the
-    // result is the same as the default-partition run — sizing must never
-    // change semantics — and (c) the session conf is restored after.
+  test("Streaming.sized pins the state-store count at query start on an isolated child session") {
+    // The sizing lever SCALING.md's rule names (r13 verdict task #5), with
+    // the r13-ADVICE isolation fix: the state-store count =
+    // spark.sql.shuffle.partitions AT FIRST START, and the helper now sets
+    // it on a CHILD session it hands to the start block — never mutating
+    // the shared session. Assert (a) the running query really keeps 8
+    // stores (StateOperatorProgress), (b) the result is the same as the
+    // default-partition batch run — sizing must never change semantics —
+    // and (c) the PARENT session conf is untouched throughout (a
+    // concurrent caller could never observe the temporary values).
     val sp = s
     import sp.implicits._
-    implicit val ctx = sp.sqlContext
     val priorShuf = sp.conf.get("spark.sql.shuffle.partitions")
-    val ms = MemoryStream[Ev]
-    ms.addData(batchEvents.as[Ev].collect().toIndexedSeq)
-    val q = streaming.Streaming.sized(sp, 8, noDataMicroBatches = false) {
-      streaming.Streaming.tumbling(ms.toDF.withWatermark("tsc", "10 minutes"))
+    val data = batchEvents.as[Ev].collect().toIndexedSeq
+    val (q, child) = streaming.Streaming.sized(sp, 8, noDataMicroBatches = false) { sess =>
+      // the block builds source AND sink through the session it receives —
+      // that is the session the query starts on, hence the one the
+      // state-store conf binds to
+      implicit val ctx = sess.sqlContext
+      val ms = MemoryStream[Ev]
+      ms.addData(data)
+      val query = streaming.Streaming.tumbling(ms.toDF.withWatermark("tsc", "10 minutes"))
         .writeStream.format("memory").queryName("sized_out")
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      (query, sess)
     }
     q.awaitTermination()
     val stores = q.recentProgress.flatMap(_.stateOperators)
@@ -633,12 +641,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(stores == Seq(8L),
       s"query must run with 8 state stores, saw $stores")
     assert(sp.conf.get("spark.sql.shuffle.partitions") == priorShuf,
-      "sized must restore the session shuffle-partition conf")
+      "sized must not touch the parent session's shuffle-partition conf")
     assert(sp.conf.getOption(
       "spark.sql.streaming.noDataMicroBatches.enabled").isEmpty ||
       sp.conf.get("spark.sql.streaming.noDataMicroBatches.enabled") == "true",
-      "sized must restore the no-data-batch conf")
-    val streamed = s.table("sized_out")
+      "sized must not touch the parent session's no-data-batch conf")
+    // the memory sink registers in the CHILD session's catalog
+    val streamed = child.table("sized_out")
     val batch = streaming.Streaming.tumbling(batchEvents)
     assert(streamed.except(batch).count() == 0)
     assert(batch.except(streamed).count() == 0)
