@@ -283,15 +283,52 @@ object Scale {
     }
   }
 
+  /** Paired uniform-vs-hot probe (r14, verdict task #4): runs each family
+    * against BOTH corpora in ONE session, interleaved at the repetition
+    * level — uniform run 1, hot run 1, uniform run 2, hot run 2 per key —
+    * and returns (key, uniformMin, hotMin). Why: the deep (×1000, 100 M-row)
+    * decade has documented bad host-day variance (q115 uniform read 45.0
+    * and 24.3 s on the SAME code in two r13 sessions), so r13's skew
+    * conclusions had to be hand-assembled from same-session pairs across
+    * separate uniform and hot invocations. Temporal adjacency inside one
+    * session makes every hot/uniform ratio self-controlled: host drift
+    * hits both sides of a pair nearly equally, so the ratio survives even
+    * when the absolute seconds don't. Both corpora's events memos stay
+    * cached across the interleave (the Dataset default MEMORY_AND_DISK
+    * level absorbs the doubled footprint at ×1000). */
+  def probePaired(spark: SparkSession, uniDir: String, hotDir: String,
+      runs: Int = 2, keys: Seq[String] = skewFamilies.map(_._1))
+      : Seq[(String, Double, Double)] = {
+    // fill both corpora's shared events memo first, same Bench discipline
+    // as probe(): timings measure the plan, not a cold memo build
+    for (d <- Seq(uniDir, hotDir))
+      try Tables.events(spark, d).count() catch { case _: Throwable => () }
+    keys.map { key =>
+      val fn = SparkEntry.queries.getOrElse(key, extraProbes(key))
+      def one(dir: String): Double = {
+        val t0 = System.nanoTime()
+        Bench.force(fn(spark, dir)) // full-width, same action as Bench
+        (System.nanoTime() - t0) / 1e9
+      }
+      val reps = (1 to runs).map(_ => (one(uniDir), one(hotDir)))
+      (key, reps.map(_._1).min, reps.map(_._2).min)
+    }
+  }
+
   /** args: [factors] [family-subset] — e.g. `1000 q39,q113,q121` probes
     * only the events families at ×1000, blowing up ONLY events. A bare
     * prefix like `q39` matches its full key. Env `SPARK_GRAFT_SCALE_SKEW=1`
     * switches to the hot-key skew experiment: [[blowUpSkew]] corpora,
-    * [[skewFamilies]] as the default key set, metric `scaling_skew`. */
+    * [[skewFamilies]] as the default key set, metric `scaling_skew`.
+    * Env `SPARK_GRAFT_SCALE_PAIRED=1` (implies the skew experiment) runs
+    * [[probePaired]]: both the uniform AND hot corpus of each factor are
+    * built and probed interleaved in ONE session, emitting metric
+    * `scaling_skew_paired` with per-key {uniform, hot, ratio}. */
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outBase = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scaling")
-    val skew = sys.env.get("SPARK_GRAFT_SCALE_SKEW").contains("1")
+    val paired = sys.env.get("SPARK_GRAFT_SCALE_PAIRED").contains("1")
+    val skew = paired || sys.env.get("SPARK_GRAFT_SCALE_SKEW").contains("1")
     val keyPool = if (skew) skewFamilies else families
     val factors = args.headOption.getOrElse("1,10,100")
       .split(",").map(_.trim.toInt).toSeq
@@ -362,24 +399,48 @@ object Scale {
     val blowFiles = sys.env.getOrElse("SPARK_GRAFT_BLOWUP_FILES", "1").toInt
     val fSuffix = if (blowFiles > 1) s"_f$blowFiles" else ""
     factors.foreach { k =>
-      val dir =
-        if (k == 1) src
-        else if (skew) {
-          blowUpSkew(spark, src, s"$outBase/skew_x$k$fSuffix", k, blowFiles)
-          s"$outBase/skew_x$k$fSuffix"
-        } else {
-          blowUp(spark, src, s"$outBase/x$k$fSuffix", k, tabs, blowFiles)
-          s"$outBase/x$k$fSuffix"
+      if (paired) {
+        // both corpora of the SAME factor, probed interleaved in this one
+        // session — the skew table's paired-readings form (r14)
+        val uniDir =
+          if (k == 1) src
+          else {
+            blowUp(spark, src, s"$outBase/x$k$fSuffix", k, Set("events"), blowFiles)
+            s"$outBase/x$k$fSuffix"
+          }
+        val hotDir =
+          if (k == 1) src // ×1 is unskewed by construction: a noise-floor pair
+          else {
+            blowUpSkew(spark, src, s"$outBase/skew_x$k$fSuffix", k, blowFiles)
+            s"$outBase/skew_x$k$fSuffix"
+          }
+        val rows = s""""events_rows":${spark.read.parquet(s"$uniDir/events.parquet").count()}"""
+        val times = probePaired(spark, uniDir, hotDir, keys = keys)
+        val qs = times.map { case (q, u, h) =>
+          val ratio = if (u > 0) h / u else Double.NaN
+          s""""$q":{"uniform":${f3(u)},"hot":${f3(h)},"ratio":${f3(ratio)}}"""
+        }.mkString("{", ",", "}")
+        println(s"""{"metric":"scaling_skew_paired","skew":"hot10_user","factor":$k,$rows,"queries":$qs,"src":"$src"}""")
+      } else {
+        val dir =
+          if (k == 1) src
+          else if (skew) {
+            blowUpSkew(spark, src, s"$outBase/skew_x$k$fSuffix", k, blowFiles)
+            s"$outBase/skew_x$k$fSuffix"
+          } else {
+            blowUp(spark, src, s"$outBase/x$k$fSuffix", k, tabs, blowFiles)
+            s"$outBase/x$k$fSuffix"
+          }
+        val rows = Seq("events", "lineitem").filter(tabs).map { t =>
+          s""""${t}_rows":${spark.read.parquet(s"$dir/$t.parquet").count()}"""
         }
-      val rows = Seq("events", "lineitem").filter(tabs).map { t =>
-        s""""${t}_rows":${spark.read.parquet(s"$dir/$t.parquet").count()}"""
+        val times = probe(spark, dir, keys = keys)
+        val qs = times.map { case (q, t) => s""""$q":${f3(t)}""" }
+          .mkString("{", ",", "}")
+        val metric = if (skew) """"metric":"scaling_skew","skew":"hot10_user""""
+          else """"metric":"scaling""""
+        println(s"""{$metric,"factor":$k,${(rows :+ s""""queries":$qs""").mkString(",")},"src":"$src"}""")
       }
-      val times = probe(spark, dir, keys = keys)
-      val qs = times.map { case (q, t) => s""""$q":${f3(t)}""" }
-        .mkString("{", ",", "}")
-      val metric = if (skew) """"metric":"scaling_skew","skew":"hot10_user""""
-        else """"metric":"scaling""""
-      println(s"""{$metric,"factor":$k,${(rows :+ s""""queries":$qs""").mkString(",")},"src":"$src"}""")
     }
     spark.stop()
   }
