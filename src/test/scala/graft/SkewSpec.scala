@@ -95,4 +95,28 @@ class SkewSpec extends AnyFunSuite {
     assert(ratio <= 3.0,
       f"capped q115 must stay near uniform cost on the hot corpus: ${ratio}%.1fx")
   }
+
+  test("probePaired regenerates the skew band from ONE interleaved session (r14)") {
+    // The paired mode (SPARK_GRAFT_SCALE_PAIRED=1) is how every deep-decade
+    // skew number is quoted since r14 (SCALING.md: same-session pairs only),
+    // so the code path itself needs a pin: probePaired must cover exactly
+    // the requested keys IN ORDER (SCALING.md's tables are assembled
+    // positionally from its output), measure both corpora (positive wall
+    // on each side), and reproduce the same band law the two separate
+    // probe() calls above establish — if the interleave ever stopped
+    // alternating corpora (e.g. probed one dir twice), the hot side would
+    // lose its straggler and a quadratic hot-key regression could hide.
+    val keys = Seq("q32_window_sessionize", "q121_rolling_active_users",
+      "q168_user_entropy")
+    val t = Scale.probePaired(s, uni, hot, runs = 2, keys = keys)
+    assert(t.map(_._1) == keys,
+      s"probePaired must emit the requested keys in order, got ${t.map(_._1)}")
+    t.foreach { case (key, u, h) =>
+      assert(u > 0 && h > 0, s"$key: non-positive paired walls u=$u h=$h")
+      val ratio = h / math.max(u, Floor)
+      info(f"$key%-28s paired uniform ${u}%.2fs  hot-key ${h}%.2fs  ratio ${ratio}%.1fx")
+      assert(ratio <= MaxRatio,
+        f"$key paired hot/uniform ${ratio}%.1fx exceeds the ${MaxRatio}x band")
+    }
+  }
 }
