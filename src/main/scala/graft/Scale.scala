@@ -246,16 +246,44 @@ object Scale {
     * the number a pipeline owner actually pays at each corpus refresh. */
   private val buildOnce = Set("q93_dedup_components")
 
-  /** Runs each family in `keys` `runs` times against `dir`, returns
-    * (key, sec): min across runs for plan families, run-1 for
-    * [[buildOnce]] ones. */
-  def probe(spark: SparkSession, dir: String, runs: Int = 2,
-            keys: Seq[String] = families.map(_._1)): Seq[(String, Double)] = {
-    // fill the shared INPUT memos once so family timings measure the
-    // plan, not whichever family touches a cold memo first (the Bench
-    // discipline); shingles5 is q93's input grain, warmed so its run-1
-    // build time is the fixpoint, not the shingle scan. Only memos whose
-    // source table the probe subset actually blew up are warmable.
+  /** Task-metric tallies of ONE probe run — the reported (min-sec) one,
+    * so the tallies explain exactly the published number. Vocabulary is
+    * [[Bench.diagnose]]'s: wall vs summed executor task-time separates
+    * compute from scheduling serialization (a hot-key straggler shows
+    * wall ≈ one task's time with taskSec ≪ wall × cores), gcMs names
+    * memory pressure, spillBytes names partitions-don't-fit. */
+  final case class ProbeTally(sec: Double, taskSec: Double, gcMs: Long,
+      spillBytes: Long)
+
+  /** One full-width timed run of `fn` against `dir` under a task-metrics
+    * listener ([[Bench.TaskTally]] — the r13 outlier-diagnosis machinery).
+    * The wall clock stops BEFORE the listener-bus drain, so tallied
+    * seconds are the identical measurement the probe always made; the
+    * drain only makes the tallies complete (r13 ADVICE: a fixed sleep
+    * undercounts on a loaded host). */
+  private def timedTallied(spark: SparkSession,
+      fn: (SparkSession, String) => DataFrame, dir: String): ProbeTally = {
+    val tally = new Bench.TaskTally
+    spark.sparkContext.addSparkListener(tally)
+    val t0 = System.nanoTime()
+    // Bench.force, not count(): the same full-width materialization
+    // the bench times, so scaling curves measure complete results
+    // (count() lets Catalyst prune terminal projections — r10)
+    Bench.force(fn(spark, dir))
+    val wall = (System.nanoTime() - t0) / 1e9
+    Bench.drainTallies(tally)
+    spark.sparkContext.removeSparkListener(tally)
+    ProbeTally(wall, tally.runMs.get / 1e3, tally.gcMs.get,
+      tally.spillBytes.get)
+  }
+
+  /** Fill the shared INPUT memos once so family timings measure the
+    * plan, not whichever family touches a cold memo first (the Bench
+    * discipline); shingles5 is q93's input grain, warmed so its run-1
+    * build time is the fixpoint, not the shingle scan. Only memos whose
+    * source table the probe subset actually blew up are warmable. */
+  private def warmMemos(spark: SparkSession, dir: String,
+      keys: Seq[String]): Unit = {
     val tabs = keys.flatMap(tableOf.getOrElse(_, Set.empty[String])).toSet
     if (tabs("events"))
       try Tables.events(spark, dir).count() catch { case _: Throwable => () }
@@ -269,17 +297,31 @@ object Scale {
     if (keys.contains("q76_dedup_ngram_jaccard"))
       try operators.TextPipeline.shingles5h(spark, dir).count()
       catch { case _: Throwable => () }
+  }
+
+  /** Runs each family in `keys` `runs` times against `dir`, returns
+    * (key, sec): min across runs for plan families, run-1 for
+    * [[buildOnce]] ones. */
+  def probe(spark: SparkSession, dir: String, runs: Int = 2,
+            keys: Seq[String] = families.map(_._1)): Seq[(String, Double)] =
+    probeTallied(spark, dir, runs, keys).map { case (k, t) => k -> t.sec }
+
+  /** [[probe]] with each point's task-metric tallies (r14): the reported
+    * run's [[ProbeTally]]. Why: the deep (×1000) decade carries documented
+    * host-day variance — q115 uniform read 45.0 and 24.3 s on the SAME
+    * code in two r13 sessions — that a bare wall number cannot adjudicate.
+    * A point that carries its own gc_ms/spill_mb separates real memory
+    * pressure (grows with the corpus, reproduces) from host drift
+    * (doesn't) WITHOUT a re-run — the same evidence Bench's outlier
+    * diagnosis attaches to flagged bench keys, now on every scaling
+    * point. Env `SPARK_GRAFT_SCALE_TALLY=1` makes [[main]] emit it. */
+  def probeTallied(spark: SparkSession, dir: String, runs: Int = 2,
+      keys: Seq[String] = families.map(_._1)): Seq[(String, ProbeTally)] = {
+    warmMemos(spark, dir, keys)
     keys.map { key =>
       val fn = SparkEntry.queries.getOrElse(key, extraProbes(key))
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        // Bench.force, not count(): the same full-width materialization
-        // the bench times, so scaling curves measure complete results
-        // (count() lets Catalyst prune terminal projections — r10)
-        Bench.force(fn(spark, dir))
-        (System.nanoTime() - t0) / 1e9
-      }
-      key -> (if (buildOnce(key)) times.head else times.min)
+      val reps = (1 to runs).map(_ => timedTallied(spark, fn, dir))
+      key -> (if (buildOnce(key)) reps.head else reps.minBy(_.sec))
     }
   }
 
@@ -298,20 +340,29 @@ object Scale {
     * level absorbs the doubled footprint at ×1000). */
   def probePaired(spark: SparkSession, uniDir: String, hotDir: String,
       runs: Int = 2, keys: Seq[String] = skewFamilies.map(_._1))
-      : Seq[(String, Double, Double)] = {
+      : Seq[(String, Double, Double)] =
+    probePairedTallied(spark, uniDir, hotDir, runs, keys)
+      .map { case (k, u, h) => (k, u.sec, h.sec) }
+
+  /** [[probePaired]] with per-side tallies: each side's reported
+    * (min-sec) run as a [[ProbeTally]]. A skewed pair whose hot side
+    * reproduces WITH spill is a genuine partitions-don't-fit onset; one
+    * whose tallies match the uniform side is scheduling serialization
+    * (the single-task straggler — wall grows, taskSec barely does) or
+    * host drift. The interleave is run-level, exactly [[probePaired]]'s:
+    * uniform run 1, hot run 1, uniform run 2, hot run 2 per key. */
+  def probePairedTallied(spark: SparkSession, uniDir: String, hotDir: String,
+      runs: Int = 2, keys: Seq[String] = skewFamilies.map(_._1))
+      : Seq[(String, ProbeTally, ProbeTally)] = {
     // fill both corpora's shared events memo first, same Bench discipline
     // as probe(): timings measure the plan, not a cold memo build
     for (d <- Seq(uniDir, hotDir))
       try Tables.events(spark, d).count() catch { case _: Throwable => () }
     keys.map { key =>
       val fn = SparkEntry.queries.getOrElse(key, extraProbes(key))
-      def one(dir: String): Double = {
-        val t0 = System.nanoTime()
-        Bench.force(fn(spark, dir)) // full-width, same action as Bench
-        (System.nanoTime() - t0) / 1e9
-      }
-      val reps = (1 to runs).map(_ => (one(uniDir), one(hotDir)))
-      (key, reps.map(_._1).min, reps.map(_._2).min)
+      val reps = (1 to runs).map(_ =>
+        (timedTallied(spark, fn, uniDir), timedTallied(spark, fn, hotDir)))
+      (key, reps.map(_._1).minBy(_.sec), reps.map(_._2).minBy(_.sec))
     }
   }
 
@@ -323,11 +374,17 @@ object Scale {
     * Env `SPARK_GRAFT_SCALE_PAIRED=1` (implies the skew experiment) runs
     * [[probePaired]]: both the uniform AND hot corpus of each factor are
     * built and probed interleaved in ONE session, emitting metric
-    * `scaling_skew_paired` with per-key {uniform, hot, ratio}. */
+    * `scaling_skew_paired` with per-key {uniform, hot, ratio}.
+    * Env `SPARK_GRAFT_SCALE_TALLY=1` widens every per-key value into an
+    * object carrying the reported run's task tallies (task_sec, gc_ms,
+    * spill_mb — [[ProbeTally]]), so a probe point explains itself:
+    * memory pressure vs spill vs straggler vs host drift. The plain
+    * number shape stays the default for published-curve comparability. */
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outBase = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scaling")
     val paired = sys.env.get("SPARK_GRAFT_SCALE_PAIRED").contains("1")
+    val tallied = sys.env.get("SPARK_GRAFT_SCALE_TALLY").contains("1")
     val skew = paired || sys.env.get("SPARK_GRAFT_SCALE_SKEW").contains("1")
     val keyPool = if (skew) skewFamilies else families
     val factors = args.headOption.getOrElse("1,10,100")
@@ -415,10 +472,17 @@ object Scale {
             s"$outBase/skew_x$k$fSuffix"
           }
         val rows = s""""events_rows":${spark.read.parquet(s"$uniDir/events.parquet").count()}"""
-        val times = probePaired(spark, uniDir, hotDir, keys = keys)
+        val times = probePairedTallied(spark, uniDir, hotDir, keys = keys)
         val qs = times.map { case (q, u, h) =>
-          val ratio = if (u > 0) h / u else Double.NaN
-          s""""$q":{"uniform":${f3(u)},"hot":${f3(h)},"ratio":${f3(ratio)}}"""
+          val ratio = if (u.sec > 0) h.sec / u.sec else Double.NaN
+          if (tallied)
+            s""""$q":{"uniform":${f3(u.sec)},"hot":${f3(h.sec)},"ratio":${f3(ratio)},""" +
+              s""""uniform_task_sec":${f3(u.taskSec)},"uniform_gc_ms":${u.gcMs},""" +
+              s""""uniform_spill_mb":${u.spillBytes / (1024 * 1024)},""" +
+              s""""hot_task_sec":${f3(h.taskSec)},"hot_gc_ms":${h.gcMs},""" +
+              s""""hot_spill_mb":${h.spillBytes / (1024 * 1024)}}"""
+          else
+            s""""$q":{"uniform":${f3(u.sec)},"hot":${f3(h.sec)},"ratio":${f3(ratio)}}"""
         }.mkString("{", ",", "}")
         println(s"""{"metric":"scaling_skew_paired","skew":"hot10_user","factor":$k,$rows,"queries":$qs,"src":"$src"}""")
       } else {
@@ -434,9 +498,13 @@ object Scale {
         val rows = Seq("events", "lineitem").filter(tabs).map { t =>
           s""""${t}_rows":${spark.read.parquet(s"$dir/$t.parquet").count()}"""
         }
-        val times = probe(spark, dir, keys = keys)
-        val qs = times.map { case (q, t) => s""""$q":${f3(t)}""" }
-          .mkString("{", ",", "}")
+        val times = probeTallied(spark, dir, keys = keys)
+        val qs = times.map { case (q, t) =>
+          if (tallied)
+            s""""$q":{"sec":${f3(t.sec)},"task_sec":${f3(t.taskSec)},""" +
+              s""""gc_ms":${t.gcMs},"spill_mb":${t.spillBytes / (1024 * 1024)}}"""
+          else s""""$q":${f3(t.sec)}"""
+        }.mkString("{", ",", "}")
         val metric = if (skew) """"metric":"scaling_skew","skew":"hot10_user""""
           else """"metric":"scaling""""
         println(s"""{$metric,"factor":$k,${(rows :+ s""""queries":$qs""").mkString(",")},"src":"$src"}""")

@@ -188,4 +188,23 @@ class BenchDiagSpec extends AnyFunSuite {
     churn.join()
     assert(busyMs < 2000, s"moving-tally drain exceeded its cap: ${busyMs}ms")
   }
+
+  test("Scale.probeTallied attaches real task tallies to each probe point (r14)") {
+    // the same TaskTally machinery, riding the scaling probe: every
+    // point carries its own gc/spill/task-time evidence so a deep-decade
+    // wall number can adjudicate memory pressure vs host drift without a
+    // re-run. Two events families at sf0.001, one rep — seconds semantics
+    // are probe()'s (probe delegates here), so only the tally plumbing
+    // needs pinning: key order preserved, wall positive, and the listener
+    // actually observed the run's tasks (taskSec > 0 — the non-vacuity
+    // check; gc/spill may legitimately be zero at this size).
+    val keys = Seq("q168_user_entropy", "q121_rolling_active_users")
+    val pts = Scale.probeTallied(s, TestSpark.sf001, runs = 1, keys = keys)
+    assert(pts.map(_._1) == keys, "probeTallied reordered its keys")
+    pts.foreach { case (k, t) =>
+      assert(t.sec > 0, s"$k: non-positive wall ${t.sec}")
+      assert(t.taskSec > 0, s"$k: listener saw no tasks (taskSec=${t.taskSec})")
+      assert(t.gcMs >= 0 && t.spillBytes >= 0, s"$k: negative tally")
+    }
+  }
 }
