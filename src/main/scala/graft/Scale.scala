@@ -379,7 +379,10 @@ object Scale {
     * object carrying the reported run's task tallies (task_sec, gc_ms,
     * spill_mb — [[ProbeTally]]), so a probe point explains itself:
     * memory pressure vs spill vs straggler vs host drift. The plain
-    * number shape stays the default for published-curve comparability. */
+    * number shape stays the default for published-curve comparability.
+    * Env `SPARK_GRAFT_SPARK_CONF="k=v;k=v"` passes arbitrary Spark confs
+    * to the probe session (applied last, so pairs can override the named
+    * knobs) — the memory-pressure A/Bs live off it (SCALING.md r14). */
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outBase = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scaling")
@@ -427,7 +430,25 @@ object Scale {
     // data-proportional parallelism at small corpus sizes.
     val mpb = sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES",
       (128L * 1024 * 1024).toString)
-    val spark = SparkSession.builder()
+    // Generic Spark-conf passthrough for probe experiments:
+    // SPARK_GRAFT_SPARK_CONF="k=v;k=v" applies each pair to the builder
+    // AFTER the named knobs above (so a pair can override them). Why it
+    // exists (r14 spill regime, SCALING.md): the memory-pressure A/Bs
+    // needed spark.sql.adaptive.advisoryPartitionSizeInBytes — at a
+    // tight heap, AQE re-sizes post-shuffle partitions toward its SIZE
+    // target, so raising shuffle.partitions alone cannot shrink per-task
+    // sort state; q115 ×100 at 2.5 g/256 partitions spilled a
+    // reproducible 511 MB until the advisory target was dropped to 8 MB
+    // — and each forensic run wants a different conf (coalesce on/off,
+    // advisory size), which would otherwise grow one env var per knob.
+    val extraConf: Seq[(String, String)] =
+      sys.env.getOrElse("SPARK_GRAFT_SPARK_CONF", "").split(";").toSeq
+        .map(_.trim).filter(_.nonEmpty).map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"SPARK_GRAFT_SPARK_CONF pair without '=': $kv")
+          (kv.take(i).trim, kv.drop(i + 1).trim)
+        }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.files.maxPartitionBytes", mpb)
@@ -442,6 +463,7 @@ object Scale {
       // finished stages' files are reclaimed while the probe runs.
       .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
+    val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def f3(v: Double): String =
