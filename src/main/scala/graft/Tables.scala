@@ -309,6 +309,26 @@ object Tables {
           r4(col("rating")).as("rating"))
     }
 
+  /** Score support of the q62 bias predictor — the shared rank grain of
+    * the model-eval family (q136 calibration bins, q265 AUC, q266 gains/
+    * lift): per pinned pred, the row count, positive count (rating ≥ 4)
+    * and rating sum. Memo+cached (r14) because the pred grid is NEARLY
+    * UNIQUE per row (72,614 distinct of 73,004 scored rows at sf0.1 —
+    * "shrink to the support" shrinks nothing for a continuous score), so
+    * this is a fact-sized aggregation; each consumer's prefix scan
+    * references its support three times and three queries consume it, so
+    * uncached the same fact-sized agg ran 12+ times per bench pass
+    * (measured r14: ~2.5–5.5 s summed pipeline time per copy at sf0.1).
+    * Consumers project the columns they need; values are bit-identical to
+    * their previous inline aggs (same grouping, same addends). */
+  def predSupport(spark: SparkSession, sfDir: String): DataFrame =
+    memoized(spark, sfDir, "predsup") {
+      biasScored(spark, sfDir).groupBy("pred").agg(
+        count(lit(1)).as("t"),
+        sum(when(col("rating") >= 4.0, 1L).otherwise(0L)).as("cp"),
+        sum("rating").as("sr"))
+    }
+
   /** DuckDB-side CTE mirroring `ratings` — splice into oracle SQL. */
   val ratingsSql: String =
     "SELECT user_id, TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS item, avg(value) AS rating FROM events GROUP BY 1, 2"

@@ -657,10 +657,43 @@ object Graft {
     val ps = (1 until n).map(i => s"${i.toDouble / n}e0").mkString(",")
     val b = df.agg(expr(s"approx_percentile($orderCol, array($ps), 10000)")
       .as("__bnds"))
-    df.crossJoin(broadcast(b))
-      .withColumn("__blk",
-        coalesce(size(expr(s"filter(__bnds, q -> $orderCol > q)")), lit(0)))
-      .drop("__bnds")
+    searchBlock(df.crossJoin(broadcast(b)), orderCol, n - 1)
+  }
+
+  /** `__blk` = #{q ∈ `__bnds` : orderCol > q} via a codegen'd binary search
+    * over the SORTED bounds array, replacing the original
+    * `size(filter(__bnds, q -> orderCol > q))`: higher-order functions are
+    * interpreted per element (measured r14 at sf0.1: the filter() form
+    * cost ~13 µs/row — 8–14 s of summed pipeline time per prefix-scan
+    * reference on a 594k-row support, the single hottest expression in the
+    * rank/prefix family), while this form is log₂(n) `element_at`/CASE
+    * steps inside whole-stage codegen (optimization guide §4: prefer
+    * codegen-friendly builtins in hot paths). Each step is its own
+    * projection column so CollapseProject cannot re-inline the chain into
+    * an exponential expression tree, and the step count stays log₂ even at
+    * production shuffle-partition counts (2048 partitions → 11 steps vs a
+    * 2047-element interpreted filter per row).
+    *
+    * The predicate p(i) = orderCol > __bnds[i] is monotone non-increasing
+    * over the ascending bounds (duplicates included), so the classic
+    * power-of-two descent finds max{i : p(i)} exactly — bit-identical to
+    * the filter() count, including the edge cases: a NULL orderCol or NULL
+    * `__bnds` fails every comparison and lands in block 0, exactly like
+    * the old coalesce(size(filter(...)), 0). Consumes and drops `__bnds`. */
+  private def searchBlock(df: DataFrame, orderCol: String, len: Int): DataFrame = {
+    require(len >= 1, s"searchBlock needs at least one bound, got $len")
+    val steps = Iterator.iterate(Integer.highestOneBit(len))(_ / 2)
+      .takeWhile(_ >= 1).toSeq
+    val withPos = steps.zipWithIndex.foldLeft(df.withColumn("__bs0", lit(0))) {
+      case (acc, (step, i)) =>
+        val cand = col(s"__bs$i") + lit(step)
+        acc.withColumn(s"__bs${i + 1}",
+          when(cand <= lit(len) &&
+              col(orderCol) > element_at(col("__bnds"), cand.cast("int")),
+            cand).otherwise(col(s"__bs$i")))
+    }
+    withPos.withColumn("__blk", col(s"__bs${steps.size}").cast("int"))
+      .drop("__bnds" +: (0 to steps.size).map(i => s"__bs$i"): _*)
   }
 
   /** Distributed running (prefix) sums over a totally-ordered column — the
@@ -781,10 +814,10 @@ object Graft {
         col(c).as(s"__bg$i") } :+ col("__bnds"): _*)
     val bCond = groupCols.zipWithIndex
       .map { case (c, i) => col(c) <=> col(s"__bg$i") }.reduce(_ && _)
-    val blocked = df.join(broadcast(bounds), bCond)
-      .withColumn("__blk",
-        coalesce(size(expr(s"filter(__bnds, q -> $orderCol > q)")), lit(0)))
-      .drop("__bnds" +: groupCols.indices.map(i => s"__bg$i"): _*)
+    // same codegen'd binary search as [[searchBlock]] (the per-group
+    // bounds arrive via the group-key join instead of a crossJoin)
+    val blocked = searchBlock(df.join(broadcast(bounds), bCond), orderCol, n - 1)
+      .drop(groupCols.indices.map(i => s"__bg$i"): _*)
     val gbc = (groupCols :+ "__blk").map(col)
     val wLoc = Window.partitionBy(gbc: _*).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -957,16 +957,30 @@ object Analytics {
           ((col("t_cum") - col("t")).cast("double") +
             (col("t") + 1).cast("double") / lit(2.0)).as("fr_" + vc))
     }
-    val pairs = base.groupBy("rf", "x", "y").agg(count(lit(1)).as("w"))
-      .join(fracRanks("x"), Seq("rf", "x"))
+    // r14: ranks attach at the FACT grain — the former (rf, x, y) pair
+    // pre-aggregation produced 599,885 groups from 600,000 rows at sf0.1
+    // (y is continuous, so the pair grain is fact-sized and shrinks
+    // nothing) while costing two fact-sized hash aggs plus a 28 MB
+    // exchange; worse, the planner's size estimate for the tiny x-rank
+    // side was poisoned by the 8 MB HashedRelation floor of its upstream
+    // broadcasts, so it BROADCAST THE 600 K-ROW PAIR SIDE (75 MB, ~1.1 s
+    // build; guide §3.1: estimates go wrong — hint the side you know).
+    // The x support is DOMAIN-bounded (quantity grid × flag, 150 rows at
+    // any SF) so it broadcasts by hint; the y support stays a shuffle
+    // join. Addends are the identical exact half-integer products as the
+    // weighted pair form (w·fr regroups exactly; the only inexact sums,
+    // sxy/sxx/syy, carry summation-order drift ≪ the 4 dp pin, the same
+    // class the pair form already had).
+    val scored = base
+      .join(broadcast(fracRanks("x")), Seq("rf", "x"))
       .join(fracRanks("y"), Seq("rf", "y"))
-    pairs.groupBy("rf").agg(
-      sum("w").cast("double").as("n"),
-      sum(col("w") * col("fr_x")).as("sx"),
-      sum(col("w") * col("fr_y")).as("sy"),
-      sum(col("w") * col("fr_x") * col("fr_y")).as("sxy"),
-      sum(col("w") * col("fr_x") * col("fr_x")).as("sxx"),
-      sum(col("w") * col("fr_y") * col("fr_y")).as("syy"))
+    scored.groupBy("rf").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("fr_x")).as("sx"),
+      sum(col("fr_y")).as("sy"),
+      sum(col("fr_x") * col("fr_y")).as("sxy"),
+      sum(col("fr_x") * col("fr_x")).as("sxx"),
+      sum(col("fr_y") * col("fr_y")).as("syy"))
       .select(col("rf"), col("n").cast("long").as("n"),
         // nullif: a flag whose x or y support is a single value has zero
         // rank variance — null, not 0/0 (the q207/q266 degenerate class)

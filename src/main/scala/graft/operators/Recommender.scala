@@ -586,8 +586,9 @@ object Recommender {
     * rather than exactly equal — the right semantics for calibration,
     * where splitting a tie group across bins would be arbitrary). */
   def q136(s: SparkSession, d: String): DataFrame = {
-    val pv = biasScored(s, d).groupBy("pred")
-      .agg(count(lit(1)).as("npv"), sum("rating").as("sr"))
+    // r14: shared fact-sized score support via the predSupport memo (q265)
+    val pv = graft.Tables.predSupport(s, d)
+      .select(col("pred"), col("t").as("npv"), col("sr"))
     val tot = pv.agg(sum("npv").as("ntot"))
     graft.api.Graft.prefixSum(pv, "pred", Seq("npv"))
       .crossJoin(broadcast(tot))
@@ -947,9 +948,10 @@ object Recommender {
     * dwarfs the ulp). Scale: one score-support agg + the range-blocked
     * prefix scan + a one-row assembly. */
   def q265(s: SparkSession, d: String): DataFrame = {
-    val sup = biasScored(s, d)
-      .select(col("pred"), when(col("rating") >= 4.0, 1L).otherwise(0L).as("p"))
-      .groupBy("pred").agg(sum("p").as("cp"), count(lit(1)).as("t"))
+    // r14: the score support comes from the shared predSupport memo — the
+    // pred grid is nearly row-unique, so this agg is fact-sized and was
+    // being rebuilt at every prefix-scan reference (see Tables.predSupport)
+    val sup = graft.Tables.predSupport(s, d).select("pred", "cp", "t")
     val ranked = graft.api.Graft.prefixSum(sup, "pred", Seq("t"))
       .withColumn("fr", (col("t_cum") - col("t")).cast("double") +
         (col("t") + 1).cast("double") / lit(2.0))
@@ -979,9 +981,8 @@ object Recommender {
     * the ≤10-row bin grain. Scale: score-support agg + range-blocked
     * prefix scan + a 10-row window. */
   def q266(s: SparkSession, d: String): DataFrame = {
-    val sup = biasScored(s, d)
-      .select(col("pred"), when(col("rating") >= 4.0, 1L).otherwise(0L).as("p"))
-      .groupBy("pred").agg(sum("p").as("cp"), count(lit(1)).as("t"))
+    // r14: shared fact-sized score support via the predSupport memo (q265)
+    val sup = graft.Tables.predSupport(s, d).select("pred", "cp", "t")
     val cum = graft.api.Graft.prefixSum(sup, "pred", Seq("t"))
     val tot = sup.agg(sum("t").as("nn"), sum("cp").as("npos"))
     val binned = cum.crossJoin(broadcast(tot))
