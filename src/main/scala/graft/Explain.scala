@@ -30,11 +30,15 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, keysArg) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = Scratch.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      // SPARK_GRAFT_AQE=0 prints the static (AQE-off) plan — the form
+      // ShuffleCountSpec pins, where ReuseExchange applies at planning
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "1") != "0" match { case b => b.toString })
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (keysArg == "ALL") {

@@ -39,13 +39,13 @@ object Metrics {
       SparkEntry.queries.keys.find(k => k == p || k.startsWith(p + "_"))
         .getOrElse(sys.error(s"unknown query key: $p"))
     }
-    val spark = SparkSession.builder()
+    val spark = Scratch.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // the bench action as a frame, so the EXECUTED plan (with metrics) is

@@ -150,6 +150,27 @@ object Tables {
       .foreach(spark.conf.unset)
   }
 
+  /** Spread a NARROW-plan memo build across the session's cores before
+    * caching (r14). A cached relation keeps its build partitioning
+    * forever, and a single-file parquet scan builds at ONE split at the
+    * test SFs — so every consumer's first pipeline stage (JSON parse,
+    * µs arithmetic, filters, map-side partial aggs) ran serial on one
+    * task regardless of core count (measured r14: q137's whole 2.0 s of
+    * CPU on 3 tasks at local[32]). Hash-partitioning by `key` also lets
+    * user-keyed windows/aggregations/joins downstream reuse the cache's
+    * outputPartitioning instead of re-shuffling (guide §2.4 — the
+    * bucketed-layout effect). Scale-adaptive, not a local constant: the
+    * repartition fires only when the build plan has FEWER partitions
+    * than the session's default parallelism — at production scale a
+    * fact scan already yields ≥ cores splits and this is a no-op (the
+    * getNumPartitions probe is safe here because the build is narrow —
+    * no AQE query stages to materialize). */
+  private def spreadNarrow(spark: SparkSession, df: DataFrame,
+      key: Column): DataFrame = {
+    val n = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < n) df.repartition(n, key) else df
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame =
     memoized(spark, sfDir, "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -164,7 +185,7 @@ object Tables {
       spark.conf.set("spark.sql.session.timeZone", "UTC")
       try {
       val raw = table(spark, sfDir, "events")
-      raw.schema("ts").dataType match {
+      spreadNarrow(spark, raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           // ns-as-long schema (timestamp[ns] parquet under the legacy flag,
           // and hand-built long fixtures): derive the civil timestamp.
@@ -187,7 +208,7 @@ object Tables {
           throw new IllegalArgumentException(
             s"events.ts has unsupported type $other (expected LONG ns, " +
               "TIMESTAMP, or TIMESTAMP_NTZ) at " + sfDir)
-      }
+      }, col("user_id"))
       } finally {
         priorTz match {
           case Some(tz) => spark.conf.set("spark.sql.session.timeZone", tz)

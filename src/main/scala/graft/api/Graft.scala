@@ -1418,12 +1418,27 @@ object Graft {
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
       col(weightCol).cast("double").as("__w"))
     val deg = e.groupBy("__src").agg(sum("__w").as("__t"))
+    // r14: co-partition the loop's relations once so each round needs ONE
+    // exchange (the dst-keyed contribution agg) instead of three. The
+    // checkpointed rank/node frames carry no size statistics, so the
+    // planner re-shuffled BOTH join sides every round; with `ew` cached
+    // hash(__src) and `nodes`/each round's output hash(__id) — alias-aware
+    // partitioning survives the __id→__src rename, and localCheckpoint
+    // preserves outputPartitioning — the src-join and the node left-join
+    // plan with zero exchanges (guide §2.4: operations keyed the same way
+    // share one exchange; the classic PageRank partitioning strategy).
+    // explicit partition COUNT: AQE never coalesces a repartition with a
+    // user-specified count, so the hash(key, n) layout survives every
+    // round (a count-less repartition could be coalesced differently per
+    // round, silently re-introducing the per-round exchanges)
+    val n = edges.sparkSession.sessionState.conf.numShufflePartitions
     val ew = e.join(deg, "__src")
       .select(col("__src"), col("__dst"), (col("__w") / col("__t")).as("__p"))
+      .repartition(n, col("__src"))
       .cache()
     val nodes = e.select(col("__src").as("__id"))
       .union(e.select(col("__dst").as("__id")))
-      .distinct().localCheckpoint()
+      .distinct().repartition(n, col("__id")).localCheckpoint()
     var ranks = nodes.select(col("__id"), lit(1.0).as("__r"))
     for (i <- 1 to iters) {
       val contrib = ew.join(ranks.withColumnRenamed("__id", "__src"), "__src")

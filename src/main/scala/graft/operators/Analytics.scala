@@ -1479,10 +1479,22 @@ object Analytics {
     * term is small and non-cancelling. Tie cube in double (the q211
     * overflow bound). */
   def q243(s: SparkSession, d: String): DataFrame = {
-    val base = lineitem(s, d).select(col("l_returnflag").as("g"),
-      r2(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("v"))
-    val cells = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
-    val sup = cells.groupBy("v").agg(sum("c").as("t"))
+    // r14: the (flag, revenue) cell grain is definitionally IDENTICAL to
+    // q210's memoized y-rank support (same pin, same grouping) — reuse
+    // that memo instead of re-running the fact-sized agg at every one of
+    // this plan's references (the support is ~594k rows at sf0.1: y is
+    // continuous, so "shrink to support" shrinks nothing and each
+    // rebuild was a full fact scan+agg). The v support (value grain
+    // across flags) is memo+cached too: prefixSum references it three
+    // times and the ties agg a fourth.
+    val cells = graft.Tables.memoized(s, d, "spearmanSup_y") {
+      lineitem(s, d).select(col("l_returnflag").as("rf"),
+          r2(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("y"))
+        .groupBy("rf", "y").agg(count(lit(1)).as("t"))
+    }.select(col("rf").as("g"), col("y").as("v"), col("t").as("c"))
+    val sup = graft.Tables.memoized(s, d, "kruskalSup") {
+      cells.groupBy("v").agg(sum("c").as("t"))
+    }
     val ranked = graft.api.Graft.prefixSum(sup, "v", Seq("t"))
       .select(col("v"), col("t"),
         ((col("t_cum") - col("t")).cast("double") +

@@ -120,7 +120,15 @@ object Recommender {
         nullif(sqrt(col("squ")) * sqrt(col("sqv")), lit(0.0))))
       .filter(col("sim") > 0)
       .select("u", "v", "sim")
-    val sims = half.union(half.select(col("v").as("u"), col("u").as("v"), col("sim")))
+    // r14: mirror by a row-local explode, NOT union(half, half.swapped) —
+    // the union's two references each re-ran the whole pair subtree (the
+    // 25M-row join + million-group dot agg executed TWICE, ~20 s summed
+    // agg time at sf0.1); explode doubles rows in one pass, identical
+    // multiset (guide §2.4: don't compute things twice)
+    val sims = half.select(explode(array(
+        struct(col("u"), col("v"), col("sim")),
+        struct(col("v").as("u"), col("u").as("v"), col("sim")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.sim").as("sim"))
     val top5 = sims
       .withColumn("rn", row_number().over(
         Window.partitionBy("u").orderBy(col("sim").desc, col("v"))))

@@ -267,17 +267,25 @@ object Retrieval {
   /** The embedding corpus as (vec_id, v: array&lt;double&gt;) — the shared
     * vector relation of the ANN family. */
   private[graft] def embVecs(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d)
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    // r14: memo+cached — every ANN-family key (q85/q204/q209/q251/q252)
+    // re-ran the scan + per-element cast; the relation is one row per
+    // vector (corpus-proportional but array-compact, like `ratings`)
+    graft.Tables.memoized(s, d, "embvecs") {
+      embeddings(s, d)
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    }
 
   /** One Lloyd assignment pass: each vector to its nearest centroid by
     * squared L2 (min-dist join-back, centroid-id tiebreak) — the shape
     * shared by q204's build and [[ivfProbe]]'s cell assignment. Input
     * `cents` is (c_id, cv); always dimension-sized, so it broadcasts. */
   private[graft] def kmAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    // r14: squared L2 via the codegen'd sq_dist expression — the HOF fold
+    // it replaces ran interpreted |vectors|×|centroids| times inside a
+    // twice-referenced subtree (guide §4; bit-identical accumulation)
+    graft.plans.SqDist.register(e.sparkSession)
     val dists = e.crossJoin(broadcast(cents))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0e0, (a, x) -> a + x)"))
+      .withColumn("dist", expr("sq_dist(v, cv)"))
     val m = dists.groupBy("vec_id").agg(min("dist").as("md"))
     dists.join(m, "vec_id").filter(col("dist") === col("md"))
       .groupBy("vec_id").agg(min("c_id").as("c_id"), min("md").as("dist"))
@@ -309,6 +317,7 @@ object Retrieval {
   private[graft] def ivfProbe(s: SparkSession, d: String, cents: DataFrame,
       k: Int, nprobe: Int = 1): DataFrame = {
     graft.plans.CosineSim.register(s)
+    graft.plans.SqDist.register(s)
     val w = org.apache.spark.sql.expressions.Window
     val e = embVecs(s, d)
     val cands = e.join(kmAssign(e, cents).select(col("vec_id"), col("c_id").as("cell")),
@@ -317,8 +326,7 @@ object Retrieval {
     val probeCells = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("v").as("p"))
       .crossJoin(broadcast(cents))
-      .withColumn("cdist", expr(
-        "aggregate(zip_with(p, cv, (x, y) -> (x - y) * (x - y)), 0e0, (a, x) -> a + x)"))
+      .withColumn("cdist", expr("sq_dist(p, cv)"))
       .withColumn("rn", row_number().over(
         w.partitionBy("probe_id").orderBy(col("cdist"), col("c_id"))))
       .filter(col("rn") <= nprobe)
@@ -436,13 +444,19 @@ object Retrieval {
 
   /** The exact support-grain plan (see [[q209]]'s scaladoc). */
   private[graft] def quantileNormExact(s: SparkSession, d: String): DataFrame = {
-    val long = embeddings(s, d)
-      .select(col("vec_id"),
-        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-          .as(Seq("p", "x")))
-      .select(col("vec_id"), (col("p") + 1).cast("long").as("i"), col("x"))
+    // r14: memo+cache the exploded matrix and its (dim, value) support —
+    // the support is fact-sized (x is continuous, ~|cells| distinct) and
+    // groupedPrefixSum references it three times; uncached each reference
+    // re-ran the explode + agg (the q210/q243 support-rebuild class)
+    val long = graft.Tables.memoized(s, d, "emblong") {
+      embVecs(s, d)
+        .select(col("vec_id"), posexplode(col("v")).as(Seq("p", "x")))
+        .select(col("vec_id"), (col("p") + 1).cast("long").as("i"), col("x"))
+    }
     val n1 = embeddings(s, d).agg(count(lit(1)).as("__n"))
-    val sup = long.groupBy("i", "x").agg(count(lit(1)).as("__c"))
+    val sup = graft.Tables.memoized(s, d, "qnormSup") {
+      long.groupBy("i", "x").agg(count(lit(1)).as("__c"))
+    }
     val below = graft.api.Graft.groupedPrefixSum(sup, Seq("i"), "x", Seq("__c"))
       .select(col("i"), col("x"), (col("__c_cum") - col("__c")).as("__below"))
     val wTie = org.apache.spark.sql.expressions.Window

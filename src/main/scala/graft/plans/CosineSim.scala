@@ -134,6 +134,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("rp_bucket"),
         new ExpressionInfo(classOf[RpBucket].getName, "rp_bucket"),
         RpBucket.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("sq_dist"),
+        new ExpressionInfo(classOf[SqDist].getName, "sq_dist"),
+        SqDist.builder))
     ext.injectOptimizerRule(_ => SimilarityBandRewrite)
     ext.injectQueryStagePrepRule(BroadcastGuard(_))
   }

@@ -63,9 +63,25 @@ class PlanRegressionSpec extends AnyFunSuite {
       Tables.events(s, d), Seq("user_id"), 50, Seq(col("ts"), col("event_id"))))
     assert(plan.contains("WindowGroupLimit"),
       s"capPerKey must plan via WindowGroupLimit, got:\n$plan")
-    assert(plan.contains("Partial"),
-      "the WindowGroupLimit must include the map-side Partial pass")
+    assertGroupLimitPrunesBeforeExchange(plan)
   }
+
+  /** The cap's plan contract: rows are pruned BEFORE any exchange. Spark
+    * plans that two ways: a Partial pass below the shuffle + a Final above
+    * it (un-partitioned input), or — when the input already carries the
+    * key's partitioning, the r14 events cache layout — a SINGLE Final pass
+    * with NO exchange at all, which is strictly better. Accept both;
+    * reject the degenerate full-window-sort (no WindowGroupLimit) and a
+    * Final-only pass that still shuffles below itself. */
+  private def assertGroupLimitPrunesBeforeExchange(plan: String): Unit =
+    if (!plan.contains("Partial")) {
+      val span = plan.substring(plan.indexOf("WindowGroupLimit"))
+      val cut = Seq("InMemoryTableScan", "FileScan", "Scan parquet")
+        .map(span.indexOf).filter(_ >= 0).min
+      assert(!span.substring(0, cut).contains("Exchange"),
+        "Final-only WindowGroupLimit with an exchange below it — the cap " +
+          s"is not pruning map-side:\n$plan")
+    }
 
   test("capPerKey keeps the WindowGroupLimit plan AT the shipped recipe value n=1000 (the threshold boundary)") {
     // The shipped recipe (q115_capped, SCALING.md's flattening experiment,
@@ -79,8 +95,7 @@ class PlanRegressionSpec extends AnyFunSuite {
       Tables.events(s, d), Seq("user_id"), 1000, Seq(col("ts"), col("event_id"))))
     assert(plan.contains("WindowGroupLimit"),
       s"capPerKey at n=1000 must still plan via WindowGroupLimit, got:\n$plan")
-    assert(plan.contains("Partial"),
-      "the n=1000 WindowGroupLimit must include the map-side Partial pass")
+    assertGroupLimitPrunesBeforeExchange(plan)
   }
 
   test("capPerKey never clobbers a caller's own __cap_rn column") {
